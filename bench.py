@@ -1,0 +1,67 @@
+"""Headline benchmark: pairwise interactions/s/chip at N=256k.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline: BASELINE.json north star = 300 G pairwise interactions/s per
+TPU v5e chip at N=262,144, single chip, Pallas fused force+Verlet kernel
+under lax.scan with HBM-resident state.
+
+On non-TPU platforms (driver smoke runs) it falls back to a small jnp
+configuration so it always completes; ``vs_baseline`` is only meaningful
+on TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_GINTS = 300.0  # BASELINE.json north_star, G pairwise interactions/s
+
+
+def main() -> int:
+    import jax
+
+    from nbody3d_tpu.config import SimConfig
+    from nbody3d_tpu.engine import Simulation
+
+    platform = jax.default_backend()
+    if platform == "tpu":
+        n = 262144
+        steps, warmup, chunk = 20, 4, 10
+        config = SimConfig(backend="pallas", block_target=256, block_source=512)
+    else:
+        n = 4096
+        steps, warmup, chunk = 6, 2, 3
+        config = SimConfig(backend="jnp", block_target=256, block_source=512)
+
+    sim = Simulation.from_preset("uniform-sphere", config, n=n)
+    sim.run(warmup, chunk=warmup)  # compile + warm
+    t0 = time.perf_counter()
+    sim.run(steps, chunk=chunk)
+    elapsed = time.perf_counter() - t0
+    steps_per_s = steps / elapsed
+    gints = sim.pair_interactions_per_step * steps_per_s / 1e9
+
+    out = {
+        "metric": "pairwise_interactions_per_sec_per_chip",
+        "value": round(gints, 3),
+        "unit": "G-int/s",
+        "vs_baseline": round(gints / BASELINE_GINTS, 4),
+        "details": {
+            "n_bodies": sim.n_real,
+            "steps": steps,
+            "elapsed_s": round(elapsed, 4),
+            "steps_per_s": round(steps_per_s, 4),
+            "platform": platform,
+            "backend": config.backend,
+            "block_target": config.block_target,
+            "block_source": config.block_source,
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

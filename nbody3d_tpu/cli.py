@@ -1,0 +1,233 @@
+"""Command-line interface — the framework surface (SURVEY P4).
+
+Replaces the reference's UI layer (``index.html`` controls + ``util.js``
+listeners, SURVEY C12) with subcommands:
+
+- ``run``      simulate a preset or checkpoint with periodic logging,
+               checkpoints and frame dumps (the decoupled "frame loop").
+- ``bench``    throughput benchmark printing one JSON line
+               (steps/s + G pairwise interactions/s).
+- ``render``   rasterize a checkpoint to PNG.
+- ``convert``  convert checkpoints between reference JSON and native npz
+               (the export/import buttons, ``util.js:265-274``).
+- ``info``     platform/mesh report (the WebGPU-support check,
+               ``nbody3d.js:139-155``).
+
+dt and G accept either linear values (``--dt 1e-4``) or the reference's
+log-slider values (``--log-dt -4``; ``util.js:38-54``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dt", type=float, default=None, help="timestep (default 1e-4)")
+    p.add_argument("--log-dt", type=float, default=None, help="dt = 10**value (slider semantics)")
+    p.add_argument("--G", type=float, default=None, help="gravitational constant (default 1e-4)")
+    p.add_argument("--log-G", type=float, default=None, help="G = 10**value (slider semantics)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    p.add_argument("--integrator", default="verlet", choices=["verlet", "euler"])
+    p.add_argument("--block-target", type=int, default=256)
+    p.add_argument("--block-source", type=int, default=512)
+    p.add_argument("--devices", type=int, default=1, help=">1 shards bodies over a mesh")
+    p.add_argument("--strategy", default="ring", choices=["ring", "gather"])
+
+
+def _build_config(args):
+    from nbody3d_tpu.config import SimConfig
+
+    dt = args.dt if args.dt is not None else (
+        10.0 ** args.log_dt if args.log_dt is not None else 1e-4
+    )
+    G = args.G if args.G is not None else (
+        10.0 ** args.log_G if args.log_G is not None else 1e-4
+    )
+    return SimConfig(
+        dt=dt,
+        G=G,
+        seed=args.seed,
+        backend=args.backend,
+        integrator=args.integrator,
+        block_target=args.block_target,
+        block_source=args.block_source,
+        strategy=args.strategy,
+    )
+
+
+def _build_mesh(args):
+    if args.devices <= 1:
+        return None
+    from nbody3d_tpu.parallel.mesh import default_mesh
+
+    return default_mesh(args.devices)
+
+
+def _make_sim(args, config, mesh):
+    from nbody3d_tpu.engine import Simulation
+
+    if getattr(args, "checkpoint", None):
+        return Simulation.load(args.checkpoint, config, mesh=mesh)
+    return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh)
+
+
+def cmd_run(args) -> int:
+    config = _build_config(args)
+    mesh = _build_mesh(args)
+    sim = _make_sim(args, config, mesh)
+    os.makedirs(args.outdir, exist_ok=True)
+
+    chunk = args.log_every
+    done = 0
+    next_ckpt = args.checkpoint_every or 0
+    next_frame = args.render_every or 0
+    frame_idx = 0
+    if args.render_every:
+        from nbody3d_tpu.render.image import save_png
+
+        save_png(os.path.join(args.outdir, f"frame_{frame_idx:06d}.png"), sim.render_frame())
+        frame_idx += 1
+    while done < args.steps:
+        k = min(chunk, args.steps - done)
+        sim.run(k, chunk=k)
+        done += k
+        for line in sim.log_lines():
+            print(line, flush=True)
+        if args.diagnostics:
+            d = sim.diagnostics()
+            print(
+                f"  E={float(d.total_energy):.6e} KE={float(d.kinetic):.6e} "
+                f"PE={float(d.potential):.6e} |P|={float(np.linalg.norm(d.momentum)):.3e}",
+                flush=True,
+            )
+        if args.checkpoint_every and done >= next_ckpt:
+            path = os.path.join(args.outdir, f"ckpt_{sim.step_count:08d}.npz")
+            sim.save(path)
+            print(f"  checkpoint -> {path}", flush=True)
+            next_ckpt += args.checkpoint_every
+        if args.render_every and done >= next_frame:
+            from nbody3d_tpu.render.image import save_png
+
+            path = os.path.join(args.outdir, f"frame_{frame_idx:06d}.png")
+            save_png(path, sim.render_frame())
+            print(f"  frame -> {path}", flush=True)
+            frame_idx += 1
+            next_frame += args.render_every
+    sim.save(os.path.join(args.outdir, "final.npz"))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    config = _build_config(args)
+    mesh = _build_mesh(args)
+    from nbody3d_tpu.engine import Simulation
+
+    sim = Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh)
+    # Warmup (compile) then timed chunks.
+    sim.run(args.warmup_steps, chunk=args.warmup_steps)
+    t0 = time.perf_counter()
+    sim.run(args.steps, chunk=args.chunk)
+    elapsed = time.perf_counter() - t0
+    steps_per_s = args.steps / elapsed
+    gints = sim.pair_interactions_per_step * steps_per_s / 1e9
+    out = {
+        "n_bodies": sim.n_real,
+        "n_pad": sim.n_pad,
+        "steps": args.steps,
+        "elapsed_s": elapsed,
+        "steps_per_s": steps_per_s,
+        "gints_per_s": gints,
+        "backend": config.backend,
+        "devices": args.devices,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_render(args) -> int:
+    config = _build_config(args)
+    from nbody3d_tpu.engine import Simulation
+    from nbody3d_tpu.render.image import save_png
+
+    sim = Simulation.load(args.checkpoint, config)
+    img = sim.render_frame(width=args.width, height=args.height)
+    save_png(args.output, img)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    config = _build_config(args)
+    from nbody3d_tpu.engine import Simulation
+
+    sim = Simulation.load(args.input, config)
+    sim.save(args.output)
+    print(f"{args.input} -> {args.output} (N={sim.n_real}, step={sim.step_count})")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from nbody3d_tpu.parallel.mesh import mesh_info
+
+    print(json.dumps(mesh_info(), indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="nbody3d-tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="run a simulation")
+    p.add_argument("--preset", default="two-galaxy")
+    p.add_argument("--checkpoint", default=None, help="resume from checkpoint instead of preset")
+    p.add_argument("--n", type=int, default=None, help="body count override")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--render-every", type=int, default=0)
+    p.add_argument("--diagnostics", action="store_true")
+    p.add_argument("--outdir", default="out")
+    _add_common(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
+    p.add_argument("--preset", default="uniform-sphere")
+    p.add_argument("--n", type=int, default=262144)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup-steps", type=int, default=3)
+    p.add_argument("--chunk", type=int, default=10)
+    _add_common(p)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("render", help="render a checkpoint to PNG")
+    p.add_argument("checkpoint")
+    p.add_argument("-o", "--output", default="frame.png")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=768)
+    _add_common(p)
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("convert", help="convert checkpoint formats (.json <-> .npz)")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_common(p)
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("info", help="platform / device report")
+    p.set_defaults(fn=cmd_info)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,97 @@
+"""Simulation configuration.
+
+The reference keeps its tunables in three tiers (SURVEY §5.6): compile-time
+constants (``TILE_SIZE`` at ``nbody3d.js:4``, softening at ``nbody3d.js:234``),
+UI-bound live params (dt and G log sliders, ``util.js:38-54``), and the
+per-frame uniform block (``nbody3d.js:16-34``).  The TPU-native equivalent is
+one frozen dataclass: static fields participate in the jit cache key, while
+``dt`` and ``G`` remain *runtime* scalars threaded through the step function so
+they can change without recompilation (matching the reference's
+rebuild-free slider semantics, ``nbody3d.js:470``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any
+
+
+# Reference defaults: G/dt at nbody3d.js:6-7, softening eps^2 at
+# nbody3d.js:234, tile size at nbody3d.js:4, the IC screen-size normalizer
+# (window.outerHeight) at nbody3d.js:9.
+DEFAULT_G = 1e-4
+DEFAULT_DT = 1e-4
+DEFAULT_EPS2 = 1e-4
+DEFAULT_SIZE_FACTOR = 1000.0
+REFERENCE_TILE = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class GalaxyConfig:
+    """One disk galaxy in the procedural generator.
+
+    Mirrors the 5-tuple ``[center, centerV, normal, radius, count]`` consumed
+    by ``generateGalaxy`` (``nbody3d.js:51-58``).
+    """
+
+    center: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    velocity: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    normal: tuple[float, float, float] = (0.0, 1.0, 0.0)
+    radius: float = 3.0
+    count: int = 20000
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation configuration (part of the jit cache key).
+
+    ``dt`` and ``G`` stored here are *defaults*; the engine passes them as
+    traced runtime scalars each step.
+    """
+
+    # Physics (reference semantics, SURVEY §2.3).
+    dt: float = DEFAULT_DT
+    G: float = DEFAULT_G
+    eps2: float = DEFAULT_EPS2
+    integrator: str = "verlet"  # "verlet" (nbody3d.js:280-283) | "euler" (:285-287)
+
+    # Kernel selection / shape.
+    backend: str = "auto"  # "auto" | "pallas" | "jnp"
+    block_target: int = 256  # target-body rows per Pallas grid step
+    block_source: int = 512  # source-body lanes per streamed tile
+    use_mxu: bool = True  # accumulate weighted sources on the MXU (W @ S4)
+    fuse_integrate: bool = True  # fuse Verlet into the force kernel
+
+    # Multi-chip.
+    mesh_axis: str = "x"
+    strategy: str = "ring"  # "ring" (ppermute) | "gather" (all_gather)
+
+    # Misc.
+    seed: int = 0
+    size_factor: float = DEFAULT_SIZE_FACTOR  # IC/render normalizer (nbody3d.js:9)
+
+    def replace(self, **kw: Any) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+    # ---- (de)serialization for checkpoints -------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "SimConfig":
+        d = json.loads(s)
+        d.pop("__class__", None)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+def log_slider_dt(value: float) -> float:
+    """dt log-slider semantics: ``dt = 10**v``, v in [-5, -3] (util.js:38-46)."""
+    return math.pow(10.0, value)
+
+
+def log_slider_G(value: float) -> float:
+    """G log-slider semantics: ``G = 10**v``, v in [-6, 0] (util.js:48-54)."""
+    return math.pow(10.0, value)

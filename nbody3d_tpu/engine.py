@@ -1,0 +1,232 @@
+"""Simulation engine: the scheduler/frame-loop layer (SURVEY L7).
+
+The reference runs exactly one physics step per displayed frame, re-queued
+via requestAnimationFrame with pause = "skip the compute pass"
+(``nbody3d.js:439-506``, ``util.js:56-64``).  The TPU engine decouples
+physics from any consumer: K steps run inside one jitted, state-donating
+``lax.scan`` (state stays HBM-resident), and the host taps the state only at
+chunk boundaries for logging, rendering, or checkpointing.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody3d_tpu.config import SimConfig
+from nbody3d_tpu.models.registry import make_preset
+from nbody3d_tpu.ops import diagnostics as diag_mod
+from nbody3d_tpu.ops.step import make_scan_fn, make_step_fn
+from nbody3d_tpu.state import SimState, init_state, pad_count, unpad
+from nbody3d_tpu.utils.profiling import Ema, StepStats
+
+
+def _lcm(a: int, b: int) -> int:
+    return a * b // math.gcd(a, b)
+
+
+class Simulation:
+    """Owns a :class:`SimState`, a compiled step loop, and run bookkeeping.
+
+    Single-chip by default; pass ``mesh`` to shard bodies across devices
+    (ring/gather strategy per ``config.strategy``).
+    """
+
+    def __init__(
+        self,
+        config: SimConfig,
+        pos_mass: np.ndarray | jax.Array,
+        vel: np.ndarray | jax.Array,
+        accel: np.ndarray | jax.Array | None = None,
+        *,
+        step: int = 0,
+        camera_target: np.ndarray | None = None,
+        mesh: jax.sharding.Mesh | None = None,
+        platform: str | None = None,
+    ):
+        self.config = config
+        self.mesh = mesh
+        self.n_real = int(np.asarray(pos_mass).shape[0])
+        multiple = _lcm(config.block_target, config.block_source)
+        if mesh is not None:
+            multiple *= mesh.shape[config.mesh_axis]
+        self.n_pad = pad_count(self.n_real, multiple)
+        self.state = init_state(pos_mass, vel, accel, n_pad=self.n_pad, step=step)
+        self.camera_target = (
+            np.zeros(3) if camera_target is None else np.asarray(camera_target, dtype=np.float64)
+        )
+
+        if mesh is None:
+            self._step_fn = make_step_fn(config, self.n_pad, self.n_real, platform)
+        else:
+            from nbody3d_tpu.parallel.sharded import make_sharded_step, shard_state
+
+            self._step_fn = make_sharded_step(
+                config, self.n_pad, self.n_real, mesh, platform
+            )
+            self.state = shard_state(self.state, mesh, config.mesh_axis)
+        self._run_chunk = make_scan_fn(self._step_fn)
+
+        # Live-tunable runtime params (the dt/G sliders, util.js:38-54) and
+        # pause semantics (dt <-> 0 swap through oldDt, util.js:56-64).
+        self.dt = float(config.dt)
+        self.G = float(config.G)
+        self._old_dt: float | None = None
+
+        # EMA-filtered profiling, filterStrength=10 like the reference HUD
+        # (nbody3d.js:434,441-443).
+        self.stats = StepStats(ema=Ema(10.0))
+
+    # ------------------------------------------------------------------ run
+    @classmethod
+    def from_preset(
+        cls,
+        name: str,
+        config: SimConfig | None = None,
+        *,
+        n: int | None = None,
+        mesh: jax.sharding.Mesh | None = None,
+        platform: str | None = None,
+        **preset_kw,
+    ) -> "Simulation":
+        config = config or SimConfig()
+        pos_mass, vel, target = make_preset(
+            name,
+            seed=config.seed,
+            G=config.G,
+            n=n,
+            size_factor=config.size_factor,
+            **preset_kw,
+        )
+        return cls(
+            config, pos_mass, vel, camera_target=target, mesh=mesh, platform=platform
+        )
+
+    @property
+    def paused(self) -> bool:
+        return self._old_dt is not None
+
+    def toggle_pause(self) -> None:
+        """Pause = dt swapped to 0; the engine then skips stepping entirely,
+        matching the reference's skipped compute pass (``nbody3d.js:474``) —
+        and crucially keeps the lagged acceleration unchanged."""
+        if self._old_dt is None:
+            self._old_dt, self.dt = self.dt, 0.0
+        else:
+            self.dt, self._old_dt = self._old_dt, None
+
+    def run(self, n_steps: int, *, chunk: int = 100) -> SimState:
+        """Advance ``n_steps`` in jitted chunks, updating profiling stats."""
+        if self.dt == 0.0:
+            return self.state
+        remaining = n_steps
+        while remaining > 0:
+            k = min(chunk, remaining)
+            t0 = time.perf_counter()
+            self.state = self._run_chunk(self.state, self.dt, self.G, k)
+            # Sync on a scalar output of the chunk: device_get can only
+            # return once the whole executable finished.  (block_until_ready
+            # alone is not reliable through remote-relay PJRT backends.)
+            jax.device_get(self.state.step)
+            elapsed = time.perf_counter() - t0
+            self.stats.update(k, elapsed, self.pair_interactions_per_step)
+            remaining -= k
+        return self.state
+
+    def step(self, n: int = 1) -> SimState:
+        return self.run(n, chunk=n)
+
+    @property
+    def pair_interactions_per_step(self) -> int:
+        """N^2 - N, the reference's work definition (``nbody3d.js:255-268``,
+        BASELINE 'pair interactions per step')."""
+        return self.n_real * self.n_real - self.n_real
+
+    # ---------------------------------------------------------- inspection
+    @property
+    def step_count(self) -> int:
+        return int(jax.device_get(self.state.step))
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host copies of the real (unpadded) pos_mass, vel, accel."""
+        return unpad(self.state, self.n_real)
+
+    def diagnostics(self, chunk: int | None = 1024) -> diag_mod.Diagnostics:
+        if self.mesh is not None:
+            from nbody3d_tpu.parallel.sharded import make_sharded_diagnostics
+
+            fn = make_sharded_diagnostics(self.config, self.n_pad, self.mesh)
+            return jax.device_get(fn(self.state, self.G))
+        pos_mass, vel, _ = self.arrays()
+        if chunk is not None and self.n_real % chunk != 0:
+            chunk = None
+        return jax.device_get(
+            diag_mod.compute(
+                jnp.asarray(pos_mass),
+                jnp.asarray(vel),
+                self.G,
+                eps2=self.config.eps2,
+                chunk=chunk,
+            )
+        )
+
+    # ---------------------------------------------------------- checkpoint
+    def save(self, path: str) -> None:
+        """Save a native ``.npz`` checkpoint (or reference-schema ``.json``
+        if the path ends in .json)."""
+        from nbody3d_tpu.utils import checkpoint
+
+        if str(path).endswith(".json"):
+            checkpoint.save_reference_json(path, self)
+        else:
+            checkpoint.save_npz(path, self)
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        config: SimConfig | None = None,
+        *,
+        mesh: jax.sharding.Mesh | None = None,
+        platform: str | None = None,
+    ) -> "Simulation":
+        from nbody3d_tpu.utils import checkpoint
+
+        if str(path).endswith(".json"):
+            return checkpoint.load_reference_json(
+                path, config, mesh=mesh, platform=platform
+            )
+        return checkpoint.load_npz(path, config, mesh=mesh, platform=platform)
+
+    # -------------------------------------------------------------- render
+    def render_frame(self, camera=None, *, width: int = 1024, height: int = 768):
+        """Headless point-splat frame of the current state (SURVEY P3)."""
+        from nbody3d_tpu.render.rasterize import render_points
+        from nbody3d_tpu.utils.camera import Camera
+
+        pos_mass, vel, _ = self.arrays()
+        if camera is None:
+            camera = Camera(target=self.camera_target)
+        return render_points(
+            pos_mass,
+            vel,
+            camera,
+            width=width,
+            height=height,
+            size_factor=self.config.size_factor,
+        )
+
+    # ------------------------------------------------------------- logging
+    def log_lines(self) -> Iterator[str]:
+        """Structured per-interval log: the HUD equivalent (SURVEY §5.5)."""
+        s = self.stats
+        yield (
+            f"step={self.step_count} steps/s={s.steps_per_s:.2f} "
+            f"Gints/s={s.gints_per_s:.2f} wall_ms/step={s.ms_per_step:.3f} "
+            f"N={self.n_real} dt={self.dt:g} G={self.G:g}"
+        )

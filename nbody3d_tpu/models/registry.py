@@ -1,0 +1,95 @@
+"""Named presets mapping to BASELINE.json's config ladder.
+
+Each preset returns ``(pos_mass (N,4) f32, vel (N,4) f32, camera_target)``
+given a seed and the generation-time gravitational constant (the reference
+freezes orbital speeds to the G at generation time, ``nbody3d.js:115``).
+
+- ``two-galaxy`` — the reference's default run: 2 random galaxies of
+  20,000 disk bodies each (+1 central) => N = 40,002
+  (``index.html:68-75``, ``nbody3d.js:163-175``).
+- ``reference-random`` — fully reference-shaped randomized run with
+  configurable galaxy count / body bounds.
+- ``collision`` — deterministic two-galaxy collision (BASELINE config #5).
+- ``plummer`` — N=16k Plummer sphere (config #2).
+- ``uniform-sphere`` — N=1,024 cold uniform ball (config #1).
+- ``fibonacci-shell`` — the reference's dead-code generator (util.js:135-152).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from nbody3d_tpu.config import DEFAULT_G, DEFAULT_SIZE_FACTOR, GalaxyConfig
+from nbody3d_tpu.models.galaxy import generate_galaxies, random_galaxy_configs
+from nbody3d_tpu.models.plummer import plummer_sphere
+from nbody3d_tpu.models.sphere import fibonacci_shell, uniform_sphere
+
+MakerResult = tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+def _two_galaxy(seed: int, G: float, n: int | None, size_factor: float) -> MakerResult:
+    rng = np.random.default_rng(seed)
+    per_galaxy = (n // 2 - 1) if n else 20000
+    configs = random_galaxy_configs(2, per_galaxy, per_galaxy, rng)
+    return generate_galaxies(configs, G=G, size_factor=size_factor, rng=rng)
+
+
+def _reference_random(
+    seed: int, G: float, n: int | None, size_factor: float, *, num_galaxies=2, min_bodies=20000, max_bodies=20000
+) -> MakerResult:
+    rng = np.random.default_rng(seed)
+    configs = random_galaxy_configs(num_galaxies, min_bodies, max_bodies, rng)
+    return generate_galaxies(configs, G=G, size_factor=size_factor, rng=rng)
+
+
+def _collision(seed: int, G: float, n: int | None, size_factor: float) -> MakerResult:
+    """Two galaxies on a closing course with skewed disk planes."""
+    rng = np.random.default_rng(seed)
+    per_galaxy = (n // 2 - 1) if n else 20000
+    configs = [
+        GalaxyConfig(center=(-4.0, 0.0, 0.0), velocity=(6.0, 1.0, 0.0),
+                     normal=(0.2, 1.0, 0.1), radius=3.0, count=per_galaxy),
+        GalaxyConfig(center=(4.0, 0.5, 0.0), velocity=(-6.0, -1.0, 0.0),
+                     normal=(0.8, 0.5, 0.4), radius=3.0, count=per_galaxy),
+    ]
+    return generate_galaxies(configs, G=G, size_factor=size_factor, rng=rng)
+
+
+def _plummer(seed: int, G: float, n: int | None, size_factor: float) -> MakerResult:
+    return plummer_sphere(n or 16384, G=G, rng=np.random.default_rng(seed))
+
+
+def _uniform(seed: int, G: float, n: int | None, size_factor: float) -> MakerResult:
+    return uniform_sphere(n or 1024, rng=np.random.default_rng(seed))
+
+
+def _fib(seed: int, G: float, n: int | None, size_factor: float) -> MakerResult:
+    return fibonacci_shell(n or 4096, rng=np.random.default_rng(seed))
+
+
+PRESETS: dict[str, Callable[..., MakerResult]] = {
+    "two-galaxy": _two_galaxy,
+    "reference-random": _reference_random,
+    "collision": _collision,
+    "plummer": _plummer,
+    "uniform-sphere": _uniform,
+    "fibonacci-shell": _fib,
+}
+
+
+def make_preset(
+    name: str,
+    *,
+    seed: int = 0,
+    G: float = DEFAULT_G,
+    n: int | None = None,
+    size_factor: float = DEFAULT_SIZE_FACTOR,
+    **kw,
+) -> MakerResult:
+    """Instantiate a named preset. ``n`` overrides the preset's default body
+    count where meaningful."""
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; available: {sorted(PRESETS)}")
+    return PRESETS[name](seed, G, n, size_factor, **kw)

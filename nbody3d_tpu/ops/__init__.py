@@ -1,0 +1,14 @@
+"""Compute ops: force kernels, integrators, diagnostics.
+
+- :mod:`nbody3d_tpu.ops.force_jnp` — pure-jnp direct-sum oracle (P0).
+- :mod:`nbody3d_tpu.ops.pallas_force` — tiled Pallas TPU kernel with fused
+  integration (P1), the rebuild of the WGSL compute pass at
+  ``nbody3d.js:218-294``.
+- :mod:`nbody3d_tpu.ops.integrate` — frame-shifted velocity Verlet and the
+  reference's (dead-code) semi-implicit Euler.
+- :mod:`nbody3d_tpu.ops.diagnostics` — energy/momentum conservation metrics
+  (the reference has no equivalent; exports were its only inspection tool,
+  SURVEY §4).
+"""
+
+from nbody3d_tpu.ops import diagnostics, force_jnp, integrate  # noqa: F401

@@ -1,0 +1,122 @@
+"""Single-chip step construction: backend dispatch + scan loop.
+
+The reference couples one simulation step to one displayed frame
+(``nbody3d.js:474-505``, SURVEY §3.2).  The TPU design breaks that coupling:
+``make_step_fn`` builds a pure ``state -> state`` function, and
+``make_scan_fn`` wraps K of them in ``jax.lax.scan`` with donated state so
+particles stay HBM-resident across the whole chunk (BASELINE north star) —
+the host only sees state every K steps (for logging / render taps).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nbody3d_tpu.config import SimConfig
+from nbody3d_tpu.ops.force_jnp import accel_direct
+from nbody3d_tpu.ops.integrate import INTEGRATORS
+from nbody3d_tpu.ops.pallas_force import (
+    accel_pallas,
+    fused_step_pallas,
+    src_transposed,
+)
+from nbody3d_tpu.state import SimState
+
+StepFn = Callable[[SimState, jax.Array, jax.Array], SimState]
+
+
+def resolve_backend(config: SimConfig, platform: str | None = None) -> tuple[str, bool]:
+    """Resolve ``config.backend`` ("auto") against the runtime platform.
+    Returns ``(backend, interpret)`` where ``interpret`` runs the Pallas
+    kernel in interpreter mode (CPU testing of the TPU kernel)."""
+    if platform is None:
+        platform = jax.default_backend()
+    backend = config.backend
+    if backend == "auto":
+        backend = "pallas" if platform == "tpu" else "jnp"
+    interpret = backend == "pallas" and platform != "tpu"
+    return backend, interpret
+
+
+def make_step_fn(
+    config: SimConfig, n_pad: int, n_real: int, platform: str | None = None
+) -> StepFn:
+    """Build ``step(state, dt, G) -> state`` for one chip.
+
+    ``dt`` and ``G`` are traced scalars: changing them (sliders, pause) does
+    not recompile — only changing the static config/shapes does.
+    """
+    backend, interpret = resolve_backend(config, platform)
+    bt = min(config.block_target, n_pad)
+    bs = min(config.block_source, n_pad)
+
+    if backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:
+
+        def step(state: SimState, dt, G) -> SimState:
+            p, v, a = fused_step_pallas(
+                state.pos_mass,
+                state.vel,
+                state.accel,
+                dt,
+                G,
+                eps2=config.eps2,
+                n_real=n_real,
+                block_target=bt,
+                block_source=bs,
+                interpret=interpret,
+            )
+            return SimState(p, v, a, state.step + 1)
+
+    elif backend == "pallas":
+
+        def step(state: SimState, dt, G) -> SimState:
+            srcT = src_transposed(state.pos_mass, G)
+            acc = accel_pallas(
+                state.pos_mass,
+                srcT,
+                jnp.int32(0),
+                eps2=config.eps2,
+                block_target=bt,
+                block_source=bs,
+                interpret=interpret,
+            )
+            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+
+    elif backend == "jnp":
+        # Chunk the jnp oracle to bound memory at O(chunk * N); the engine
+        # guarantees n_pad % block_target == 0.
+        chunk = bt if n_pad > 4096 else None
+
+        def step(state: SimState, dt, G) -> SimState:
+            acc = accel_direct(state.pos_mass, G, eps2=config.eps2, chunk=chunk)
+            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    return step
+
+
+def make_scan_fn(step_fn: StepFn):
+    """Wrap a step function into ``run(state, dt, G, k) -> state`` executing
+    k steps under one jitted ``lax.scan`` with donated state — the TPU
+    replacement for the per-frame requestAnimationFrame loop
+    (``nbody3d.js:505``)."""
+
+    @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
+    def run(state: SimState, dt, G, k: int) -> SimState:
+        dt = jnp.float32(dt)
+        G = jnp.float32(G)
+
+        def body(s, _):
+            return step_fn(s, dt, G), None
+
+        out, _ = lax.scan(body, state, None, length=k)
+        return out
+
+    return run

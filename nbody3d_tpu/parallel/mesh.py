@@ -1,0 +1,35 @@
+"""Device mesh construction (the L0 equivalent, SURVEY §1).
+
+The reference's device acquisition (``nbody3d.js:139-161``) maps to JAX
+platform/mesh setup.  Multi-host scale-out uses the same SPMD program via
+``jax.distributed.initialize`` before mesh construction (SURVEY §5.8) —
+XLA owns the wire, the framework owns the schedule.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "x") -> jax.sharding.Mesh:
+    """1-D mesh over the first ``n_devices`` devices (all by default)."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(f"requested {n_devices} devices, have {len(devices)}")
+    return jax.make_mesh((n_devices,), (axis,), devices=devices[:n_devices])
+
+
+def mesh_info() -> dict:
+    """Platform/device info — the framework's answer to the reference's
+    adapter feature negotiation + unsupported-browser fallback
+    (``nbody3d.js:139-155``)."""
+    devices = jax.devices()
+    return {
+        "platform": jax.default_backend(),
+        "n_devices": len(devices),
+        "device_kind": devices[0].device_kind if devices else "none",
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+    }

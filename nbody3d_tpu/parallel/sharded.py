@@ -1,0 +1,201 @@
+"""Sharded N-body step: ring ppermute / all-gather under ``shard_map``.
+
+Design (SURVEY §5.7): shard bodies along a 1-D mesh axis; each chip keeps
+its resident shard of ``(pos_mass, vel, accel)`` plus a rotating *source*
+buffer initialized to its own transposed ``[x, y, z, G*m]`` rows.  Repeat D
+times { accumulate partial forces of resident-targets x rotating-sources
+with the tiled force kernel; ``lax.ppermute`` the source buffer to the ring
+neighbor }, then apply the Verlet update locally.  The permute for step
+k+1 is issued *before* the force kernel for step k so XLA's async
+collectives can overlap the ICI transfer with compute (double buffering by
+dataflow).
+
+This is bit-for-bit the ring-attention communication schedule minus
+online-softmax rescaling — the single-device analog is the reference's
+workgroup-shared source tile loop (``nbody3d.js:255-272``), which ring
+exchange generalizes across chips.
+
+Self-pair masking uses global indices: ring step k's source shard sits
+``k * shard`` ahead of the targets in global ordering, so only k == 0
+applies the diagonal mask (``nbody3d.js:265`` semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nbody3d_tpu.config import SimConfig
+from nbody3d_tpu.ops import diagnostics as diag
+from nbody3d_tpu.ops.force_jnp import accel_partial
+from nbody3d_tpu.ops.integrate import apply_integrator
+from nbody3d_tpu.ops.pallas_force import accel_pallas, src_transposed
+from nbody3d_tpu.ops.step import resolve_backend
+from nbody3d_tpu.state import SimState
+
+# Unrolling the ring as a Python loop keeps each ppermute an independent op
+# XLA can overlap with the force kernel; beyond this many shards fall back
+# to a rolled fori_loop to bound program size.
+_MAX_UNROLL = 64
+
+
+def shard_state(state: SimState, mesh: jax.sharding.Mesh, axis: str) -> SimState:
+    """Place the state pytree with bodies sharded along ``axis``."""
+    sh = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    return SimState(
+        pos_mass=jax.device_put(state.pos_mass, sh),
+        vel=jax.device_put(state.vel, sh),
+        accel=jax.device_put(state.accel, sh),
+        step=jax.device_put(state.step, rep),
+    )
+
+
+def make_sharded_step(
+    config: SimConfig,
+    n_pad: int,
+    n_real: int,
+    mesh: jax.sharding.Mesh,
+    platform: str | None = None,
+) -> Callable[[SimState, jax.Array, jax.Array], SimState]:
+    """Build the multi-chip ``step(state, dt, G) -> state``.
+
+    Requires ``n_pad`` divisible by ``D * block`` so every shard is
+    kernel-aligned (the engine pads accordingly).
+    """
+    axis = config.mesh_axis
+    d = mesh.shape[axis]
+    if n_pad % d != 0:
+        raise ValueError(f"n_pad={n_pad} not divisible by mesh size {d}")
+    shard = n_pad // d
+    backend, interpret = resolve_backend(config, platform)
+    bt = min(config.block_target, shard)
+    bs = min(config.block_source, shard)
+    if shard % bt != 0 or shard % bs != 0:
+        raise ValueError(
+            f"shard size {shard} must be divisible by blocks ({bt}, {bs})"
+        )
+
+    def local_force(tgt, srcT, diag_offset):
+        if backend == "pallas":
+            return accel_pallas(
+                tgt,
+                srcT,
+                diag_offset,
+                eps2=config.eps2,
+                block_target=bt,
+                block_source=bs,
+                interpret=interpret,
+            )
+        return accel_partial(tgt, srcT, diag_offset, eps2=config.eps2)
+
+    ring_perm = [(i, (i + 1) % d) for i in range(d)]
+
+    def local_step(pos_mass, vel, accel, step, dt, G):
+        # Local shards (shard, 4); dt/G replicated scalars.
+        my = lax.axis_index(axis)
+        srcT = src_transposed(pos_mass, G)  # (4, shard)
+
+        if config.strategy == "gather" or d == 1:
+            srcT_all = lax.all_gather(srcT, axis, axis=1, tiled=True)  # (4, n_pad)
+            acc = local_force(pos_mass, srcT_all, my * shard)
+        elif config.strategy == "ring":
+
+            def ring_body(k, carry):
+                acc, src = carry
+                # Issue the permute first: no data dependency with the force
+                # kernel on `src`, so XLA can run the ICI transfer async.
+                nxt = lax.ppermute(src, axis, ring_perm)
+                acc = acc + local_force(pos_mass, src, k * shard)
+                return acc, nxt
+
+            acc = jnp.zeros_like(pos_mass)
+            if d <= _MAX_UNROLL:
+                carry = (acc, srcT)
+                for k in range(d):
+                    carry = ring_body(jnp.int32(k), carry)
+                acc = carry[0]
+            else:
+                acc, _ = lax.fori_loop(0, d, ring_body, (acc, srcT))
+        else:
+            raise ValueError(f"unknown strategy {config.strategy!r}")
+
+        # Local Verlet/Euler with the global ``index < nBodies`` guard.
+        rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
+        valid = rows < n_real if n_real < n_pad else None
+        new_pos, new_vel, new_acc = apply_integrator(
+            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        )
+        return new_pos, new_vel, new_acc, step + 1
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P()),
+    )
+
+    def step(state: SimState, dt, G) -> SimState:
+        p, v, a, s = sharded(
+            state.pos_mass,
+            state.vel,
+            state.accel,
+            state.step,
+            jnp.float32(dt),
+            jnp.float32(G),
+        )
+        return SimState(p, v, a, s)
+
+    return step
+
+
+def make_sharded_diagnostics(
+    config: SimConfig,
+    n_pad: int,
+    mesh: jax.sharding.Mesh,
+) -> Callable[[SimState, jax.Array], diag.Diagnostics]:
+    """Energy/momentum diagnostics computed shard-locally and reduced with
+    ``psum`` over ICI (SURVEY §5.8) — potential energy covers the full pair
+    set via an all-gather of positions (O(N) traffic, O(N^2/D) compute per
+    chip)."""
+    axis = config.mesh_axis
+    d = mesh.shape[axis]
+    shard = n_pad // d
+
+    def local(pos_mass, vel, G):
+        my = lax.axis_index(axis)
+        ke = diag.kinetic_energy(pos_mass, vel)
+        mom = diag.momentum(pos_mass, vel)
+        ang = diag.angular_momentum(pos_mass, vel)
+        mass = jnp.sum(pos_mass[:, 3])
+        # Potential: local targets vs ALL sources (gathered), self-pairs
+        # excluded by global index, and the half factor de-duplicates.
+        all_pm = lax.all_gather(pos_mass, axis, axis=0, tiled=True)  # (n_pad, 4)
+        pos = pos_mass[:, :3]
+        diff = all_pm[None, :, :3] - pos[:, None, :]
+        d2 = jnp.sum(diff * diff, axis=-1) + config.eps2
+        inv = lax.rsqrt(d2)
+        rows = lax.broadcasted_iota(jnp.int32, d2.shape, 0) + my * shard
+        cols = lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        pair = pos_mass[:, 3][:, None] * all_pm[:, 3][None, :] * inv
+        pair = jnp.where(rows == cols, 0.0, pair)
+        pe = -0.5 * G * jnp.sum(pair)
+        out = (ke, pe, mom, ang, mass)
+        return tuple(lax.psum(o, axis) for o in out)
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+    )
+
+    def compute(state: SimState, G) -> diag.Diagnostics:
+        ke, pe, mom, ang, mass = sharded(state.pos_mass, state.vel, jnp.float32(G))
+        return diag.Diagnostics(ke, pe, ke + pe, mom, ang, mass)
+
+    return compute

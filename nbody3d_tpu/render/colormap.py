@@ -1,0 +1,23 @@
+"""Velocity colormap — the fragment shader's ``colorMap``.
+
+``nbody3d.js:371-372,380``: value = |vel| / 40, then
+``rgb = (v, 1 - |v - 0.5|, 1 - v)``, implicitly clamped to [0, 1] by the
+render target.  (The color-by-direction variant at ``nbody3d.js:381`` is
+dead code; documented, not built — SURVEY C17.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+VELOCITY_SCALE = 40.0  # nbody3d.js:380
+
+
+def velocity_colormap(speed: np.ndarray) -> np.ndarray:
+    """Map speeds (any shape) to float RGB in [0, 1], shape (..., 3)."""
+    v = np.asarray(speed, dtype=np.float32) / VELOCITY_SCALE
+    r = v
+    g = 1.0 - np.abs(v - 0.5)
+    b = 1.0 - v
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb, 0.0, 1.0)

@@ -1,0 +1,142 @@
+"""Checkpoint / resume (SURVEY §5.4).
+
+Two formats:
+
+- **Reference-schema JSON** — byte-compatible with the WebGPU app's
+  export/import (``util.js:160-263``): flat float lists ``bodies`` /
+  ``vel`` / ``accel`` (the lagged Verlet makes accel part of the state),
+  an 8-field ``camera`` dict, and ``G`` as the log10 slider value rendered
+  with 2 decimals (``util.js:200``: ``parseFloat(ui.G.value).toFixed(2)``).
+  Files exported by the reference load here and vice versa.  The
+  reference's known gaps are fixed additively: we also write ``dt``,
+  ``step`` and ``nBodies`` (extra keys the reference simply ignores), and
+  loading *validates* N instead of silently corrupting buffers
+  (``util.js:230-244`` has no check).
+
+- **Native .npz** — binary arrays + step counter + full config, ~8x smaller
+  than JSON doubles and the format the CLI uses for periodic checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from nbody3d_tpu.config import SimConfig
+from nbody3d_tpu.utils.camera import Camera
+
+
+def _sim_arrays(sim) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return sim.arrays()
+
+
+# ------------------------------------------------------------ reference JSON
+def save_reference_json(path: str, sim, camera: Camera | None = None) -> None:
+    pos_mass, vel, accel = _sim_arrays(sim)
+    if camera is None:
+        camera = Camera(target=sim.camera_target)
+    data = {
+        "bodies": [float(v) for v in pos_mass.reshape(-1)],
+        "vel": [float(v) for v in vel.reshape(-1)],
+        "accel": [float(v) for v in accel.reshape(-1)],
+        "camera": camera.to_dict(),
+        "G": f"{math.log10(sim.G):.2f}",  # util.js:200 slider-value string
+        # Additive fixes for reference gaps (ignored by the WebGPU app):
+        "dt": sim.dt,
+        "step": sim.step_count,
+        "nBodies": sim.n_real,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f)
+
+
+def parse_reference_json(path: str):
+    """Parse a reference-schema file into arrays + metadata without building
+    a Simulation (shared by the loader and the format-conversion CLI)."""
+    with open(path) as f:
+        data = json.load(f)
+    bodies = np.asarray(data["bodies"], dtype=np.float32).reshape(-1, 4)
+    vel = np.asarray(data["vel"], dtype=np.float32).reshape(-1, 4)
+    accel = np.asarray(data["accel"], dtype=np.float32).reshape(-1, 4)
+    n = bodies.shape[0]
+    if vel.shape[0] != n or accel.shape[0] != n:
+        raise ValueError(
+            f"checkpoint arrays disagree on N: bodies={n}, vel={vel.shape[0]}, "
+            f"accel={accel.shape[0]}"
+        )
+    declared = data.get("nBodies")
+    if declared is not None and int(declared) != n:
+        raise ValueError(f"checkpoint declares nBodies={declared} but has {n} bodies")
+    G = 10.0 ** float(data["G"]) if "G" in data else None  # util.js:261
+    camera = Camera.from_dict(data["camera"]) if "camera" in data else None
+    dt = float(data["dt"]) if "dt" in data else None
+    step = int(data.get("step", 0))
+    return bodies, vel, accel, camera, G, dt, step
+
+
+def load_reference_json(path: str, config: SimConfig | None = None, *, mesh=None, platform=None):
+    from nbody3d_tpu.engine import Simulation
+
+    bodies, vel, accel, camera, G, dt, step = parse_reference_json(path)
+    config = config or SimConfig()
+    if G is not None:
+        config = config.replace(G=G)
+    if dt is not None:
+        config = config.replace(dt=dt)
+    sim = Simulation(
+        config,
+        bodies,
+        vel,
+        accel,
+        step=step,
+        camera_target=camera.target if camera is not None else None,
+        mesh=mesh,
+        platform=platform,
+    )
+    return sim
+
+
+# ------------------------------------------------------------------ native npz
+def save_npz(path: str, sim, camera: Camera | None = None) -> None:
+    pos_mass, vel, accel = _sim_arrays(sim)
+    if camera is None:
+        camera = Camera(target=sim.camera_target)
+    config = sim.config.replace(dt=sim.dt, G=sim.G)
+    np.savez_compressed(
+        path,
+        pos_mass=pos_mass,
+        vel=vel,
+        accel=accel,
+        step=np.int64(sim.step_count),
+        config_json=np.bytes_(config.to_json().encode()),
+        camera_json=np.bytes_(json.dumps(camera.to_dict()).encode()),
+    )
+
+
+def load_npz(path: str, config: SimConfig | None = None, *, mesh=None, platform=None):
+    from nbody3d_tpu.engine import Simulation
+
+    with np.load(path) as z:
+        pos_mass = z["pos_mass"]
+        vel = z["vel"]
+        accel = z["accel"]
+        step = int(z["step"])
+        saved_config = SimConfig.from_json(bytes(z["config_json"]).decode())
+        camera = Camera.from_dict(json.loads(bytes(z["camera_json"]).decode()))
+    if config is None:
+        config = saved_config
+    sim = Simulation(
+        config,
+        pos_mass,
+        vel,
+        accel,
+        step=step,
+        camera_target=camera.target,
+        mesh=mesh,
+        platform=platform,
+    )
+    sim.dt = config.dt
+    sim.G = config.G
+    return sim

@@ -1,0 +1,96 @@
+"""CLI smoke tests (in-process, CPU platform via conftest)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from nbody3d_tpu.cli import main
+
+
+def run_cli(args):
+    return main(args)
+
+
+def test_info(capsys):
+    assert run_cli(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["platform"] == "cpu"
+    assert out["n_devices"] == 8
+
+
+def test_bench_json_line(capsys):
+    rc = run_cli([
+        "bench", "--preset", "uniform-sphere", "--n", "128",
+        "--steps", "4", "--warmup-steps", "1", "--chunk", "2",
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_bodies"] == 128
+    assert out["steps_per_s"] > 0
+    assert out["gints_per_s"] > 0
+
+
+def test_run_with_checkpoint_and_render(tmp_path, capsys):
+    outdir = tmp_path / "out"
+    rc = run_cli([
+        "run", "--preset", "uniform-sphere", "--n", "64", "--steps", "4",
+        "--log-every", "2", "--checkpoint-every", "2", "--render-every", "2",
+        "--diagnostics", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    assert rc == 0
+    files = {p.name for p in outdir.iterdir()}
+    assert "final.npz" in files
+    assert any(f.startswith("ckpt_") for f in files)
+    assert any(f.startswith("frame_") and f.endswith(".png") for f in files)
+    text = capsys.readouterr().out
+    assert "step=4" in text
+    assert "E=" in text
+
+
+def test_convert_roundtrip(tmp_path, capsys):
+    outdir = tmp_path / "out"
+    run_cli([
+        "run", "--preset", "uniform-sphere", "--n", "32", "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    npz = outdir / "final.npz"
+    js = outdir / "conv.json"
+    npz2 = outdir / "back.npz"
+    assert run_cli(["convert", str(npz), str(js), "--backend", "jnp"]) == 0
+    assert run_cli(["convert", str(js), str(npz2), "--backend", "jnp"]) == 0
+    a = np.load(npz)["pos_mass"]
+    b = np.load(npz2)["pos_mass"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_render_command(tmp_path, capsys):
+    outdir = tmp_path / "out"
+    run_cli([
+        "run", "--preset", "uniform-sphere", "--n", "32", "--steps", "1",
+        "--log-every", "1", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    png = tmp_path / "frame.png"
+    rc = run_cli([
+        "render", str(outdir / "final.npz"), "-o", str(png),
+        "--width", "64", "--height", "48", "--backend", "jnp",
+    ])
+    assert rc == 0
+    from PIL import Image
+
+    img = np.asarray(Image.open(png))
+    assert img.shape == (48, 64, 3)
+
+
+def test_log_slider_semantics(capsys):
+    """--log-dt/-G: dt = 10**v (util.js:38-54)."""
+    rc = run_cli([
+        "bench", "--preset", "uniform-sphere", "--n", "32", "--steps", "2",
+        "--warmup-steps", "1", "--chunk", "2", "--log-dt", "-4", "--log-G", "-4",
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    assert rc == 0

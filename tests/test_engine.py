@@ -1,0 +1,102 @@
+"""Engine tests: padding, run loop, pause semantics, presets, stats."""
+
+import numpy as np
+import pytest
+
+from nbody3d_tpu.config import SimConfig
+from nbody3d_tpu.engine import Simulation
+from nbody3d_tpu.models.sphere import uniform_sphere
+from nbody3d_tpu.state import pad_count
+
+
+def make_sim(n=100, **cfg_kw):
+    cfg = SimConfig(backend="jnp", block_target=32, block_source=64, **cfg_kw)
+    pm, vel, target = uniform_sphere(n, rng=np.random.default_rng(0))
+    return Simulation(cfg, pm, vel, camera_target=target, platform="cpu")
+
+
+def test_pad_count():
+    assert pad_count(100, 64) == 128
+    assert pad_count(128, 64) == 128
+    assert pad_count(1, 256) == 256
+    with pytest.raises(ValueError):
+        pad_count(10, 0)
+
+
+def test_engine_pads_to_block_lcm():
+    sim = make_sim(100)
+    assert sim.n_real == 100
+    assert sim.n_pad == 128  # lcm(32, 64) = 64 -> 128
+    assert sim.state.pos_mass.shape == (128, 4)
+
+
+def test_run_advances_steps_and_stats():
+    sim = make_sim(64)
+    sim.run(10, chunk=5)
+    assert sim.step_count == 10
+    assert sim.stats.total_steps == 10
+    assert sim.stats.steps_per_s > 0
+    assert sim.pair_interactions_per_step == 64 * 64 - 64
+    line = next(iter(sim.log_lines()))
+    assert "step=10" in line
+
+
+def test_pause_skips_stepping():
+    """Pause = dt<->0 swap (util.js:56-64); no steps run, lagged accel
+    untouched (the reference skips the whole compute pass)."""
+    sim = make_sim(64)
+    sim.step(2)
+    a_before = sim.arrays()[2]
+    sim.toggle_pause()
+    assert sim.paused and sim.dt == 0.0
+    sim.run(5)
+    assert sim.step_count == 2
+    np.testing.assert_array_equal(sim.arrays()[2], a_before)
+    sim.toggle_pause()
+    assert not sim.paused and sim.dt == sim.config.dt
+    sim.run(1)
+    assert sim.step_count == 3
+
+
+def test_from_preset():
+    sim = Simulation.from_preset(
+        "uniform-sphere",
+        SimConfig(backend="jnp", block_target=32, block_source=32),
+        n=64,
+        platform="cpu",
+    )
+    assert sim.n_real == 64
+    sim.step(1)
+    assert sim.step_count == 1
+
+
+def test_diagnostics_smoke():
+    sim = make_sim(64)
+    d = sim.diagnostics()
+    assert np.isfinite(float(d.total_energy))
+    assert float(d.kinetic) == 0.0  # cold sphere
+    assert float(d.potential) < 0.0
+
+
+def test_render_frame_smoke():
+    sim = make_sim(64)
+    img = sim.render_frame(width=64, height=48)
+    assert img.shape == (48, 64, 3)
+    assert img.dtype == np.uint8
+
+
+def test_live_param_change_no_error():
+    """dt/G are runtime scalars: changing them between runs must not break
+    (and must not recompile — smoke-level check here)."""
+    sim = make_sim(64)
+    sim.step(1)
+    sim.dt = 5e-4
+    sim.G = 2e-4
+    sim.step(1)
+    assert sim.step_count == 2
+
+
+def test_euler_integrator_engine():
+    sim = make_sim(64, integrator="euler")
+    sim.step(2)
+    assert sim.step_count == 2

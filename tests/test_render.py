@@ -1,0 +1,107 @@
+"""Renderer tests: projection, sizing, colormap, depth, golden hash
+(SURVEY §4.6)."""
+
+import hashlib
+
+import numpy as np
+
+from nbody3d_tpu.render.colormap import velocity_colormap
+from nbody3d_tpu.render.rasterize import project_points, render_points
+from nbody3d_tpu.utils.camera import Camera
+
+
+def centered_camera(radius=5.0):
+    return Camera(target=np.zeros(3), radius=radius)
+
+
+def test_colormap_reference_formula():
+    """(v, 1-|v-0.5|, 1-v) at |vel|/40 (nbody3d.js:371-380)."""
+    np.testing.assert_allclose(velocity_colormap(0.0), [0.0, 0.5, 1.0])
+    np.testing.assert_allclose(velocity_colormap(20.0), [0.5, 1.0, 0.5])
+    np.testing.assert_allclose(velocity_colormap(40.0), [1.0, 0.5, 0.0])
+    np.testing.assert_allclose(velocity_colormap(80.0), [1.0, 0.0, 0.0])  # clamped
+
+
+def test_project_center_body():
+    cam = centered_camera()
+    px, py, depth, w = project_points(np.zeros((1, 3)), cam, 640, 480)
+    assert np.isclose(px[0], 320.0)
+    assert np.isclose(py[0], 240.0)
+    assert 0.0 < depth[0] < 1.0
+    assert np.isclose(w[0], 5.0)  # view-space distance
+
+
+def test_single_body_renders_centered_disc():
+    cam = centered_camera()
+    pos_mass = np.array([[0, 0, 0, 1e6]], np.float32)
+    vel = np.zeros((1, 4), np.float32)
+    img = render_points(pos_mass, vel, cam, width=256, height=256, size_factor=1000.0)
+    # center pixel colored with colormap(0) = (0, .5, 1) -> (0, 127, 255)
+    center = img[128, 128]
+    assert center[2] == 255 and center[1] in (127, 128) and center[0] == 0
+    # corners are background
+    assert tuple(img[0, 0]) == (0, 0, 0)
+    # mass 1e6 -> world radius ~62/1000 -> ~2.75 px at this resolution:
+    # a proper disc, not a single pixel
+    lit = (img.sum(axis=2) > 0).sum()
+    assert lit > 4
+
+
+def test_depth_test_closer_wins():
+    cam = centered_camera()
+    # Two coincident-in-screen bodies at different depths with different
+    # speeds (=> colors); the closer (z = +1 toward camera at (0,0,5)).
+    pos_mass = np.array([[0, 0, 1.0, 1e6], [0, 0, -1.0, 1e6]], np.float32)
+    vel = np.array([[40.0, 0, 0, 0], [0.0, 0, 0, 0]], np.float32)  # near: red-ish
+    img = render_points(pos_mass, vel, cam, width=64, height=64, size_factor=1000.0)
+    center = img[32, 32]
+    # near body color = colormap(1) = (1, .5, 0)
+    assert center[0] == 255 and center[2] == 0
+
+
+def test_behind_camera_culled():
+    cam = centered_camera()
+    pos_mass = np.array([[0, 0, 100.0, 1e6]], np.float32)  # behind eye at z=5
+    vel = np.zeros((1, 4), np.float32)
+    img = render_points(pos_mass, vel, cam, width=32, height=32, size_factor=1000.0)
+    assert img.sum() == 0
+
+
+def test_min_size_clamp_keeps_far_bodies_visible():
+    """2*dist/f minimum (nbody3d.js:358): a tiny-mass far body still lights
+    at least one pixel."""
+    cam = centered_camera(radius=50.0)
+    pos_mass = np.array([[0, 0, 0, 1.0]], np.float32)
+    vel = np.zeros((1, 4), np.float32)
+    img = render_points(pos_mass, vel, cam, width=64, height=64, size_factor=1000.0)
+    assert (img.sum(axis=2) > 0).sum() >= 1
+
+
+def test_golden_hash_stable():
+    """Determinism lock: fixed small scene hashes identically across runs."""
+    rng = np.random.default_rng(42)
+    n = 200
+    pos_mass = np.concatenate(
+        [rng.normal(scale=2.0, size=(n, 3)), rng.uniform(10, 50, (n, 1))], axis=1
+    ).astype(np.float32)
+    vel = np.concatenate(
+        [rng.normal(scale=15.0, size=(n, 3)), np.zeros((n, 1))], axis=1
+    ).astype(np.float32)
+    cam = centered_camera()
+    img1 = render_points(pos_mass, vel, cam, width=128, height=96, size_factor=1000.0)
+    img2 = render_points(pos_mass, vel, cam, width=128, height=96, size_factor=1000.0)
+    assert hashlib.sha256(img1.tobytes()).hexdigest() == hashlib.sha256(img2.tobytes()).hexdigest()
+    assert (img1.sum(axis=2) > 0).sum() > 50  # plenty of bodies visible
+
+
+def test_save_png(tmp_path):
+    from nbody3d_tpu.render.image import save_png
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[2, 3] = [255, 10, 20]
+    path = tmp_path / "f.png"
+    save_png(str(path), img)
+    from PIL import Image
+
+    back = np.asarray(Image.open(path))
+    np.testing.assert_array_equal(back, img)

@@ -13,8 +13,13 @@ on TPU.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# Persistent compilation cache: kernel compiles go through a remote service
+# here and can take minutes; cache them across processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 BASELINE_GINTS = 300.0  # BASELINE.json north_star, G pairwise interactions/s
 
@@ -22,21 +27,32 @@ BASELINE_GINTS = 300.0  # BASELINE.json north_star, G pairwise interactions/s
 def main() -> int:
     import jax
 
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from nbody3d_tpu.config import SimConfig
     from nbody3d_tpu.engine import Simulation
 
     platform = jax.default_backend()
+    import os
+
+    mode = os.environ.get("NBODY_BENCH_MODE", "exact")
     if platform == "tpu":
         n = 262144
-        steps, warmup, chunk = 20, 4, 10
-        config = SimConfig(backend="pallas", block_target=256, block_source=512)
+        steps, warmup, chunk = 20, 10, 10
+        config = SimConfig(backend="pallas", force_mode=mode)
     else:
         n = 4096
-        steps, warmup, chunk = 6, 2, 3
-        config = SimConfig(backend="jnp", block_target=256, block_source=512)
+        steps, warmup, chunk = 6, 3, 3
+        config = SimConfig(backend="jnp")
 
     sim = Simulation.from_preset("uniform-sphere", config, n=n)
-    sim.run(warmup, chunk=warmup)  # compile + warm
+    # Warm with the SAME chunk length as the timed run — the scan is
+    # compiled per static chunk length, and a cache miss inside the timed
+    # region would pollute the measurement.
+    sim.run(chunk, chunk=chunk)
     t0 = time.perf_counter()
     sim.run(steps, chunk=chunk)
     elapsed = time.perf_counter() - t0
@@ -55,6 +71,7 @@ def main() -> int:
             "steps_per_s": round(steps_per_s, 4),
             "platform": platform,
             "backend": config.backend,
+            "force_mode": config.force_mode,
             "block_target": config.block_target,
             "block_source": config.block_source,
         },

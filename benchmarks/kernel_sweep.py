@@ -1,0 +1,247 @@
+"""Kernel optimization sweep: time force-kernel variants on the real chip.
+
+Methodology: each variant runs K steps inside one jitted lax.scan (no
+per-call overhead), synced by device_get of an output scalar (the relay's
+block_until_ready is a no-op — see .claude/skills/verify/SKILL.md).
+
+Usage: python benchmarks/kernel_sweep.py [N] [K]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS2 = 1e-4
+
+
+def make_variant(
+    n,
+    bt,
+    bs,
+    *,
+    mask: bool = True,
+    accum: str = "scratch",  # scratch | reduce_per_j | mxu | probe_minimal
+    rsqrt_mode: str = "d6",  # d6: rsqrt(d2^3) | split: rsqrt(d2)^3
+    precision=None,
+    vmem_limit: int | None = None,
+):
+    """Returns step(pos_mass, srcT) -> accel as a pallas_call."""
+    nt, ns = n // bt, n // bs
+
+    def kernel(srcT_ref, src4_ref, tgt_ref, out_ref, *scratch):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        tgt = tgt_ref[...]
+        tx = tgt[:, 0:1]
+        ty = tgt[:, 1:2]
+        tz = tgt[:, 2:3]
+        sx = srcT_ref[0:1, :]
+        sy = srcT_ref[1:2, :]
+        sz = srcT_ref[2:3, :]
+        gm = srcT_ref[3:4, :]
+        if accum == "probe_minimal":
+            # Floor probe: no physics, just 3 subs + per-j reduce.
+            part = jnp.concatenate(
+                [
+                    jnp.sum(sx - tx, axis=1, keepdims=True),
+                    jnp.sum(sy - ty, axis=1, keepdims=True),
+                    jnp.sum(sz - tz, axis=1, keepdims=True),
+                    jnp.zeros((bt, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+
+            @pl.when(j == 0)
+            def _():
+                out_ref[...] = part
+
+            @pl.when(j > 0)
+            def _():
+                out_ref[...] += part
+
+            return
+
+        dx = sx - tx
+        dy = sy - ty
+        dz = sz - tz
+        d2 = dx * dx + dy * dy + dz * dz + EPS2
+        if rsqrt_mode == "d6":
+            inv3 = lax.rsqrt(d2 * d2 * d2)
+        else:
+            r = lax.rsqrt(d2)
+            inv3 = r * r * r
+        w = gm * inv3
+        if mask:
+            rows = lax.broadcasted_iota(jnp.int32, (bt, bs), 0) + i * bt
+            cols = lax.broadcasted_iota(jnp.int32, (bt, bs), 1) + j * bs
+            w = jnp.where(rows == cols, 0.0, w)
+
+        if accum == "scratch":
+            accx, accy, accz = scratch
+            for acc_ref, d in ((accx, dx), (accy, dy), (accz, dz)):
+                c = w * d
+
+                @pl.when(j == 0)
+                def _():
+                    acc_ref[...] = c
+
+                @pl.when(j > 0)
+                def _():
+                    acc_ref[...] += c
+
+            @pl.when(j == ns - 1)
+            def _():
+                out_ref[...] = jnp.concatenate(
+                    [
+                        jnp.sum(accx[...], axis=1, keepdims=True),
+                        jnp.sum(accy[...], axis=1, keepdims=True),
+                        jnp.sum(accz[...], axis=1, keepdims=True),
+                        jnp.zeros((bt, 1), jnp.float32),
+                    ],
+                    axis=1,
+                )
+
+        elif accum == "reduce_per_j":
+            part = jnp.concatenate(
+                [
+                    jnp.sum(w * dx, axis=1, keepdims=True),
+                    jnp.sum(w * dy, axis=1, keepdims=True),
+                    jnp.sum(w * dz, axis=1, keepdims=True),
+                    jnp.zeros((bt, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+
+            @pl.when(j == 0)
+            def _():
+                out_ref[...] = part
+
+            @pl.when(j > 0)
+            def _():
+                out_ref[...] += part
+
+        elif accum == "mxu":
+            (acc4,) = scratch
+            # src4 input: (bs, 4) columns [x, y, z, 1]
+            part = jnp.dot(
+                w, src4_ref[...], preferred_element_type=jnp.float32, precision=precision
+            )
+
+            @pl.when(j == 0)
+            def _():
+                acc4[...] = part
+
+            @pl.when(j > 0)
+            def _():
+                acc4[...] += part
+
+            @pl.when(j == ns - 1)
+            def _():
+                a = acc4[...]
+                # t4 = [tx, ty, tz, 1] built via lane-index select (no
+                # captured array constants — Mosaic rejects those)
+                lane = lax.broadcasted_iota(jnp.int32, (bt, 4), 1)
+                t4 = jnp.where(lane == 3, 1.0, tgt)
+                out_ref[...] = a - t4 * a[:, 3:4]
+
+    if accum == "scratch":
+        scratch_shapes = [pltpu.VMEM((bt, bs), jnp.float32)] * 3
+    elif accum == "mxu":
+        scratch_shapes = [pltpu.VMEM((bt, 4), jnp.float32)]
+    else:
+        scratch_shapes = []
+
+    cp_kw = dict(dimension_semantics=("parallel", "arbitrary"))
+    if vmem_limit is not None:
+        cp_kw["vmem_limit_bytes"] = vmem_limit
+    call = pl.pallas_call(
+        kernel,
+        grid=(nt, ns),
+        in_specs=[
+            pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(**cp_kw),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n * n, bytes_accessed=nt * n * 16, transcendentals=n * n
+        ),
+    )
+    return call
+
+
+def time_variant(name, n, k, make):
+    try:
+        call = make()
+
+        @functools.partial(jax.jit, static_argnames=())
+        def run(pos_mass, srcT, src4):
+            def body(c, _):
+                acc = call(srcT, src4, c)
+                # fold accel back into carry so scan can't elide or hoist
+                # steps (tiny but non-zero coefficient — x*0 could fold)
+                return c + acc * 1e-30, None
+
+            out, _ = lax.scan(body, pos_mass, None, length=k)
+            return out
+
+        rng = np.random.default_rng(0)
+        pm = np.concatenate(
+            [rng.normal(scale=3, size=(n, 3)), rng.uniform(1, 50, size=(n, 1))], axis=1
+        ).astype(np.float32)
+        pos = jnp.asarray(pm)
+        srcT = jnp.concatenate([pos[:, :3].T, (1e-4 * pos[:, 3])[None, :]], axis=0)
+        src4 = jnp.concatenate([pos[:, :3], jnp.ones((n, 1), jnp.float32)], axis=1)
+        out = run(pos, srcT, src4)
+        jax.device_get(out[0, 0])  # warm + sync
+        t0 = time.perf_counter()
+        out = run(pos, srcT, src4)
+        jax.device_get(out[0, 0])
+        el = time.perf_counter() - t0
+        per_step = el / k
+        gints = n * n / per_step / 1e9
+        print(f"{name:50s} {per_step*1e3:8.2f} ms/step {gints:8.1f} G-int/s")
+        return gints
+    except Exception as e:
+        print(f"{name:50s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+        return 0.0
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    print(f"N={n} K={k} platform={jax.default_backend()}")
+
+    P = jax.lax.Precision
+    V = 100 * 1024 * 1024  # let Mosaic use what it needs; it still checks fit
+    variants = [
+        ("rpj bt512 bs1024", dict(bt=512, bs=1024, accum="reduce_per_j", mask=False)),
+        ("rpj bt512 bs2048", dict(bt=512, bs=2048, accum="reduce_per_j", mask=False, vmem_limit=V)),
+        ("rpj bt1024 bs1024", dict(bt=1024, bs=1024, accum="reduce_per_j", mask=False, vmem_limit=V)),
+        ("rpj bt1024 bs2048", dict(bt=1024, bs=2048, accum="reduce_per_j", mask=False, vmem_limit=V)),
+        ("rpj bt2048 bs1024", dict(bt=2048, bs=1024, accum="reduce_per_j", mask=False, vmem_limit=V)),
+        ("rpj bt256 bs4096", dict(bt=256, bs=4096, accum="reduce_per_j", mask=False, vmem_limit=V)),
+        ("probe_minimal bt512 bs1024", dict(bt=512, bs=1024, accum="probe_minimal", mask=False)),
+        ("probe_minimal bt1024 bs2048", dict(bt=1024, bs=2048, accum="probe_minimal", mask=False, vmem_limit=V)),
+        ("mxu HIGHEST bt512 bs1024", dict(bt=512, bs=1024, accum="mxu", mask=False, precision=P.HIGHEST, vmem_limit=V)),
+        ("mxu DEFAULT bt512 bs1024", dict(bt=512, bs=1024, accum="mxu", mask=False, precision=P.DEFAULT, vmem_limit=V)),
+        ("mxu HIGHEST bt1024 bs2048", dict(bt=1024, bs=2048, accum="mxu", mask=False, precision=P.HIGHEST, vmem_limit=V)),
+    ]
+    for name, kw in variants:
+        time_variant(name, n, k, lambda kw=kw: make_variant(n, **kw))
+
+
+if __name__ == "__main__":
+    main()

@@ -132,8 +132,9 @@ def cmd_bench(args) -> int:
     from nbody3d_tpu.engine import Simulation
 
     sim = Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh)
-    # Warmup (compile) then timed chunks.
-    sim.run(args.warmup_steps, chunk=args.warmup_steps)
+    # Warmup must use the SAME chunk length as the timed run (scan compiles
+    # per static chunk length).
+    sim.run(max(args.warmup_steps, args.chunk), chunk=args.chunk)
     t0 = time.perf_counter()
     sim.run(args.steps, chunk=args.chunk)
     elapsed = time.perf_counter() - t0

@@ -59,10 +59,16 @@ class SimConfig:
 
     # Kernel selection / shape.
     backend: str = "auto"  # "auto" | "pallas" | "jnp"
-    block_target: int = 256  # target-body rows per Pallas grid step
-    block_source: int = 512  # source-body lanes per streamed tile
-    use_mxu: bool = True  # accumulate weighted sources on the MXU (W @ S4)
-    fuse_integrate: bool = True  # fuse Verlet into the force kernel
+    block_target: int = 1024  # target-body rows per Pallas grid step (max)
+    block_source: int = 2048  # source-body lanes per streamed tile (max)
+    force_mode: str = "exact"  # "exact" (VPU f32) | "fast" (MXU bf16 weights)
+    # Fusing Verlet into the force kernel is the reference's design
+    # (nbody3d.js:274-290) but loses on TPU: the multi-output revisited
+    # epilogue halves kernel throughput (727 vs 365 ms/step at N=256k on
+    # v5e) while fusion saves only ~0.1 ms of O(N) HBM traffic — the
+    # all-pairs kernel is compute-bound, not bandwidth-bound.  Kept as an
+    # option; default off.
+    fuse_integrate: bool = False
 
     # Multi-chip.
     mesh_axis: str = "x"

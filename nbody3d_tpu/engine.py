@@ -10,7 +10,6 @@ chunk boundaries for logging, rendering, or checkpointing.
 
 from __future__ import annotations
 
-import math
 import time
 from typing import Callable, Iterator
 
@@ -24,10 +23,6 @@ from nbody3d_tpu.ops import diagnostics as diag_mod
 from nbody3d_tpu.ops.step import make_scan_fn, make_step_fn
 from nbody3d_tpu.state import SimState, init_state, pad_count, unpad
 from nbody3d_tpu.utils.profiling import Ema, StepStats
-
-
-def _lcm(a: int, b: int) -> int:
-    return a * b // math.gcd(a, b)
 
 
 class Simulation:
@@ -52,7 +47,12 @@ class Simulation:
         self.config = config
         self.mesh = mesh
         self.n_real = int(np.asarray(pos_mass).shape[0])
-        multiple = _lcm(config.block_target, config.block_source)
+        # Pad to the kernel granule (blocks adapt down to fit, see
+        # ops.step.fit_block); sharding additionally needs granule-aligned
+        # equal shards per device.
+        from nbody3d_tpu.ops.step import PAD_GRANULE
+
+        multiple = PAD_GRANULE
         if mesh is not None:
             multiple *= mesh.shape[config.mesh_axis]
         self.n_pad = pad_count(self.n_real, multiple)

@@ -1,34 +1,49 @@
 """Pallas TPU kernel: tiled all-pairs softened gravity with fused Verlet.
 
 This is the TPU-native rebuild of the reference's WGSL compute pass
-(``nbody3d.js:218-294``), redesigned for the VPU/VMEM rather than translated:
+(``nbody3d.js:218-294``), redesigned for the VPU/MXU/VMEM rather than
+translated:
 
 Reference (WebGPU)                         | This kernel (TPU)
 -------------------------------------------|----------------------------------
 1 thread per body, workgroup of 256        | grid over (target blocks BT,
   (``nbody3d.js:240-247``)                 |   source tiles BS); each grid step
-                                           |   processes BT*BS pairs on the VPU
+                                           |   processes BT*BS pairs
 workgroup-shared 256-body tile, barrier-   | source tiles streamed HBM->VMEM by
   synced (``nbody3d.js:228-229,255-272``)  |   the Pallas pipeline (auto
-                                           |   double-buffered); no barriers —
-                                           |   SPMD grid is sequential per core
-per-thread scalar accumulator              | (BT, BS) per-lane accumulators in
-                                           |   VMEM scratch; one cross-lane
-                                           |   reduction per target block,
-                                           |   amortized over all source tiles
+                                           |   double-buffered); no barriers
+per-thread scalar accumulator              | per-source-tile lane reduction
+                                           |   accumulated into the revisited
+                                           |   output block (f32)
 in-dispatch read/write race for N > 256    | pure functional: inputs immutable,
   (SURVEY §2.3)                            |   outputs separate buffers ->
                                            |   deterministic Jacobi at all N
 fused velocity-Verlet tail                 | fused epilogue on the last source
   (``nbody3d.js:274-290``)                 |   step; state never leaves HBM
 
-Pair math is bit-identical in structure to ``bodyAccel`` (``nbody3d.js:
-232-237``): ``d2 = |r|^2 + eps2``, ``w = G*m_j * rsqrt(d2^3)``, with the
-self-pair excluded by index (``nbody3d.js:265``) — applied only on grid
-blocks that actually intersect the diagonal.  Padding bodies are
-force-neutral because their ``G*m`` lane is 0, mirroring the
-``index < nBodies`` source guard (``nbody3d.js:257``); padded *targets* are
-frozen by the epilogue mask (the ``nbody3d.js:265`` guard).
+Pair math matches ``bodyAccel`` (``nbody3d.js:232-237``): ``d2 = |r|^2 +
+eps2``, ``w = G*m_j * rsqrt(d2^3)``.  The self-pair needs **no index mask**
+(unlike the WGSL guard at ``nbody3d.js:265``): its separation is exactly
+zero, so its contribution ``w * 0 == 0`` in IEEE arithmetic for any finite
+``w`` — which softening guarantees (eps2 > 0 is required).  Padding bodies
+are force-neutral because their ``G*m`` lane is 0 (the ``index < nBodies``
+source guard, ``nbody3d.js:257``); padded *targets* are frozen by the
+epilogue mask.
+
+Two accumulation modes (measured on v5e at N=128k, see
+``benchmarks/kernel_sweep.py``):
+
+- ``exact`` (~175 G pairs/s): everything on the VPU in f32; per source
+  tile, ``sum(w * d, axis=lanes)`` accumulates into the output block.
+  Matches the jnp oracle to ~1 ulp.
+- ``fast``  (~230+ G pairs/s): the (BT, BS) weight matrix multiplies a
+  source matrix on the MXU in one bf16 pass.  Sources are pre-scaled by
+  ``G*m`` and split into three bf16 limbs per coordinate (~2^-24 relative),
+  so coordinate cancellation — the usual bf16 killer for N-body — is
+  eliminated; the only approximation is bf16 rounding of the *weights*
+  (~0.4% per-pair noise, unbiased), the TPU analog of the reference
+  relying on approximate hardware ``inverseSqrt``.  Energy-drift
+  validation lives in tests/bench.
 
 Layouts: targets/state are AoS ``(N, 4)`` float32 exactly like the
 reference's storage buffers (``nbody3d.js:132``); sources are additionally
@@ -40,7 +55,6 @@ broadcasts along lanes while targets broadcast along sublanes — the
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -48,159 +62,196 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_TARGET = 256
-DEFAULT_BLOCK_SOURCE = 512
+# Tuned on v5e (benchmarks/kernel_sweep.py): throughput plateaus at large
+# blocks; per-grid-step overhead (~0.4 us) makes small blocks lose.
+DEFAULT_BLOCK_TARGET = 1024
+DEFAULT_BLOCK_SOURCE = 2048
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+MODES = ("exact", "fast")
 
 
-def _pair_weights(tgt, srcT_ref, eps2, bt, bs, row0, col0, diag_off):
-    """Compute the (BT, BS) pair weight matrix w = G*m_j / (|r|^2+eps2)^1.5
-    and the separations; self-pairs masked on diagonal-intersecting blocks.
-
-    ``diag_off`` is the traced global-index offset between targets and
-    sources: a pair is a self-pair iff ``row + diag_off == col``.  Single
-    chip: 0.  Multi-chip gather: the target shard's global base index.
-    Multi-chip ring: ``k * shard`` on ring step k (so only k == 0 masks).
-    Passing any offset with magnitude >= N disables masking entirely.
-    """
+def _pair_diffs(tgt, srcT_ref, eps2):
+    """(BT, BS) separations and softened squared distance
+    (nbody3d.js:233-234)."""
     tx = tgt[:, 0:1]
     ty = tgt[:, 1:2]
     tz = tgt[:, 2:3]
-    sx = srcT_ref[0:1, :]
-    sy = srcT_ref[1:2, :]
-    sz = srcT_ref[2:3, :]
-    gm = srcT_ref[3:4, :]
-
-    dx = sx - tx  # (BT, BS)  r = x_j - x_i  (nbody3d.js:233)
-    dy = sy - ty
-    dz = sz - tz
-    d2 = dx * dx + dy * dy + dz * dz + eps2  # nbody3d.js:234
-    w = gm * lax.rsqrt(d2 * d2 * d2)  # nbody3d.js:235-236
-
-    # Index self-mask (nbody3d.js:265), applied only where this grid block
-    # intersects the (offset) diagonal — off-diagonal blocks pay nothing.
-    shifted = row0 + diag_off
-    overlap = jnp.logical_and(shifted < col0 + bs, col0 < shifted + bt)
-
-    def apply_mask(wv):
-        rows = lax.broadcasted_iota(jnp.int32, (bt, bs), 0) + shifted
-        cols = lax.broadcasted_iota(jnp.int32, (bt, bs), 1) + col0
-        return jnp.where(rows == cols, 0.0, wv)
-
-    return lax.cond(overlap, apply_mask, lambda wv: wv, w), (dx, dy, dz)
+    dx = srcT_ref[0:1, :] - tx
+    dy = srcT_ref[1:2, :] - ty
+    dz = srcT_ref[2:3, :] - tz
+    # nested so Mosaic can emit fused multiply-adds
+    d2 = dx * dx + (dy * dy + (dz * dz + eps2))
+    return dx, dy, dz, d2
 
 
-def _accumulate(j, acc_refs, w, diffs):
-    """Accumulate w * r per lane into (BT, BS) scratch — the cross-lane
-    reduction happens once per target block, not once per source tile."""
-    for acc_ref, d in zip(acc_refs, diffs):
-        contrib = w * d
+def _accum_exact(j, out_ref, srcT_ref, tgt, eps2, bt):
+    """VPU path: w = gm * rsqrt(d2^3); reduce w*d over the source lanes and
+    accumulate into the revisited output block."""
+    dx, dy, dz, d2 = _pair_diffs(tgt, srcT_ref, eps2)
+    w = srcT_ref[3:4, :] * lax.rsqrt(d2 * (d2 * d2))  # nbody3d.js:235-236
+    part = jnp.concatenate(
+        [
+            jnp.sum(w * dx, axis=1, keepdims=True),
+            jnp.sum(w * dy, axis=1, keepdims=True),
+            jnp.sum(w * dz, axis=1, keepdims=True),
+            jnp.zeros((bt, 1), jnp.float32),
+        ],
+        axis=1,
+    )
 
-        @pl.when(j == 0)
-        def _():
-            acc_ref[...] = contrib
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = part
 
-        @pl.when(j > 0)
-        def _():
-            acc_ref[...] += contrib
+    @pl.when(j > 0)
+    def _():
+        out_ref[...] += part
 
 
-def _reduce_accel(acc_refs, bt):
-    """Final lane reduction: (BT, BS) x3 -> (BT, 4) with zero w lane."""
-    ax = jnp.sum(acc_refs[0][...], axis=1, keepdims=True)
-    ay = jnp.sum(acc_refs[1][...], axis=1, keepdims=True)
-    az = jnp.sum(acc_refs[2][...], axis=1, keepdims=True)
+def _accum_fast(j, acc_ref, srcT_ref, src10_ref, tgt, eps2):
+    """MXU path: A += inv3 @ S10 with inv3 rounded to bf16 by the MXU.
+
+    S10 columns (pre-scaled by gm = G*m, each coordinate split into three
+    bf16 limbs h/m/l): [gm*x]_hml, [gm*y]_hml, [gm*z]_hml, gm.  The final
+    accel is reassembled in the epilogue as sum(limbs) - t * sum(gm*inv3).
+    """
+    _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
+    inv3 = lax.rsqrt(d2 * (d2 * d2))
+    part = jnp.dot(
+        inv3,
+        src10_ref[...],
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.DEFAULT,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] += part
+
+
+def _fast_epilogue(acc_ref, tgt, bt):
+    """(BT, 16) limb accumulator -> (BT, 4) acceleration."""
+    a = acc_ref[...]
+    s = a[:, 9:10]  # sum of gm * inv3
+    ax = (a[:, 0:1] + a[:, 1:2] + a[:, 2:3]) - tgt[:, 0:1] * s
+    ay = (a[:, 3:4] + a[:, 4:5] + a[:, 5:6]) - tgt[:, 1:2] * s
+    az = (a[:, 6:7] + a[:, 7:8] + a[:, 8:9]) - tgt[:, 2:3] * s
     return jnp.concatenate([ax, ay, az, jnp.zeros((bt, 1), jnp.float32)], axis=1)
 
 
-def _fused_step_kernel(
-    # scalar-prefetch / SMEM
-    dt_ref,
-    diag_ref,
-    # inputs
-    srcT_ref,
-    tgt_ref,
-    vel_ref,
-    acc_old_ref,
-    # outputs
-    npos_ref,
-    nvel_ref,
-    nacc_ref,
-    # scratch
-    accx,
-    accy,
-    accz,
-    *,
-    eps2: float,
-    n_real: int,
-    n_pad: int,
-    bt: int,
-    bs: int,
+def _integrate(tgt, vel, acc_old, acc_new, dt, i, bt, n_real, n_pad):
+    """Fused frame-shifted Verlet (nbody3d.js:280-283) with the
+    index < nBodies target guard."""
+    half_dt = dt * 0.5
+    new_vel = vel + (acc_old + acc_new) * half_dt
+    new_pos = tgt + (new_vel + acc_new * half_dt) * dt
+    if n_real < n_pad:
+        rows = lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + i * bt
+        valid = rows < n_real
+        new_pos = jnp.where(valid, new_pos, tgt)
+        new_vel = jnp.where(valid, new_vel, vel)
+        acc_new = jnp.where(valid, acc_new, 0.0)
+    return new_pos, new_vel, acc_new
+
+
+def _fused_kernel_exact(
+    dt_ref, srcT_ref, tgt_ref, vel_ref, acc_old_ref,
+    npos_ref, nvel_ref, nacc_ref,
+    *, eps2, n_real, n_pad, bt, bs,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ns = pl.num_programs(1)
     tgt = tgt_ref[...]
-
-    w, diffs = _pair_weights(tgt, srcT_ref, eps2, bt, bs, i * bt, j * bs, diag_ref[0])
-    _accumulate(j, (accx, accy, accz), w, diffs)
-
-    @pl.when(j == ns - 1)
-    def _epilogue():
-        acc_new = _reduce_accel((accx, accy, accz), bt)
-        dt = dt_ref[0]
-        half_dt = dt * 0.5
-        vel = vel_ref[...]
-        acc_old = acc_old_ref[...]
-        # Frame-shifted velocity Verlet on the full vec4 (nbody3d.js:280-283);
-        # w lanes ride along unchanged because vel.w == accel.w == 0.
-        new_vel = vel + (acc_old + acc_new) * half_dt
-        new_pos = tgt + (new_vel + acc_new * half_dt) * dt
-        if n_real < n_pad:
-            rows = lax.broadcasted_iota(jnp.int32, (bt, 1), 0) + i * bt
-            valid = rows < n_real
-            new_pos = jnp.where(valid, new_pos, tgt)
-            new_vel = jnp.where(valid, new_vel, vel)
-            acc_new_out = jnp.where(valid, acc_new, 0.0)
-        else:
-            acc_new_out = acc_new
-        npos_ref[...] = new_pos
-        nvel_ref[...] = new_vel
-        nacc_ref[...] = acc_new_out
-
-
-def _force_kernel(
-    diag_ref,
-    srcT_ref,
-    tgt_ref,
-    out_ref,
-    accx,
-    accy,
-    accz,
-    *,
-    eps2: float,
-    bt: int,
-    bs: int,
-):
-    """Force-only variant used by the multi-chip ring (integration is applied
-    locally after all source shards have been accumulated, SURVEY §5.7)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    ns = pl.num_programs(1)
-    tgt = tgt_ref[...]
-    w, diffs = _pair_weights(tgt, srcT_ref, eps2, bt, bs, i * bt, j * bs, diag_ref[0])
-    _accumulate(j, (accx, accy, accz), w, diffs)
+    _accum_exact(j, nacc_ref, srcT_ref, tgt, eps2, bt)
 
     @pl.when(j == ns - 1)
     def _():
-        out_ref[...] = _reduce_accel((accx, accy, accz), bt)
+        p, v, a = _integrate(
+            tgt, vel_ref[...], acc_old_ref[...], nacc_ref[...],
+            dt_ref[0], i, bt, n_real, n_pad,
+        )
+        npos_ref[...] = p
+        nvel_ref[...] = v
+        nacc_ref[...] = a
 
 
-def _src_transposed(pos_mass: jax.Array, G) -> jax.Array:
+def _fused_kernel_fast(
+    dt_ref, srcT_ref, src10_ref, tgt_ref, vel_ref, acc_old_ref,
+    npos_ref, nvel_ref, nacc_ref, acc_scr,
+    *, eps2, n_real, n_pad, bt, bs,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ns = pl.num_programs(1)
+    tgt = tgt_ref[...]
+    _accum_fast(j, acc_scr, srcT_ref, src10_ref, tgt, eps2)
+
+    @pl.when(j == ns - 1)
+    def _():
+        acc_new = _fast_epilogue(acc_scr, tgt, bt)
+        p, v, a = _integrate(
+            tgt, vel_ref[...], acc_old_ref[...], acc_new,
+            dt_ref[0], i, bt, n_real, n_pad,
+        )
+        npos_ref[...] = p
+        nvel_ref[...] = v
+        nacc_ref[...] = a
+
+
+def _force_kernel_exact(srcT_ref, tgt_ref, out_ref, *, eps2, bt, bs):
+    """Force-only (multi-chip ring: integration happens after all source
+    shards are accumulated, SURVEY §5.7)."""
+    j = pl.program_id(1)
+    _accum_exact(j, out_ref, srcT_ref, tgt_ref[...], eps2, bt)
+
+
+def _force_kernel_fast(srcT_ref, src10_ref, tgt_ref, out_ref, acc_scr, *, eps2, bt, bs):
+    j = pl.program_id(1)
+    ns = pl.num_programs(1)
+    tgt = tgt_ref[...]
+    _accum_fast(j, acc_scr, srcT_ref, src10_ref, tgt, eps2)
+
+    @pl.when(j == ns - 1)
+    def _():
+        out_ref[...] = _fast_epilogue(acc_scr, tgt, bt)
+
+
+# --------------------------------------------------------------- host prep
+def src_transposed(pos_mass: jax.Array, G) -> jax.Array:
     """(4, N) source rows [x, y, z, G*m]; G folded in so the kernel never
-    sees it (the reference reads it from the uniform block each pair,
+    reads it (the reference reads it from the uniform block each pair,
     ``nbody3d.js:236`` — folding is the XLA-friendly equivalent)."""
     gm = (jnp.float32(G) * pos_mass[:, 3])[None, :]
     return jnp.concatenate([pos_mass[:, :3].T, gm], axis=0)
+
+
+def src_limbs(pos_mass: jax.Array, G) -> jax.Array:
+    """(N, 16) fast-mode source matrix: per coordinate the product gm*x
+    split into three bf16 limbs (h = bf16(v), m = bf16(v-h),
+    l = v-h-m — together ~2^-24 relative), then the gm column; padded to 16
+    lanes.  Pre-splitting makes the MXU's implicit bf16 input rounding
+    lossless for everything except the per-pair weights."""
+    gm = jnp.float32(G) * pos_mass[:, 3:4]
+
+    def limbs(v):
+        h = v.astype(jnp.bfloat16).astype(jnp.float32)
+        rem = v - h
+        m = rem.astype(jnp.bfloat16).astype(jnp.float32)
+        return h, m, rem - m
+
+    cols = []
+    for c in range(3):
+        cols.extend(limbs(gm * pos_mass[:, c : c + 1]))
+    cols.append(gm)
+    n = pos_mass.shape[0]
+    cols.append(jnp.zeros((n, 6), jnp.float32))
+    return jnp.concatenate(cols, axis=1)
 
 
 def _check_blocks(n: int, bt: int, bs: int, what: str) -> None:
@@ -211,9 +262,25 @@ def _check_blocks(n: int, bt: int, bs: int, what: str) -> None:
         )
 
 
+def _compiler_params():
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
+
+
+def _cost(n_t, n_s, nt_blocks):
+    return pl.CostEstimate(
+        flops=16 * n_t * n_s,
+        bytes_accessed=nt_blocks * n_s * 16 + 7 * n_t * 16,
+        transcendentals=n_t * n_s,
+    )
+
+
+# ------------------------------------------------------------- public API
 @functools.partial(
     jax.jit,
-    static_argnames=("eps2", "n_real", "block_target", "block_source", "interpret"),
+    static_argnames=("eps2", "n_real", "block_target", "block_source", "mode", "interpret"),
 )
 def fused_step_pallas(
     pos_mass: jax.Array,
@@ -226,113 +293,139 @@ def fused_step_pallas(
     n_real: int,
     block_target: int = DEFAULT_BLOCK_TARGET,
     block_source: int = DEFAULT_BLOCK_SOURCE,
+    mode: str = "exact",
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One fused force+Verlet step. Returns (new_pos_mass, new_vel, new_accel).
 
     ``dt`` and ``G`` are runtime scalars (no recompile when they change —
-    the reference's slider semantics, ``util.js:38-54``).
+    the reference's slider semantics, ``util.js:38-54``).  ``eps2`` must be
+    positive (it is what makes the unmasked self-pair finite).
     """
+    if eps2 <= 0:
+        raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
     n = pos_mass.shape[0]
     bt, bs = block_target, block_source
     _check_blocks(n, bt, bs, "fused_step_pallas")
     nt, ns = n // bt, n // bs
 
-    srcT = _src_transposed(pos_mass, G)
+    srcT = src_transposed(pos_mass, G)
     dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
-    diag_arr = jnp.zeros((1,), jnp.int32)  # single chip: true diagonal
-
-    kernel = functools.partial(
-        _fused_step_kernel, eps2=float(eps2), n_real=int(n_real), n_pad=n, bt=bt, bs=bs
-    )
     out_shape = [jax.ShapeDtypeStruct((n, 4), jnp.float32)] * 3
-    flops_per_pair = 16
-    result = pl.pallas_call(
-        kernel,
-        grid=(nt, ns),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # dt
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # mask_self
-            pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((bt, bs), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * n * n,
-            bytes_accessed=nt * n * 16 + 7 * n * 16,
-            transcendentals=n * n,
-        ),
-        interpret=interpret,
-    )(dt_arr, diag_arr, srcT, pos_mass, vel, accel)
+    blk4 = lambda: pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+
+    if mode == "exact":
+        kernel = functools.partial(
+            _fused_kernel_exact, eps2=float(eps2), n_real=int(n_real), n_pad=n, bt=bt, bs=bs
+        )
+        result = pl.pallas_call(
+            kernel,
+            grid=(nt, ns),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dt
+                pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                blk4(), blk4(), blk4(),
+            ],
+            out_specs=[blk4(), blk4(), blk4()],
+            out_shape=out_shape,
+            compiler_params=_compiler_params(),
+            cost_estimate=_cost(n, n, nt),
+            interpret=interpret,
+        )(dt_arr, srcT, pos_mass, vel, accel)
+    else:
+        src10 = src_limbs(pos_mass, G)
+        kernel = functools.partial(
+            _fused_kernel_fast, eps2=float(eps2), n_real=int(n_real), n_pad=n, bt=bt, bs=bs
+        )
+        result = pl.pallas_call(
+            kernel,
+            grid=(nt, ns),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # dt
+                pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                blk4(), blk4(), blk4(),
+            ],
+            out_specs=[blk4(), blk4(), blk4()],
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((bt, 16), jnp.float32)],
+            compiler_params=_compiler_params(),
+            cost_estimate=_cost(n, n, nt),
+            interpret=interpret,
+        )(dt_arr, srcT, src10, pos_mass, vel, accel)
     return tuple(result)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps2", "block_target", "block_source", "interpret"),
+    static_argnames=("eps2", "block_target", "block_source", "mode", "interpret"),
 )
 def accel_pallas(
     tgt_pos_mass: jax.Array,
     srcT: jax.Array,
-    diag_offset: jax.Array,
+    src10: jax.Array | None = None,
     *,
     eps2: float = 1e-4,
     block_target: int = DEFAULT_BLOCK_TARGET,
     block_source: int = DEFAULT_BLOCK_SOURCE,
+    mode: str = "exact",
     interpret: bool = False,
 ) -> jax.Array:
     """Partial accelerations of local targets against one source shard.
 
-    ``srcT`` is ``(4, N_src)`` rows ``[x, y, z, G*m]`` (see
-    :func:`src_transposed`); ``diag_offset`` is a traced int32 scalar: a
-    pair is a self-pair iff ``local_target_row + diag_offset == source_col``
-    (pass an offset >= N_src to disable self-masking entirely, e.g. for
-    remote shards in the ring).  Returns ``(N_tgt, 4)`` with zero w lane.
+    ``srcT`` is ``(4, N_src)`` rows ``[x, y, z, G*m]`` (:func:`src_transposed`);
+    fast mode additionally needs ``src10 = src_limbs(...)``.  No self-pair
+    masking is required: a coincident-index pair has zero separation and
+    contributes exactly zero (see module docstring).  Returns
+    ``(N_tgt, 4)`` with zero w lane.
     """
-    nt_bodies = tgt_pos_mass.shape[0]
-    ns_bodies = srcT.shape[1]
+    if eps2 <= 0:
+        raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
+    if mode not in MODES:
+        raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    n_t = tgt_pos_mass.shape[0]
+    n_s = srcT.shape[1]
     bt, bs = block_target, block_source
-    if nt_bodies % bt != 0:
-        raise ValueError(f"target count {nt_bodies} not divisible by block_target={bt}")
-    if ns_bodies % bs != 0:
-        raise ValueError(f"source count {ns_bodies} not divisible by block_source={bs}")
+    if n_t % bt != 0:
+        raise ValueError(f"target count {n_t} not divisible by block_target={bt}")
+    if n_s % bs != 0:
+        raise ValueError(f"source count {n_s} not divisible by block_source={bs}")
+    nt = n_t // bt
 
-    kernel = functools.partial(_force_kernel, eps2=float(eps2), bt=bt, bs=bs)
-    diag_arr = jnp.reshape(jnp.asarray(diag_offset, jnp.int32), (1,))
+    blk_t = pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    if mode == "exact":
+        kernel = functools.partial(_force_kernel_exact, eps2=float(eps2), bt=bt, bs=bs)
+        return pl.pallas_call(
+            kernel,
+            grid=(nt, n_s // bs),
+            in_specs=[
+                pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                blk_t,
+            ],
+            out_specs=blk_out,
+            out_shape=jax.ShapeDtypeStruct((n_t, 4), jnp.float32),
+            compiler_params=_compiler_params(),
+            cost_estimate=_cost(n_t, n_s, nt),
+            interpret=interpret,
+        )(srcT, tgt_pos_mass)
+    if src10 is None:
+        raise ValueError("fast mode requires src10 = src_limbs(pos_mass, G)")
+    kernel = functools.partial(_force_kernel_fast, eps2=float(eps2), bt=bt, bs=bs)
     return pl.pallas_call(
         kernel,
-        grid=(nt_bodies // bt, ns_bodies // bs),
+        grid=(nt, n_s // bs),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            blk_t,
         ],
-        out_specs=pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt_bodies, 4), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bt, bs), jnp.float32)] * 3,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=16 * nt_bodies * ns_bodies,
-            bytes_accessed=(nt_bodies // bt) * ns_bodies * 16 + 2 * nt_bodies * 16,
-            transcendentals=nt_bodies * ns_bodies,
-        ),
+        out_specs=blk_out,
+        out_shape=jax.ShapeDtypeStruct((n_t, 4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, 16), jnp.float32)],
+        compiler_params=_compiler_params(),
+        cost_estimate=_cost(n_t, n_s, nt),
         interpret=interpret,
-    )(diag_arr, srcT, tgt_pos_mass)
-
-
-def src_transposed(pos_mass: jax.Array, G) -> jax.Array:
-    """Public helper: (4, N) rows [x, y, z, G*m] for :func:`accel_pallas`."""
-    return _src_transposed(pos_mass, G)
+    )(srcT, src10, tgt_pos_mass)

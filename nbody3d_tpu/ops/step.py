@@ -23,11 +23,26 @@ from nbody3d_tpu.ops.integrate import INTEGRATORS
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
     fused_step_pallas,
+    src_limbs,
     src_transposed,
 )
 from nbody3d_tpu.state import SimState
 
 StepFn = Callable[[SimState, jax.Array, jax.Array], SimState]
+
+# Engine padding granule: n_pad is always a multiple of this, so block
+# fitting below always succeeds with reasonably large blocks.
+PAD_GRANULE = 256
+
+
+def fit_block(n: int, want: int, floor: int = 8) -> int:
+    """Largest power-of-two-ish block <= want that divides n."""
+    b = min(want, n)
+    while b > floor and n % b != 0:
+        b //= 2
+    if n % b != 0:
+        raise ValueError(f"cannot fit a block into n={n} (want {want})")
+    return b
 
 
 def resolve_backend(config: SimConfig, platform: str | None = None) -> tuple[str, bool]:
@@ -52,8 +67,8 @@ def make_step_fn(
     not recompile — only changing the static config/shapes does.
     """
     backend, interpret = resolve_backend(config, platform)
-    bt = min(config.block_target, n_pad)
-    bs = min(config.block_source, n_pad)
+    bt = fit_block(n_pad, config.block_target)
+    bs = fit_block(n_pad, config.block_source)
 
     if backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:
 
@@ -68,6 +83,7 @@ def make_step_fn(
                 n_real=n_real,
                 block_target=bt,
                 block_source=bs,
+                mode=config.force_mode,
                 interpret=interpret,
             )
             return SimState(p, v, a, state.step + 1)
@@ -76,21 +92,22 @@ def make_step_fn(
 
         def step(state: SimState, dt, G) -> SimState:
             srcT = src_transposed(state.pos_mass, G)
+            src10 = src_limbs(state.pos_mass, G) if config.force_mode == "fast" else None
             acc = accel_pallas(
                 state.pos_mass,
                 srcT,
-                jnp.int32(0),
+                src10,
                 eps2=config.eps2,
                 block_target=bt,
                 block_source=bs,
+                mode=config.force_mode,
                 interpret=interpret,
             )
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "jnp":
-        # Chunk the jnp oracle to bound memory at O(chunk * N); the engine
-        # guarantees n_pad % block_target == 0.
-        chunk = bt if n_pad > 4096 else None
+        # Chunk the jnp oracle to bound memory at O(chunk * N).
+        chunk = fit_block(n_pad, 256) if n_pad > 4096 else None
 
         def step(state: SimState, dt, G) -> SimState:
             acc = accel_direct(state.pos_mass, G, eps2=config.eps2, chunk=chunk)

@@ -33,8 +33,8 @@ from nbody3d_tpu.config import SimConfig
 from nbody3d_tpu.ops import diagnostics as diag
 from nbody3d_tpu.ops.force_jnp import accel_partial
 from nbody3d_tpu.ops.integrate import apply_integrator
-from nbody3d_tpu.ops.pallas_force import accel_pallas, src_transposed
-from nbody3d_tpu.ops.step import resolve_backend
+from nbody3d_tpu.ops.pallas_force import accel_pallas, src_limbs, src_transposed
+from nbody3d_tpu.ops.step import fit_block, resolve_backend
 from nbody3d_tpu.state import SimState
 
 # Unrolling the ring as a Python loop keeps each ppermute an independent op
@@ -73,54 +73,60 @@ def make_sharded_step(
         raise ValueError(f"n_pad={n_pad} not divisible by mesh size {d}")
     shard = n_pad // d
     backend, interpret = resolve_backend(config, platform)
-    bt = min(config.block_target, shard)
-    bs = min(config.block_source, shard)
-    if shard % bt != 0 or shard % bs != 0:
-        raise ValueError(
-            f"shard size {shard} must be divisible by blocks ({bt}, {bs})"
-        )
+    bt = fit_block(shard, config.block_target)
+    bs = fit_block(shard, config.block_source)
+    fast = config.force_mode == "fast"
 
-    def local_force(tgt, srcT, diag_offset):
+    def local_force(tgt, src_pos_mass, G, bs_eff):
+        """Accel of local targets vs one source shard (pos_mass layout).
+
+        No self-pair masking is needed: coincident-index pairs have zero
+        separation and contribute exactly zero (ops.pallas_force docs)."""
+        srcT = src_transposed(src_pos_mass, G)
         if backend == "pallas":
+            src10 = src_limbs(src_pos_mass, G) if fast else None
             return accel_pallas(
                 tgt,
                 srcT,
-                diag_offset,
+                src10,
                 eps2=config.eps2,
                 block_target=bt,
-                block_source=bs,
+                block_source=bs_eff,
+                mode=config.force_mode,
                 interpret=interpret,
             )
-        return accel_partial(tgt, srcT, diag_offset, eps2=config.eps2)
+        # jnp fallback: huge diag offset disables its (redundant) self-mask.
+        return accel_partial(tgt, srcT, 1 << 30, eps2=config.eps2)
 
     ring_perm = [(i, (i + 1) % d) for i in range(d)]
 
     def local_step(pos_mass, vel, accel, step, dt, G):
         # Local shards (shard, 4); dt/G replicated scalars.
         my = lax.axis_index(axis)
-        srcT = src_transposed(pos_mass, G)  # (4, shard)
 
         if config.strategy == "gather" or d == 1:
-            srcT_all = lax.all_gather(srcT, axis, axis=1, tiled=True)  # (4, n_pad)
-            acc = local_force(pos_mass, srcT_all, my * shard)
+            all_pm = lax.all_gather(pos_mass, axis, axis=0, tiled=True)  # (n_pad, 4)
+            acc = local_force(pos_mass, all_pm, G, fit_block(n_pad, config.block_source))
         elif config.strategy == "ring":
-
+            # Rotate the raw pos_mass shard (16 B/body over ICI); the kernel
+            # input layouts (srcT / limb matrix) are recomputed locally per
+            # hop — O(shard) work vs O(shard^2) force math.
             def ring_body(k, carry):
                 acc, src = carry
                 # Issue the permute first: no data dependency with the force
                 # kernel on `src`, so XLA can run the ICI transfer async.
                 nxt = lax.ppermute(src, axis, ring_perm)
-                acc = acc + local_force(pos_mass, src, k * shard)
+                acc = acc + local_force(pos_mass, src, G, bs)
                 return acc, nxt
 
             acc = jnp.zeros_like(pos_mass)
             if d <= _MAX_UNROLL:
-                carry = (acc, srcT)
+                carry = (acc, pos_mass)
                 for k in range(d):
                     carry = ring_body(jnp.int32(k), carry)
                 acc = carry[0]
             else:
-                acc, _ = lax.fori_loop(0, d, ring_body, (acc, srcT))
+                acc, _ = lax.fori_loop(0, d, ring_body, (acc, pos_mass))
         else:
             raise ValueError(f"unknown strategy {config.strategy!r}")
 

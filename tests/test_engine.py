@@ -23,11 +23,11 @@ def test_pad_count():
         pad_count(10, 0)
 
 
-def test_engine_pads_to_block_lcm():
+def test_engine_pads_to_granule():
     sim = make_sim(100)
     assert sim.n_real == 100
-    assert sim.n_pad == 128  # lcm(32, 64) = 64 -> 128
-    assert sim.state.pos_mass.shape == (128, 4)
+    assert sim.n_pad == 256  # PAD_GRANULE
+    assert sim.state.pos_mass.shape == (256, 4)
 
 
 def test_run_advances_steps_and_stats():

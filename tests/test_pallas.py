@@ -1,8 +1,9 @@
 """Kernel equivalence: Pallas (interpret mode) vs jnp oracle (SURVEY §4.2).
 
-Bitwise comparison in the single-source-block regime (the analog of the
-reference's deterministic N <= 256 single-workgroup case, SURVEY §2.3);
-tolerance-based above, where summation order differs.
+Near-bitwise comparison in the single-source-block regime (the analog of
+the reference's deterministic N <= 256 single-workgroup case, SURVEY §2.3);
+tolerance-based above, where summation order differs.  Fast mode (MXU bf16
+weights) is validated against its documented ~0.4% per-pair noise bound.
 """
 
 import jax
@@ -12,7 +13,12 @@ import pytest
 
 from nbody3d_tpu.ops.force_jnp import accel_direct
 from nbody3d_tpu.ops.integrate import verlet_step
-from nbody3d_tpu.ops.pallas_force import accel_pallas, fused_step_pallas, src_transposed
+from nbody3d_tpu.ops.pallas_force import (
+    accel_pallas,
+    fused_step_pallas,
+    src_limbs,
+    src_transposed,
+)
 from nbody3d_tpu.state import init_state
 
 EPS2 = 1e-4
@@ -35,34 +41,64 @@ def test_force_only_matches_oracle(rng):
     oracle = accel_direct(s.pos_mass, G, eps2=EPS2)
     srcT = src_transposed(s.pos_mass, G)
     out = accel_pallas(
-        s.pos_mass, srcT, jnp.int32(0), eps2=EPS2,
+        s.pos_mass, srcT, eps2=EPS2,
         block_target=128, block_source=256, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(oracle), rtol=1e-5, atol=1e-7)
 
 
+def test_fast_mode_within_noise_bound(rng):
+    """MXU bf16-weight mode: relative error bounded by bf16 weight rounding
+    (~0.4% per pair; much less after summation)."""
+    s = random_state(rng, 512)
+    oracle = np.asarray(accel_direct(s.pos_mass, G, eps2=EPS2))
+    srcT = src_transposed(s.pos_mass, G)
+    src10 = src_limbs(s.pos_mass, G)
+    out = np.asarray(
+        accel_pallas(
+            s.pos_mass, srcT, src10, eps2=EPS2,
+            block_target=128, block_source=256, mode="fast", interpret=True,
+        )
+    )
+    scale = np.abs(oracle).max()
+    assert np.abs(out - oracle).max() / scale < 5e-3
+    # and it should be much better than plain-bf16 positions would be
+    assert np.abs(out - oracle).max() / scale > 0  # sanity: not identical path
+
+
+def test_src_limbs_reconstruct():
+    """The three bf16 limbs reconstruct gm*x to f32 exactness."""
+    rng = np.random.default_rng(0)
+    pm = np.concatenate(
+        [rng.normal(scale=5, size=(64, 3)), rng.uniform(1, 50, (64, 1))], axis=1
+    ).astype(np.float32)
+    s10 = np.asarray(src_limbs(jnp.asarray(pm), G))
+    gm = (G * pm[:, 3:4]).astype(np.float32)
+    for c in range(3):
+        recon = s10[:, 3 * c] + s10[:, 3 * c + 1] + s10[:, 3 * c + 2]
+        np.testing.assert_allclose(recon, (gm[:, 0] * pm[:, c]), rtol=1e-6, atol=1e-30)
+    np.testing.assert_allclose(s10[:, 9], gm[:, 0], rtol=1e-7)
+    np.testing.assert_array_equal(s10[:, 10:], 0.0)
+
+
 def test_single_source_block_vs_same_order_oracle(rng):
     """One source block => identical lane-reduction order => agreement with a
     same-shaped jnp computation to within compiler fma-fusion rounding
-    (a few ulps; the reference's own inverseSqrt is ~1e-3 approximate).
-    Run-to-run bitwise determinism is asserted separately below."""
+    (a few ulps; the reference's own inverseSqrt is approximate)."""
     n = 256
     s = random_state(rng, n)
     srcT = src_transposed(s.pos_mass, G)
     out = accel_pallas(
-        s.pos_mass, srcT, jnp.int32(0), eps2=EPS2,
+        s.pos_mass, srcT, eps2=EPS2,
         block_target=n, block_source=n, interpret=True,
     )
-    # jnp twin with the same (BT, BS) shape and same reduction axis.
     pos = s.pos_mass[:, :3]
     gm = jnp.float32(G) * s.pos_mass[:, 3]
     dx = pos[None, :, 0] - pos[:, None, 0]
     dy = pos[None, :, 1] - pos[:, None, 1]
     dz = pos[None, :, 2] - pos[:, None, 2]
-    d2 = dx * dx + dy * dy + dz * dz + EPS2
-    w = gm[None, :] * jax.lax.rsqrt(d2 * d2 * d2)
-    eye = jnp.eye(n, dtype=bool)
-    w = jnp.where(eye, 0.0, w)
+    d2 = dx * dx + (dy * dy + (dz * dz + EPS2))
+    w = gm[None, :] * jax.lax.rsqrt(d2 * (d2 * d2))
     ax = jnp.sum(w * dx, axis=1)
     ay = jnp.sum(w * dy, axis=1)
     az = jnp.sum(w * dz, axis=1)
@@ -71,28 +107,47 @@ def test_single_source_block_vs_same_order_oracle(rng):
     np.testing.assert_allclose(np.asarray(out[:, 2]), np.asarray(az), rtol=1e-4, atol=1e-8)
 
 
+def test_self_pair_contributes_zero():
+    """No index mask needed: the self separation is exactly 0, so the
+    (finite, softened) self weight multiplies zero (module docstring)."""
+    pm = np.array([[1.0, -2.0, 3.0, 1e7]], np.float32)
+    s = init_state(pm, np.zeros((1, 4), np.float32), n_pad=8)
+    srcT = src_transposed(s.pos_mass, G)
+    out = accel_pallas(
+        s.pos_mass, srcT, eps2=EPS2, block_target=8, block_source=8, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), np.zeros(4, np.float32))
+
+
 def test_kernel_bitwise_deterministic(rng):
     """Same input => bit-identical output, run to run — the determinism the
     reference loses to its cross-workgroup race for N > 256 (SURVEY §2.3)."""
     s = random_state(rng, 512)
     srcT = src_transposed(s.pos_mass, G)
     kw = dict(eps2=EPS2, block_target=128, block_source=256, interpret=True)
-    a1 = accel_pallas(s.pos_mass, srcT, jnp.int32(0), **kw)
-    a2 = accel_pallas(s.pos_mass, srcT, jnp.int32(0), **kw)
+    a1 = accel_pallas(s.pos_mass, srcT, **kw)
+    a2 = accel_pallas(s.pos_mass, srcT, **kw)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
 
 
-def test_fused_step_matches_oracle_step(rng):
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_fused_step_matches_oracle_step(rng, mode):
     s = random_state(rng, 512)
     acc = accel_direct(s.pos_mass, G, eps2=EPS2)
     ref = verlet_step(s, acc, DT)
     p, v, a = fused_step_pallas(
         s.pos_mass, s.vel, s.accel, DT, G,
-        eps2=EPS2, n_real=512, block_target=128, block_source=256, interpret=True,
+        eps2=EPS2, n_real=512, block_target=128, block_source=256,
+        mode=mode, interpret=True,
     )
-    np.testing.assert_allclose(np.asarray(p), np.asarray(ref.pos_mass), rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(v), np.asarray(ref.vel), rtol=1e-6, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(ref.accel), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(ref.pos_mass), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(ref.vel), rtol=1e-5, atol=1e-6)
+    a_ref = np.asarray(ref.accel)
+    if mode == "exact":
+        np.testing.assert_allclose(np.asarray(a), a_ref, rtol=1e-5, atol=1e-7)
+    else:
+        # bf16 weight noise: bounded relative to the acceleration scale
+        assert np.abs(np.asarray(a) - a_ref).max() / np.abs(a_ref).max() < 6e-3
 
 
 def test_fused_step_padding(rng):
@@ -114,18 +169,19 @@ def test_fused_step_padding(rng):
     np.testing.assert_array_equal(np.asarray(a[n:]), np.zeros((n_pad - n, 4)))
 
 
-def test_diag_offset_semantics(rng):
-    """Sharded source decomposition with diag offsets == monolithic force."""
+def test_shard_decomposition_matches_monolithic(rng):
+    """Accumulating per-source-shard partials == monolithic force (the ring
+    schedule's correctness invariant)."""
     n = 256
     s = random_state(rng, n)
     oracle = accel_direct(s.pos_mass, G, eps2=EPS2)
-    srcT = src_transposed(s.pos_mass, G)
     total = jnp.zeros((n, 4), jnp.float32)
     k = 4
     shard = n // k
     for i in range(k):
         part = accel_pallas(
-            s.pos_mass, srcT[:, i * shard : (i + 1) * shard], jnp.int32(-i * shard),
+            s.pos_mass,
+            src_transposed(s.pos_mass[i * shard : (i + 1) * shard], G),
             eps2=EPS2, block_target=64, block_source=64, interpret=True,
         )
         total = total + part
@@ -142,3 +198,10 @@ def test_dt_zero_is_identity_except_accel(rng):
     )
     np.testing.assert_array_equal(np.asarray(p), np.asarray(s.pos_mass))
     np.testing.assert_array_equal(np.asarray(v), np.asarray(s.vel))
+
+
+def test_eps2_must_be_positive(rng):
+    s = random_state(rng, 256)
+    srcT = src_transposed(s.pos_mass, G)
+    with pytest.raises(ValueError, match="eps2"):
+        accel_pallas(s.pos_mass, srcT, eps2=0.0, interpret=True)

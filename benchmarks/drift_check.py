@@ -10,10 +10,13 @@ Usage: python benchmarks/drift_check.py [exact|fast|jnp] [n] [steps]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
 def main() -> int:

@@ -182,6 +182,149 @@ def make_variant(
     return call
 
 
+def make_turbo(n, bt, bs, vmem_limit=None):
+    """Full-MXU variant: d2 via norm expansion with a limb-split bf16
+    cross-term matmul (K=18, ~f32-exact), accumulation via the bf16 W@S10
+    matmul; VPU does only d2 assembly + cube + rsqrt (~5 ops/pair).
+
+    Inputs: t18 (N,18), s18T (18,N), tn (N,1) = |t|^2+eps2, snT (1,N),
+    src10 (N,16) gm-scaled limbs.
+    """
+    nt, ns = n // bt, n // bs
+
+    def kernel(t18_ref, s18T_ref, tn_ref, snT_ref, src10_ref, out_ref, acc):
+        j = pl.program_id(1)
+        ns_ = pl.num_programs(1)
+        ts = jnp.dot(
+            t18_ref[...], s18T_ref[...], preferred_element_type=jnp.float32
+        )  # (bt, bs)
+        d2 = (tn_ref[...] + snT_ref[...]) - 2.0 * ts
+        inv3 = lax.rsqrt(d2 * (d2 * d2))
+        part = jnp.dot(inv3, src10_ref[...], preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            acc[...] = part
+
+        @pl.when(j > 0)
+        def _():
+            acc[...] += part
+
+        @pl.when(j == ns_ - 1)
+        def _():
+            a = acc[...]
+            s = a[:, 9:10]
+            tx = t18_ref[:, 0:1] + t18_ref[:, 3:4] + t18_ref[:, 5:6]  # th+tm+tl
+            ty = t18_ref[:, 6:7] + t18_ref[:, 9:10] + t18_ref[:, 11:12]
+            tz = t18_ref[:, 12:13] + t18_ref[:, 15:16] + t18_ref[:, 17:18]
+            ax = (a[:, 0:1] + a[:, 1:2] + a[:, 2:3]) - tx * s
+            ay = (a[:, 3:4] + a[:, 4:5] + a[:, 5:6]) - ty * s
+            az = (a[:, 6:7] + a[:, 7:8] + a[:, 8:9]) - tz * s
+            out_ref[...] = jnp.concatenate(
+                [ax, ay, az, jnp.zeros((bt, 1), jnp.float32)], axis=1
+            )
+
+    cp_kw = dict(dimension_semantics=("parallel", "arbitrary"))
+    if vmem_limit is not None:
+        cp_kw["vmem_limit_bytes"] = vmem_limit
+    call = pl.pallas_call(
+        kernel,
+        grid=(nt, ns),
+        in_specs=[
+            pl.BlockSpec((bt, 18), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, 16), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(**cp_kw),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n * n, bytes_accessed=nt * n * 16, transcendentals=n * n
+        ),
+    )
+    return call
+
+
+def turbo_prep(pos, gm):
+    """Build t18/s18T/tn/snT/src10 from f32 positions."""
+
+    def limbs(v):
+        h = v.astype(jnp.bfloat16).astype(jnp.float32)
+        rem = v - h
+        m = rem.astype(jnp.bfloat16).astype(jnp.float32)
+        return h, m, rem - m
+
+    tcols, srows = [], []
+    for c in range(3):
+        h, m, l = limbs(pos[:, c : c + 1])
+        # combos hh, hm, hl, mh, mm, lh
+        tcols.extend([h, h, h, m, m, l])
+        srows.extend([h, m, l, h, m, h])
+    t18 = jnp.concatenate(tcols, axis=1)  # (N, 18)
+    s18T = jnp.concatenate([r.T for r in srows], axis=0)  # (18, N)
+    tn = (jnp.sum(pos * pos, axis=1, keepdims=True) + EPS2).astype(jnp.float32)
+    snT = jnp.sum(pos * pos, axis=1)[None, :]
+    cols = []
+    for c in range(3):
+        h, m, l = limbs(gm[:, None] * pos[:, c : c + 1])
+        cols.extend([h, m, l])
+    cols.append(gm[:, None])
+    cols.append(jnp.zeros((pos.shape[0], 6), jnp.float32))
+    src10 = jnp.concatenate(cols, axis=1)
+    return t18, s18T, tn, snT, src10
+
+
+def time_turbo(name, n, k, bt, bs):
+    try:
+        call = make_turbo(n, bt, bs, vmem_limit=100 * 1024 * 1024)
+
+        @jax.jit
+        def run(pos, gm):
+            def body(c, _):
+                t18, s18T, tn, snT, src10 = turbo_prep(c, gm)
+                acc = call(t18, s18T, tn, snT, src10)
+                return c + acc[:, :3] * 1e-30, None
+
+            out, _ = lax.scan(body, pos, None, length=k)
+            return out
+
+        rng = np.random.default_rng(0)
+        pos = jnp.asarray(rng.normal(scale=3, size=(n, 3)).astype(np.float32))
+        gm = jnp.asarray((1e-4 * rng.uniform(1, 50, n)).astype(np.float32))
+        out = run(pos, gm)
+        jax.device_get(out[0, 0])
+        t0 = time.perf_counter()
+        out = run(pos, gm)
+        jax.device_get(out[0, 0])
+        el = time.perf_counter() - t0
+        per_step = el / k
+        print(f"{name:50s} {per_step*1e3:8.2f} ms/step {n*n/per_step/1e9:8.1f} G-int/s")
+    except Exception as e:
+        print(f"{name:50s} FAILED: {type(e).__name__}: {str(e)[:140]}")
+
+
+def check_turbo_accuracy(n=4096, bt=512, bs=1024):
+    """Compare turbo vs exact oracle on clustered data (close pairs)."""
+    from nbody3d_tpu.ops.force_jnp import accel_direct
+
+    rng = np.random.default_rng(1)
+    pm = np.concatenate(
+        [rng.normal(scale=2.0, size=(n, 3)), rng.uniform(1, 50, (n, 1))], axis=1
+    ).astype(np.float32)
+    pos = jnp.asarray(pm[:, :3])
+    gm = jnp.asarray(1e-4 * pm[:, 3])
+    call = make_turbo(n, bt, bs, vmem_limit=100 * 1024 * 1024)
+    t18, s18T, tn, snT, src10 = turbo_prep(pos, gm)
+    acc = call(t18, s18T, tn, snT, src10)
+    oracle = accel_direct(jnp.asarray(pm), 1e-4, eps2=EPS2)
+    err = np.abs(np.asarray(acc) - np.asarray(oracle[:, :4]))
+    scale = np.abs(np.asarray(oracle)).max()
+    print(f"turbo accuracy: max_abs={err.max():.3e} rel_to_scale={err.max()/scale:.3e}")
+
+
 def time_variant(name, n, k, make):
     try:
         call = make()
@@ -239,6 +382,11 @@ def main():
         ("mxu DEFAULT bt512 bs1024", dict(bt=512, bs=1024, accum="mxu", mask=False, precision=P.DEFAULT, vmem_limit=V)),
         ("mxu HIGHEST bt1024 bs2048", dict(bt=1024, bs=2048, accum="mxu", mask=False, precision=P.HIGHEST, vmem_limit=V)),
     ]
+    if len(sys.argv) > 3 and sys.argv[3] == "turbo":
+        check_turbo_accuracy()
+        for bt, bs in [(512, 1024), (1024, 1024), (1024, 2048), (2048, 2048)]:
+            time_turbo(f"turbo bt{bt} bs{bs}", n, k, bt, bs)
+        return
     for name, kw in variants:
         time_variant(name, n, k, lambda kw=kw: make_variant(n, **kw))
 

@@ -30,6 +30,13 @@ import numpy as np
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--platform",
+        default="auto",
+        choices=["auto", "cpu", "tpu"],
+        help="force the JAX platform (cpu is handy for render/convert work "
+        "that doesn't need the accelerator)",
+    )
     p.add_argument("--dt", type=float, default=None, help="timestep (default 1e-4)")
     p.add_argument("--log-dt", type=float, default=None, help="dt = 10**value (slider semantics)")
     p.add_argument("--G", type=float, default=None, help="gravitational constant (default 1e-4)")
@@ -41,9 +48,21 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--block-source", type=int, default=512)
     p.add_argument("--devices", type=int, default=1, help=">1 shards bodies over a mesh")
     p.add_argument("--strategy", default="ring", choices=["ring", "gather"])
+    p.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-host: call jax.distributed.initialize() before device "
+        "discovery (same SPMD program over DCN; SURVEY §5.8)",
+    )
 
 
 def _build_config(args):
+    if getattr(args, "platform", "auto") != "auto":
+        # Must happen before the first backend use; the PJRT plugin boot in
+        # this image overrides JAX_PLATFORMS env vars, so go through config.
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     from nbody3d_tpu.config import SimConfig
 
     dt = args.dt if args.dt is not None else (
@@ -65,6 +84,10 @@ def _build_config(args):
 
 
 def _build_mesh(args):
+    if getattr(args, "distributed", False):
+        import jax
+
+        jax.distributed.initialize()
     if args.devices <= 1:
         return None
     from nbody3d_tpu.parallel.mesh import default_mesh
@@ -77,15 +100,37 @@ def _make_sim(args, config, mesh):
 
     if getattr(args, "checkpoint", None):
         return Simulation.load(args.checkpoint, config, mesh=mesh)
-    return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh)
+    kw = {}
+    if args.preset == "reference-random":
+        # The reference's run-config UI controls (index.html:68-75).
+        kw = dict(
+            num_galaxies=args.num_galaxies,
+            min_bodies=args.min_bodies,
+            max_bodies=args.max_bodies,
+        )
+    return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh, **kw)
 
 
 def cmd_run(args) -> int:
+    import contextlib
+
     config = _build_config(args)
     mesh = _build_mesh(args)
     sim = _make_sim(args, config, mesh)
     os.makedirs(args.outdir, exist_ok=True)
+    if args.metrics:
+        sim.metrics_path = args.metrics
 
+    trace_cm = contextlib.nullcontext()
+    if args.trace:
+        from nbody3d_tpu.utils.profiling import device_trace
+
+        trace_cm = device_trace(args.trace)
+    with trace_cm:
+        return _run_loop(args, sim)
+
+
+def _run_loop(args, sim) -> int:
     chunk = args.log_every
     done = 0
     next_ckpt = args.checkpoint_every or 0
@@ -176,6 +221,32 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Frame sequence with a scripted orbital camera — the headless stand-in
+    for the reference's interactive orbit (camera.js:143-168), optionally
+    advancing physics between frames (the decoupled frame loop)."""
+    import math as _math
+
+    config = _build_config(args)
+    from nbody3d_tpu.engine import Simulation
+    from nbody3d_tpu.render.image import save_png
+    from nbody3d_tpu.utils.camera import ROT_SPEED, Camera
+
+    sim = Simulation.load(args.checkpoint, config)
+    cam = Camera(target=sim.camera_target)
+    os.makedirs(args.outdir, exist_ok=True)
+    step_px = _math.radians(args.orbit_degrees) / max(args.frames, 1) / ROT_SPEED
+    for i in range(args.frames):
+        img = sim.render_frame(camera=cam, width=args.width, height=args.height)
+        path = os.path.join(args.outdir, f"frame_{i:06d}.png")
+        save_png(path, img)
+        cam.orbit(step_px, 0.0)
+        if args.steps_per_frame:
+            sim.run(args.steps_per_frame, chunk=args.steps_per_frame)
+    print(f"wrote {args.frames} frames to {args.outdir}")
+    return 0
+
+
 def cmd_info(args) -> int:
     from nbody3d_tpu.parallel.mesh import mesh_info
 
@@ -197,8 +268,26 @@ def main(argv=None) -> int:
     p.add_argument("--render-every", type=int, default=0)
     p.add_argument("--diagnostics", action="store_true")
     p.add_argument("--outdir", default="out")
+    p.add_argument("--metrics", default=None, help="append JSONL metrics to this file")
+    p.add_argument("--trace", default=None, help="dump a jax.profiler trace to this dir")
+    # reference-random preset controls (index.html:68-75 defaults)
+    p.add_argument("--num-galaxies", type=int, default=2)
+    p.add_argument("--min-bodies", type=int, default=20000)
+    p.add_argument("--max-bodies", type=int, default=20000)
     _add_common(p)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("animate", help="orbiting-camera frame sequence from a checkpoint")
+    p.add_argument("checkpoint")
+    p.add_argument("--frames", type=int, default=120)
+    p.add_argument("--orbit-degrees", type=float, default=360.0)
+    p.add_argument("--steps-per-frame", type=int, default=0,
+                   help="advance the simulation between frames (0 = camera-only)")
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=768)
+    p.add_argument("--outdir", default="frames")
+    _add_common(p)
+    p.set_defaults(fn=cmd_animate)
 
     p = sub.add_parser("bench", help="throughput benchmark (one JSON line)")
     p.add_argument("--preset", default="uniform-sphere")

@@ -10,6 +10,7 @@ chunk boundaries for logging, rendering, or checkpointing.
 
 from __future__ import annotations
 
+import json
 import time
 from typing import Callable, Iterator
 
@@ -81,6 +82,10 @@ class Simulation:
         # EMA-filtered profiling, filterStrength=10 like the reference HUD
         # (nbody3d.js:434,441-443).
         self.stats = StepStats(ema=Ema(10.0))
+        # Optional structured metrics sink: one JSON line per scan chunk
+        # (SURVEY §5.5 — the persistent-log upgrade over the reference's
+        # transient HUD spans).
+        self.metrics_path: str | None = None
 
     # ------------------------------------------------------------------ run
     @classmethod
@@ -135,8 +140,25 @@ class Simulation:
             jax.device_get(self.state.step)
             elapsed = time.perf_counter() - t0
             self.stats.update(k, elapsed, self.pair_interactions_per_step)
+            if self.metrics_path:
+                self._append_metrics(k, elapsed)
             remaining -= k
         return self.state
+
+    def _append_metrics(self, k: int, elapsed: float) -> None:
+        rec = {
+            "t": time.time(),
+            "step": int(self.stats.total_steps),
+            "chunk": k,
+            "wall_s": round(elapsed, 6),
+            "steps_per_s": round(self.stats.steps_per_s, 3),
+            "gints_per_s": round(self.stats.gints_per_s, 4),
+            "n_bodies": self.n_real,
+            "dt": self.dt,
+            "G": self.G,
+        }
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def step(self, n: int = 1) -> SimState:
         return self.run(n, chunk=n)

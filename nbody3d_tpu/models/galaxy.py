@@ -71,6 +71,8 @@ def generate_galaxies(
     """
     if rng is None:
         rng = np.random.default_rng(0)
+    if not configs:
+        raise ValueError("need at least one GalaxyConfig (got an empty list)")
 
     pos_chunks: list[np.ndarray] = []
     vel_chunks: list[np.ndarray] = []

@@ -86,6 +86,31 @@ def test_render_command(tmp_path, capsys):
     assert img.shape == (48, 64, 3)
 
 
+def test_metrics_jsonl_and_animate(tmp_path, capsys):
+    outdir = tmp_path / "out"
+    metrics = tmp_path / "metrics.jsonl"
+    run_cli([
+        "run", "--preset", "uniform-sphere", "--n", "32", "--steps", "4",
+        "--log-every", "2", "--outdir", str(outdir), "--metrics", str(metrics),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    lines = [json.loads(l) for l in metrics.read_text().splitlines()]
+    assert len(lines) == 2  # one record per scan chunk
+    assert lines[-1]["step"] == 4
+    assert lines[0]["steps_per_s"] > 0
+    assert "gints_per_s" in lines[0]
+
+    frames = tmp_path / "frames"
+    rc = run_cli([
+        "animate", str(outdir / "final.npz"), "--frames", "3",
+        "--orbit-degrees", "90", "--width", "48", "--height", "32",
+        "--outdir", str(frames), "--backend", "jnp",
+        "--block-target", "32", "--block-source", "32",
+    ])
+    assert rc == 0
+    assert len(list(frames.glob("frame_*.png"))) == 3
+
+
 def test_log_slider_semantics(capsys):
     """--log-dt/-G: dt = 10**v (util.js:38-54)."""
     rc = run_cli([

@@ -199,14 +199,17 @@ class Simulation:
 
     # ---------------------------------------------------------- checkpoint
     def save(self, path: str) -> None:
-        """Save a native ``.npz`` checkpoint (or reference-schema ``.json``
-        if the path ends in .json)."""
+        """Save a checkpoint; format by suffix: ``.json`` = reference
+        schema, ``.npz`` = native binary, anything else = orbax directory."""
         from nbody3d_tpu.utils import checkpoint
 
-        if str(path).endswith(".json"):
+        p = str(path)
+        if p.endswith(".json"):
             checkpoint.save_reference_json(path, self)
-        else:
+        elif p.endswith(".npz"):
             checkpoint.save_npz(path, self)
+        else:
+            checkpoint.save_orbax(path, self)
 
     @classmethod
     def load(
@@ -219,11 +222,14 @@ class Simulation:
     ) -> "Simulation":
         from nbody3d_tpu.utils import checkpoint
 
-        if str(path).endswith(".json"):
+        p = str(path)
+        if p.endswith(".json"):
             return checkpoint.load_reference_json(
                 path, config, mesh=mesh, platform=platform
             )
-        return checkpoint.load_npz(path, config, mesh=mesh, platform=platform)
+        if p.endswith(".npz"):
+            return checkpoint.load_npz(path, config, mesh=mesh, platform=platform)
+        return checkpoint.load_orbax(path, config, mesh=mesh, platform=platform)
 
     # -------------------------------------------------------------- render
     def render_frame(self, camera=None, *, width: int = 1024, height: int = 768):

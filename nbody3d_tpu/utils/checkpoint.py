@@ -15,6 +15,10 @@ Two formats:
 
 - **Native .npz** — binary arrays + step counter + full config, ~8x smaller
   than JSON doubles and the format the CLI uses for periodic checkpoints.
+
+- **Orbax directory** — production checkpointing via orbax (atomic,
+  versionable, sharding-aware on restore); selected when the target path
+  has no ``.json``/``.npz`` suffix.
 """
 
 from __future__ import annotations
@@ -95,6 +99,57 @@ def load_reference_json(path: str, config: SimConfig | None = None, *, mesh=None
         mesh=mesh,
         platform=platform,
     )
+    return sim
+
+
+# -------------------------------------------------------------------- orbax
+def save_orbax(path: str, sim, camera: Camera | None = None) -> None:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    pos_mass, vel, accel = _sim_arrays(sim)
+    if camera is None:
+        camera = Camera(target=sim.camera_target)
+    config = sim.config.replace(dt=sim.dt, G=sim.G)
+    tree = {
+        "pos_mass": pos_mass,
+        "vel": vel,
+        "accel": accel,
+        "step": np.int64(sim.step_count),
+        "config_json": config.to_json(),
+        "camera_json": json.dumps(camera.to_dict()),
+    }
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_orbax(path: str, config: SimConfig | None = None, *, mesh=None, platform=None):
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from nbody3d_tpu.engine import Simulation
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(path))
+    saved_config = SimConfig.from_json(str(tree["config_json"]))
+    camera = Camera.from_dict(json.loads(str(tree["camera_json"])))
+    if config is None:
+        config = saved_config
+    sim = Simulation(
+        config,
+        np.asarray(tree["pos_mass"]),
+        np.asarray(tree["vel"]),
+        np.asarray(tree["accel"]),
+        step=int(tree["step"]),
+        camera_target=camera.target,
+        mesh=mesh,
+        platform=platform,
+    )
+    sim.dt = config.dt
+    sim.G = config.G
     return sim
 
 

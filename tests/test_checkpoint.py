@@ -114,6 +114,21 @@ def test_npz_roundtrip(tmp_path):
     assert sim2.config.integrator == sim.config.integrator
 
 
+def test_orbax_roundtrip(tmp_path):
+    sim = small_sim(dt=2e-4)
+    sim.step(4)
+    p0, v0, a0 = sim.arrays()
+    path = tmp_path / "orbax_ckpt"
+    sim.save(str(path))
+    sim2 = Simulation.load(str(path), platform="cpu")
+    p1, v1, a1 = sim2.arrays()
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(a0, a1)
+    assert sim2.step_count == 4
+    assert sim2.dt == sim.dt
+
+
 def test_resume_continues_trajectory(tmp_path):
     """ckpt at step 5 then 5 more == straight 10 steps (bitwise: same
     compiled step on the same f32 state)."""

@@ -111,6 +111,24 @@ def test_metrics_jsonl_and_animate(tmp_path, capsys):
     assert len(list(frames.glob("frame_*.png"))) == 3
 
 
+def test_reference_random_flags(tmp_path, capsys):
+    """index.html:68-75 UI controls surfaced as CLI flags."""
+    outdir = tmp_path / "out"
+    rc = run_cli([
+        "run", "--preset", "reference-random", "--num-galaxies", "3",
+        "--min-bodies", "10", "--max-bodies", "20", "--steps", "1",
+        "--log-every", "1", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # N = 3 centrals + 3 * U(10,20) disk bodies => in [33, 63]
+    import re
+
+    n = int(re.search(r"N=(\d+)", out).group(1))
+    assert 33 <= n <= 63
+
+
 def test_log_slider_semantics(capsys):
     """--log-dt/-G: dt = 10**v (util.js:38-54)."""
     rc = run_cli([

@@ -122,6 +122,13 @@ def test_fibonacci_shell_matches_reference_formula():
     assert pos_mass[:, 3].max() <= 2000.0
 
 
+def test_empty_galaxy_list_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="GalaxyConfig"):
+        generate_galaxies([], G=G)
+
+
 def test_preset_registry():
     pos_mass, vel, target = make_preset("two-galaxy", n=202, seed=3)
     assert pos_mass.shape == (202, 4)

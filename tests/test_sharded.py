@@ -106,6 +106,25 @@ def test_sharded_diagnostics_psum(mesh):
     )
 
 
+@pytest.mark.parametrize("force_mode", ["exact", "fast"])
+def test_sharded_ring_with_pallas_kernel(mesh, force_mode):
+    """The ring path driving the actual Pallas kernel (interpret mode on
+    CPU) — covers the src layout rebuild per hop for both force modes."""
+    n = 256
+    cfg = SimConfig(
+        backend="pallas", force_mode=force_mode,
+        block_target=32, block_source=32, strategy="ring",
+    )
+    s = random_state(7, n)
+    ref = make_step_fn(SimConfig(backend="jnp"), n, n, "cpu")(s, DT, G)
+    step = make_sharded_step(cfg, n, n, mesh, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh, "x"), DT, G)
+    tol = dict(rtol=1e-5, atol=1e-6) if force_mode == "exact" else dict(rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(out.accel), np.asarray(ref.accel), **tol
+    )
+
+
 def test_determinism_across_shardings(mesh):
     """Same seed => same state hash on 1 device and 8 devices (the purity
     'sanitizer' replacing the reference's data race, SURVEY §5.2) — up to

@@ -43,6 +43,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log-G", type=float, default=None, help="G = 10**value (slider semantics)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    p.add_argument(
+        "--force-mode",
+        default="exact",
+        choices=["exact", "fast", "turbo"],
+        help="kernel accuracy/speed tradeoff (see ops/pallas_force.py)",
+    )
     p.add_argument("--integrator", default="verlet", choices=["verlet", "euler"])
     p.add_argument("--block-target", type=int, default=256)
     p.add_argument("--block-source", type=int, default=512)
@@ -76,6 +82,7 @@ def _build_config(args):
         G=G,
         seed=args.seed,
         backend=args.backend,
+        force_mode=args.force_mode,
         integrator=args.integrator,
         block_target=args.block_target,
         block_source=args.block_source,

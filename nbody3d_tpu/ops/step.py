@@ -22,9 +22,11 @@ from nbody3d_tpu.ops.force_jnp import accel_direct
 from nbody3d_tpu.ops.integrate import INTEGRATORS
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
+    accel_pallas_turbo,
     fused_step_pallas,
     src_limbs,
     src_transposed,
+    turbo_sources,
 )
 from nbody3d_tpu.state import SimState
 
@@ -70,7 +72,12 @@ def make_step_fn(
     bt = fit_block(n_pad, config.block_target)
     bs = fit_block(n_pad, config.block_source)
 
-    if backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:
+    if (
+        backend == "pallas"
+        and config.integrator == "verlet"
+        and config.fuse_integrate
+        and config.force_mode != "turbo"  # turbo has no fused variant
+    ):
 
         def step(state: SimState, dt, G) -> SimState:
             p, v, a = fused_step_pallas(
@@ -87,6 +94,19 @@ def make_step_fn(
                 interpret=interpret,
             )
             return SimState(p, v, a, state.step + 1)
+
+    elif backend == "pallas" and config.force_mode == "turbo":
+
+        def step(state: SimState, dt, G) -> SimState:
+            bundle = turbo_sources(state.pos_mass, G, config.eps2)
+            acc = accel_pallas_turbo(
+                state.pos_mass,
+                *bundle,
+                block_target=bt,
+                block_source=bs,
+                interpret=interpret,
+            )
+            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "pallas":
 

@@ -46,7 +46,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--force-mode",
         default="exact",
-        choices=["exact", "fast", "turbo"],
+        choices=["exact", "fast"],
         help="kernel accuracy/speed tradeoff (see ops/pallas_force.py)",
     )
     p.add_argument("--integrator", default="verlet", choices=["verlet", "euler"])

@@ -68,7 +68,7 @@ DEFAULT_BLOCK_TARGET = 1024
 DEFAULT_BLOCK_SOURCE = 2048
 _VMEM_LIMIT = 100 * 1024 * 1024
 
-MODES = ("exact", "fast", "turbo")
+MODES = ("exact", "fast")
 
 
 def _pair_diffs(tgt, srcT_ref, eps2):
@@ -222,44 +222,6 @@ def _force_kernel_fast(srcT_ref, src10_ref, tgt_ref, out_ref, acc_scr, *, eps2, 
         out_ref[...] = _fast_epilogue(acc_scr, tgt, bt)
 
 
-def _force_kernel_turbo(
-    t18_ref, s18T_ref, tn_ref, snT_ref, src10_ref, tgt_ref, out_ref, acc_scr, *, bt, bs
-):
-    """Full-MXU mode: both the squared distance and the accumulation ride
-    the MXU in single bf16 passes.
-
-    d2 comes from the norm expansion ``|t|² + |s|² − 2 t·s``: the cross
-    term is one bf16 matmul over 18 limb-product columns (every h/m/l limb
-    combination down to ~2⁻²⁴, so the *products* are f32-exact), and the
-    norms are precomputed f32 (eps2 folded into ``tn``).  The VPU does only
-    d2 assembly, cubing and rsqrt (~5 ops/pair).
-
-    Accuracy caveat (documented tradeoff): the norm expansion reintroduces
-    f32 cancellation for very close pairs — absolute error ~|t||s|·2⁻²⁴ on
-    d2, i.e. up to ~1% of the softening floor for |x| ≈ 5 — on top of the
-    fast mode's bf16 weight noise.  Acceptance is the BASELINE energy-drift
-    bound, validated empirically (benchmarks/drift_check.py).
-    """
-    j = pl.program_id(1)
-    ns = pl.num_programs(1)
-    ts = jnp.dot(t18_ref[...], s18T_ref[...], preferred_element_type=jnp.float32)
-    d2 = (tn_ref[...] + snT_ref[...]) - 2.0 * ts
-    inv3 = lax.rsqrt(d2 * (d2 * d2))
-    part = jnp.dot(inv3, src10_ref[...], preferred_element_type=jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        acc_scr[...] = part
-
-    @pl.when(j > 0)
-    def _():
-        acc_scr[...] += part
-
-    @pl.when(j == ns - 1)
-    def _():
-        out_ref[...] = _fast_epilogue(acc_scr, tgt_ref[...], bt)
-
-
 # --------------------------------------------------------------- host prep
 def src_transposed(pos_mass: jax.Array, G) -> jax.Array:
     """(4, N) source rows [x, y, z, G*m]; G folded in so the kernel never
@@ -297,41 +259,6 @@ def _coord_limbs(v):
     rem = v - h
     m = rem.astype(jnp.bfloat16).astype(jnp.float32)
     return h, m, rem - m
-
-
-def turbo_targets(pos_mass: jax.Array, eps2: float) -> tuple[jax.Array, jax.Array]:
-    """Target-side turbo operands: ``t18 (N, 18)`` limb columns and
-    ``tn (N, 1) = |t|² + eps2`` (f32)."""
-    pos = pos_mass[:, :3]
-    tcols = []
-    for c in range(3):
-        h, m, l = _coord_limbs(pos[:, c : c + 1])
-        tcols.extend([h, h, h, m, m, l])
-    t18 = jnp.concatenate(tcols, axis=1)
-    tn = (jnp.sum(pos * pos, axis=1) + jnp.float32(eps2))[:, None]
-    return t18, tn
-
-
-def turbo_src(pos_mass: jax.Array, G) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Source-side turbo operands: ``s18T (18, N)`` limb rows (paired with
-    t18's columns: combos (h,h) (h,m) (h,l) (m,h) (m,m) (l,h) reconstruct
-    t·s to ~2⁻²⁴; dropped terms ≲2⁻³²), ``snT (1, N) = |s|²`` and the
-    gm-scaled limb matrix ``src10 (N, 16)`` (:func:`src_limbs`)."""
-    pos = pos_mass[:, :3]
-    srows = []
-    for c in range(3):
-        h, m, l = _coord_limbs(pos[:, c : c + 1])
-        srows.extend([h, m, l, h, m, h])
-    s18T = jnp.concatenate([r.T for r in srows], axis=0)
-    snT = jnp.sum(pos * pos, axis=1)[None, :]
-    return s18T, snT, src_limbs(pos_mass, G)
-
-
-def turbo_sources(pos_mass: jax.Array, G, eps2: float):
-    """Full self-interaction bundle: ``(t18, s18T, tn, snT, src10)``."""
-    t18, tn = turbo_targets(pos_mass, eps2)
-    s18T, snT, src10 = turbo_src(pos_mass, G)
-    return t18, s18T, tn, snT, src10
 
 
 def _check_blocks(n: int, bt: int, bs: int, what: str) -> None:
@@ -509,57 +436,3 @@ def accel_pallas(
         cost_estimate=_cost(n_t, n_s, nt),
         interpret=interpret,
     )(srcT, src10, tgt_pos_mass)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("block_target", "block_source", "interpret")
-)
-def accel_pallas_turbo(
-    tgt_pos_mass: jax.Array,
-    t18: jax.Array,
-    s18T: jax.Array,
-    tn: jax.Array,
-    snT: jax.Array,
-    src10: jax.Array,
-    *,
-    block_target: int = DEFAULT_BLOCK_TARGET,
-    block_source: int = DEFAULT_BLOCK_SOURCE,
-    interpret: bool = False,
-) -> jax.Array:
-    """Turbo-mode partial accelerations (see :func:`turbo_sources` for the
-    operand bundle; :func:`_force_kernel_turbo` for semantics/tradeoffs).
-
-    For the self-interaction case pass the bundle built from the same
-    bodies as ``tgt_pos_mass`` — the self-pair still contributes ~0: its
-    d2 reduces to tn + sn − 2ts = eps2 + (cancellation noise), keeping the
-    weight finite, while the epilogue's ``Σgm·w·x − t·Σgm·w`` cancels the
-    self term's direction exactly in the same (noisy) way as any
-    coincident pair.
-    """
-    n_t = tgt_pos_mass.shape[0]
-    n_s = s18T.shape[1]
-    bt, bs = block_target, block_source
-    if n_t % bt != 0 or n_s % bs != 0:
-        raise ValueError(
-            f"counts ({n_t}, {n_s}) not divisible by blocks ({bt}, {bs})"
-        )
-    nt = n_t // bt
-    kernel = functools.partial(_force_kernel_turbo, bt=bt, bs=bs)
-    return pl.pallas_call(
-        kernel,
-        grid=(nt, n_s // bs),
-        in_specs=[
-            pl.BlockSpec((bt, 18), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((18, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_t, 4), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bt, 16), jnp.float32)],
-        compiler_params=_compiler_params(),
-        cost_estimate=_cost(n_t, n_s, nt),
-        interpret=interpret,
-    )(t18, s18T, tn, snT, src10, tgt_pos_mass)

@@ -22,11 +22,9 @@ from nbody3d_tpu.ops.force_jnp import accel_direct
 from nbody3d_tpu.ops.integrate import INTEGRATORS
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
-    accel_pallas_turbo,
     fused_step_pallas,
     src_limbs,
     src_transposed,
-    turbo_sources,
 )
 from nbody3d_tpu.state import SimState
 
@@ -39,6 +37,8 @@ PAD_GRANULE = 256
 
 def fit_block(n: int, want: int, floor: int = 8) -> int:
     """Largest power-of-two-ish block <= want that divides n."""
+    if n <= 0:
+        raise ValueError(f"cannot fit a block into n={n}")
     b = min(want, n)
     while b > floor and n % b != 0:
         b //= 2
@@ -72,12 +72,7 @@ def make_step_fn(
     bt = fit_block(n_pad, config.block_target)
     bs = fit_block(n_pad, config.block_source)
 
-    if (
-        backend == "pallas"
-        and config.integrator == "verlet"
-        and config.fuse_integrate
-        and config.force_mode != "turbo"  # turbo has no fused variant
-    ):
+    if backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:
 
         def step(state: SimState, dt, G) -> SimState:
             p, v, a = fused_step_pallas(
@@ -94,19 +89,6 @@ def make_step_fn(
                 interpret=interpret,
             )
             return SimState(p, v, a, state.step + 1)
-
-    elif backend == "pallas" and config.force_mode == "turbo":
-
-        def step(state: SimState, dt, G) -> SimState:
-            bundle = turbo_sources(state.pos_mass, G, config.eps2)
-            acc = accel_pallas_turbo(
-                state.pos_mass,
-                *bundle,
-                block_target=bt,
-                block_source=bs,
-                interpret=interpret,
-            )
-            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "pallas":
 

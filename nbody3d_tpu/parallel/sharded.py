@@ -33,14 +33,7 @@ from nbody3d_tpu.config import SimConfig
 from nbody3d_tpu.ops import diagnostics as diag
 from nbody3d_tpu.ops.force_jnp import accel_partial
 from nbody3d_tpu.ops.integrate import apply_integrator
-from nbody3d_tpu.ops.pallas_force import (
-    accel_pallas,
-    accel_pallas_turbo,
-    src_limbs,
-    src_transposed,
-    turbo_src,
-    turbo_targets,
-)
+from nbody3d_tpu.ops.pallas_force import accel_pallas, src_limbs, src_transposed
 from nbody3d_tpu.ops.step import fit_block, resolve_backend
 from nbody3d_tpu.state import SimState
 
@@ -89,13 +82,6 @@ def make_sharded_step(
 
         No self-pair masking is needed: coincident-index pairs have zero
         separation and contribute exactly zero (ops.pallas_force docs)."""
-        if backend == "pallas" and config.force_mode == "turbo":
-            t18, tn = turbo_targets(tgt, config.eps2)
-            s18T, snT, src10 = turbo_src(src_pos_mass, G)
-            return accel_pallas_turbo(
-                tgt, t18, s18T, tn, snT, src10,
-                block_target=bt, block_source=bs_eff, interpret=interpret,
-            )
         srcT = src_transposed(src_pos_mass, G)
         if backend == "pallas":
             src10 = src_limbs(src_pos_mass, G) if fast else None

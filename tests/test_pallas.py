@@ -15,11 +15,9 @@ from nbody3d_tpu.ops.force_jnp import accel_direct
 from nbody3d_tpu.ops.integrate import verlet_step
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
-    accel_pallas_turbo,
     fused_step_pallas,
     src_limbs,
     src_transposed,
-    turbo_sources,
 )
 from nbody3d_tpu.state import init_state
 
@@ -81,32 +79,6 @@ def test_src_limbs_reconstruct():
         np.testing.assert_allclose(recon, (gm[:, 0] * pm[:, c]), rtol=1e-6, atol=1e-30)
     np.testing.assert_allclose(s10[:, 9], gm[:, 0], rtol=1e-7)
     np.testing.assert_array_equal(s10[:, 10:], 0.0)
-
-
-def test_turbo_mode_within_noise_bound(rng):
-    """Full-MXU mode: norm-expansion d2 + bf16 weights; error bounded by
-    the documented ~1%-of-softening-floor cancellation + weight noise."""
-    s = random_state(rng, 512)
-    oracle = np.asarray(accel_direct(s.pos_mass, G, eps2=EPS2))
-    bundle = turbo_sources(s.pos_mass, G, EPS2)
-    out = np.asarray(
-        accel_pallas_turbo(
-            s.pos_mass, *bundle, block_target=128, block_source=256, interpret=True
-        )
-    )
-    scale = np.abs(oracle).max()
-    assert np.abs(out - oracle).max() / scale < 2e-2
-
-
-def test_turbo_limb_matmul_reconstructs_cross_term(rng):
-    """t18 @ s18T == t . s to ~2^-24 relative."""
-    s = random_state(rng, 64)
-    t18, s18T, tn, snT, _ = turbo_sources(s.pos_mass, G, EPS2)
-    ts = np.asarray(jnp.dot(t18, s18T))
-    pos = np.asarray(s.pos_mass[:, :3], dtype=np.float64)
-    exact = pos @ pos.T
-    scale = np.abs(exact).max()
-    assert np.abs(ts - exact).max() / scale < 1e-6
 
 
 def test_single_source_block_vs_same_order_oracle(rng):

@@ -106,7 +106,7 @@ def test_sharded_diagnostics_psum(mesh):
     )
 
 
-@pytest.mark.parametrize("force_mode", ["exact", "fast", "turbo"])
+@pytest.mark.parametrize("force_mode", ["exact", "fast"])
 def test_sharded_ring_with_pallas_kernel(mesh, force_mode):
     """The ring path driving the actual Pallas kernel (interpret mode on
     CPU) — covers the src layout rebuild per hop for both force modes."""

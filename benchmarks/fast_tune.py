@@ -30,16 +30,19 @@ pm = jnp.asarray(
     ).astype(np.float32)
 )
 
-for bt, bs in [(512, 1024), (1024, 2048), (512, 2048), (2048, 2048), (256, 1024)]:
+import sys as _sys
+mode = _sys.argv[1] if len(_sys.argv) > 1 else "fast"
+shapes = [(4096, 2048), (4096, 1024), (2048, 1024), (4096, 4096)] if mode == "fast" else [(2048, 2048), (2048, 1024), (1024, 1024)]
+for bt, bs in shapes:
     try:
         @jax.jit
         def run(p, bt=bt, bs=bs):
             def body(c, _):
                 srcT = src_transposed(c, G)
-                src10 = src_limbs(c, G)
+                src10 = src_limbs(c, G) if mode == 'fast' else None
                 acc = accel_pallas(
                     c, srcT, src10, eps2=EPS2,
-                    block_target=bt, block_source=bs, mode="fast",
+                    block_target=bt, block_source=bs, mode=mode,
                 )
                 return c + acc * 1e-30, None
 
@@ -53,8 +56,8 @@ for bt, bs in [(512, 1024), (1024, 2048), (512, 2048), (2048, 2048), (256, 1024)
         jax.device_get(out[0, 0])
         el = time.perf_counter() - t0
         print(
-            f"fast bt={bt} bs={bs}: {el/K*1e3:.1f} ms/step {N*N/(el/K)/1e9:.1f} G-int/s",
+            f"{mode} bt={bt} bs={bs}: {el/K*1e3:.1f} ms/step {N*N/(el/K)/1e9:.1f} G-int/s",
             flush=True,
         )
     except Exception as e:
-        print(f"fast bt={bt} bs={bs}: FAILED {type(e).__name__} {str(e)[:100]}", flush=True)
+        print(f"{mode} bt={bt} bs={bs}: FAILED {type(e).__name__} {str(e)[:100]}", flush=True)

@@ -57,9 +57,11 @@ class SimConfig:
     eps2: float = DEFAULT_EPS2
     integrator: str = "verlet"  # "verlet" (nbody3d.js:280-283) | "euler" (:285-287)
 
-    # Kernel selection / shape.
+    # Kernel selection / shape.  Blocks tuned on v5e at N=256k
+    # (benchmarks/fast_tune.py): 2048x2048 is within 1% of the best
+    # measured for both modes; throughput plateaus beyond.
     backend: str = "auto"  # "auto" | "pallas" | "jnp"
-    block_target: int = 1024  # target-body rows per Pallas grid step (max)
+    block_target: int = 2048  # target-body rows per Pallas grid step (max)
     block_source: int = 2048  # source-body lanes per streamed tile (max)
     force_mode: str = "exact"  # "exact" (VPU f32) | "fast" (MXU bf16 weights)
     # Fusing Verlet into the force kernel is the reference's design

@@ -62,9 +62,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tuned on v5e (benchmarks/kernel_sweep.py): throughput plateaus at large
-# blocks; per-grid-step overhead (~0.4 us) makes small blocks lose.
-DEFAULT_BLOCK_TARGET = 1024
+# Tuned on v5e (benchmarks/kernel_sweep.py, benchmarks/fast_tune.py):
+# throughput plateaus at large blocks; per-grid-step overhead (~0.4 us)
+# makes small blocks lose.
+DEFAULT_BLOCK_TARGET = 2048
 DEFAULT_BLOCK_SOURCE = 2048
 _VMEM_LIMIT = 100 * 1024 * 1024
 

@@ -31,8 +31,12 @@ from nbody3d_tpu.state import SimState
 StepFn = Callable[[SimState, jax.Array, jax.Array], SimState]
 
 # Engine padding granule: n_pad is always a multiple of this, so block
-# fitting below always succeeds with reasonably large blocks.
-PAD_GRANULE = 256
+# fitting below always succeeds with FULL-SIZE blocks.  Large-block kernels
+# are ~25% faster than 256-block ones (benchmarks/fast_tune.py), and the
+# worst-case padding overhead (< granule/N extra bodies, squared) is far
+# cheaper: e.g. the reference-default N=40,002 pads to 40,960 (+4.8%
+# pair-compute) instead of dropping to 256-wide blocks.
+PAD_GRANULE = 2048
 
 
 def fit_block(n: int, want: int, floor: int = 8) -> int:

@@ -24,10 +24,12 @@ def test_pad_count():
 
 
 def test_engine_pads_to_granule():
+    from nbody3d_tpu.ops.step import PAD_GRANULE
+
     sim = make_sim(100)
     assert sim.n_real == 100
-    assert sim.n_pad == 256  # PAD_GRANULE
-    assert sim.state.pos_mass.shape == (256, 4)
+    assert sim.n_pad == PAD_GRANULE
+    assert sim.state.pos_mass.shape == (PAD_GRANULE, 4)
 
 
 def test_run_advances_steps_and_stats():

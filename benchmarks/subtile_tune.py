@@ -39,16 +39,16 @@ def make_fast_subtiled(n, bt, bs, subtiles):
         tz = tgt[:, 2:3]
         parts = []
         for s in range(subtiles):
-            sl = pl.ds(s * sub, sub)
-            dx = srcT_ref[0:1, sl] - tx
-            dy = srcT_ref[1:2, sl] - ty
-            dz = srcT_ref[2:3, sl] - tz
+            lo, hi = s * sub, (s + 1) * sub
+            dx = srcT_ref[0:1, lo:hi] - tx
+            dy = srcT_ref[1:2, lo:hi] - ty
+            dz = srcT_ref[2:3, lo:hi] - tz
             d2 = dx * dx + (dy * dy + (dz * dz + EPS2))
             inv3 = lax.rsqrt(d2 * (d2 * d2))
             parts.append(
                 jnp.dot(
                     inv3,
-                    src10_ref[sl, :],
+                    src10_ref[lo:hi, :],
                     preferred_element_type=jnp.float32,
                 )
             )

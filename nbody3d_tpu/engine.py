@@ -12,10 +12,9 @@ from __future__ import annotations
 
 import json
 import time
-from typing import Callable, Iterator
+from typing import Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nbody3d_tpu.config import SimConfig
@@ -179,18 +178,26 @@ class Simulation:
         return unpad(self.state, self.n_real)
 
     def diagnostics(self, chunk: int | None = 1024) -> diag_mod.Diagnostics:
+        """Energy/momentum diagnostics.
+
+        Computed on the *padded* device state: mass-0 padding bodies
+        contribute exactly zero to every mass-weighted sum, and padding
+        keeps the O(N^2/chunk) blocking aligned (an unchunked (N, N)
+        pair matrix would be gigabytes at the reference-default N).
+        """
         if self.mesh is not None:
             from nbody3d_tpu.parallel.sharded import make_sharded_diagnostics
 
             fn = make_sharded_diagnostics(self.config, self.n_pad, self.mesh)
             return jax.device_get(fn(self.state, self.G))
-        pos_mass, vel, _ = self.arrays()
-        if chunk is not None and self.n_real % chunk != 0:
-            chunk = None
+        from nbody3d_tpu.ops.step import fit_block
+
+        if chunk is not None:
+            chunk = fit_block(self.n_pad, chunk)
         return jax.device_get(
             diag_mod.compute(
-                jnp.asarray(pos_mass),
-                jnp.asarray(vel),
+                self.state.pos_mass,
+                self.state.vel,
                 self.G,
                 eps2=self.config.eps2,
                 chunk=chunk,

@@ -3,7 +3,6 @@
 import json
 
 import numpy as np
-import pytest
 
 from nbody3d_tpu.cli import main
 

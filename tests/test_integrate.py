@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from nbody3d_tpu.ops.integrate import euler_step, verlet_step
-from nbody3d_tpu.state import SimState, init_state
+from nbody3d_tpu.state import init_state
 
 
 def make_state(pos, vel, accel=None):

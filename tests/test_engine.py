@@ -102,3 +102,21 @@ def test_euler_integrator_engine():
     sim = make_sim(64, integrator="euler")
     sim.step(2)
     assert sim.step_count == 2
+
+
+def test_engine_with_mesh():
+    """Engine-level multi-chip path: from_preset with a mesh shards the
+    state and steps through the ring."""
+    from nbody3d_tpu.parallel.mesh import default_mesh
+
+    mesh = default_mesh(8)
+    cfg = SimConfig(backend="jnp", strategy="ring")
+    sim = Simulation.from_preset("uniform-sphere", cfg, n=100, mesh=mesh, platform="cpu")
+    assert sim.n_pad % 8 == 0
+    sim.step(2)
+    assert sim.step_count == 2
+    d = sim.diagnostics()
+    assert np.isfinite(float(d.total_energy))
+    # arrays() gathers the sharded state
+    pm, vel, acc = sim.arrays()
+    assert pm.shape == (100, 4)

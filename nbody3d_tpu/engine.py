@@ -193,7 +193,10 @@ class Simulation:
         from nbody3d_tpu.ops.step import fit_block
 
         if chunk is not None:
-            chunk = fit_block(self.n_pad, chunk)
+            # Bound the O(chunk * N) pair-matrix temporaries to ~1 GB: at
+            # N=2M an unchecked 1024-chunk would need 16 GB per temp.
+            mem_cap = max(8, (1 << 28) // max(self.n_pad, 1))
+            chunk = fit_block(self.n_pad, min(chunk, mem_cap))
         return jax.device_get(
             diag_mod.compute(
                 self.state.pos_mass,

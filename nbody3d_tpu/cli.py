@@ -37,23 +37,26 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="force the JAX platform (cpu is handy for render/convert work "
         "that doesn't need the accelerator)",
     )
+    # Defaults are None sentinels so that resuming a checkpoint keeps its
+    # saved config except for flags the user explicitly set (the reference's
+    # import likewise restores the file's G, util.js:259-262).
     p.add_argument("--dt", type=float, default=None, help="timestep (default 1e-4)")
     p.add_argument("--log-dt", type=float, default=None, help="dt = 10**value (slider semantics)")
     p.add_argument("--G", type=float, default=None, help="gravitational constant (default 1e-4)")
     p.add_argument("--log-G", type=float, default=None, help="G = 10**value (slider semantics)")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp"])
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--backend", default=None, choices=["auto", "pallas", "jnp"])
     p.add_argument(
         "--force-mode",
-        default="exact",
+        default=None,
         choices=["exact", "fast"],
         help="kernel accuracy/speed tradeoff (see ops/pallas_force.py)",
     )
-    p.add_argument("--integrator", default="verlet", choices=["verlet", "euler"])
-    p.add_argument("--block-target", type=int, default=256)
-    p.add_argument("--block-source", type=int, default=512)
+    p.add_argument("--integrator", default=None, choices=["verlet", "euler"])
+    p.add_argument("--block-target", type=int, default=None)
+    p.add_argument("--block-source", type=int, default=None)
     p.add_argument("--devices", type=int, default=1, help=">1 shards bodies over a mesh")
-    p.add_argument("--strategy", default="ring", choices=["ring", "gather"])
+    p.add_argument("--strategy", default=None, choices=["ring", "gather"])
     p.add_argument(
         "--distributed",
         action="store_true",
@@ -62,7 +65,35 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
 
 
-def _build_config(args):
+def _config_overrides(args) -> dict:
+    """The config fields the user explicitly set on the command line."""
+    ov = {}
+    if args.dt is not None:
+        ov["dt"] = args.dt
+    elif args.log_dt is not None:
+        ov["dt"] = 10.0 ** args.log_dt
+    if args.G is not None:
+        ov["G"] = args.G
+    elif args.log_G is not None:
+        ov["G"] = 10.0 ** args.log_G
+    for field, arg in [
+        ("seed", args.seed),
+        ("backend", args.backend),
+        ("force_mode", args.force_mode),
+        ("integrator", args.integrator),
+        ("block_target", args.block_target),
+        ("block_source", args.block_source),
+    ]:
+        if arg is not None:
+            ov[field] = arg
+    if getattr(args, "strategy", None) is not None:
+        ov["strategy"] = args.strategy
+    return ov
+
+
+def _build_config(args, base=None):
+    """Fresh runs: defaults + explicit flags.  Resume: the checkpoint's
+    saved config + explicit flags only (pass ``base``)."""
     if getattr(args, "platform", "auto") != "auto":
         # Must happen before the first backend use; the PJRT plugin boot in
         # this image overrides JAX_PLATFORMS env vars, so go through config.
@@ -71,23 +102,7 @@ def _build_config(args):
         jax.config.update("jax_platforms", args.platform)
     from nbody3d_tpu.config import SimConfig
 
-    dt = args.dt if args.dt is not None else (
-        10.0 ** args.log_dt if args.log_dt is not None else 1e-4
-    )
-    G = args.G if args.G is not None else (
-        10.0 ** args.log_G if args.log_G is not None else 1e-4
-    )
-    return SimConfig(
-        dt=dt,
-        G=G,
-        seed=args.seed,
-        backend=args.backend,
-        force_mode=args.force_mode,
-        integrator=args.integrator,
-        block_target=args.block_target,
-        block_source=args.block_source,
-        strategy=args.strategy,
-    )
+    return (base or SimConfig()).replace(**_config_overrides(args))
 
 
 def _build_mesh(args):
@@ -102,11 +117,28 @@ def _build_mesh(args):
     return default_mesh(args.devices)
 
 
+def _load_sim(path, args, mesh=None):
+    """Resume semantics: the checkpoint's saved config wins except for
+    flags the user explicitly set (which includes dt/G stored inside
+    reference-JSON files, re-overridden below if given on the CLI)."""
+    from nbody3d_tpu.engine import Simulation
+    from nbody3d_tpu.utils.checkpoint import peek_config
+
+    config = _build_config(args, base=peek_config(path))
+    sim = Simulation.load(path, config, mesh=mesh)
+    ov = _config_overrides(args)
+    if "dt" in ov:
+        sim.dt = ov["dt"]
+    if "G" in ov:
+        sim.G = ov["G"]
+    return sim
+
+
 def _make_sim(args, config, mesh):
     from nbody3d_tpu.engine import Simulation
 
     if getattr(args, "checkpoint", None):
-        return Simulation.load(args.checkpoint, config, mesh=mesh)
+        return _load_sim(args.checkpoint, args, mesh)
     kw = {}
     if args.preset == "reference-random":
         # The reference's run-config UI controls (index.html:68-75).
@@ -207,11 +239,10 @@ def cmd_bench(args) -> int:
 
 
 def cmd_render(args) -> int:
-    config = _build_config(args)
-    from nbody3d_tpu.engine import Simulation
+    _build_config(args)  # applies --platform before backend use
     from nbody3d_tpu.render.image import save_png
 
-    sim = Simulation.load(args.checkpoint, config)
+    sim = _load_sim(args.checkpoint, args)
     img = sim.render_frame(width=args.width, height=args.height)
     save_png(args.output, img)
     print(f"wrote {args.output}")
@@ -219,10 +250,9 @@ def cmd_render(args) -> int:
 
 
 def cmd_convert(args) -> int:
-    config = _build_config(args)
-    from nbody3d_tpu.engine import Simulation
+    _build_config(args)  # applies --platform before backend use
 
-    sim = Simulation.load(args.input, config)
+    sim = _load_sim(args.input, args)
     sim.save(args.output)
     print(f"{args.input} -> {args.output} (N={sim.n_real}, step={sim.step_count})")
     return 0
@@ -234,12 +264,11 @@ def cmd_animate(args) -> int:
     advancing physics between frames (the decoupled frame loop)."""
     import math as _math
 
-    config = _build_config(args)
-    from nbody3d_tpu.engine import Simulation
+    _build_config(args)  # applies --platform before backend use
     from nbody3d_tpu.render.image import save_png
     from nbody3d_tpu.utils.camera import ROT_SPEED, Camera
 
-    sim = Simulation.load(args.checkpoint, config)
+    sim = _load_sim(args.checkpoint, args)
     cam = Camera(target=sim.camera_target)
     os.makedirs(args.outdir, exist_ok=True)
     step_px = _math.radians(args.orbit_degrees) / max(args.frames, 1) / ROT_SPEED

@@ -102,6 +102,24 @@ def load_reference_json(path: str, config: SimConfig | None = None, *, mesh=None
     return sim
 
 
+def peek_config(path: str) -> SimConfig | None:
+    """Read just the saved :class:`SimConfig` from a checkpoint, or None
+    for reference-JSON files (which carry no config beyond G/dt)."""
+    p = str(path)
+    if p.endswith(".json"):
+        return None
+    if p.endswith(".npz"):
+        with np.load(p) as z:
+            return SimConfig.from_json(bytes(z["config_json"]).decode())
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        tree = ckptr.restore(os.path.abspath(p))
+    return SimConfig.from_json(str(tree["config_json"]))
+
+
 # -------------------------------------------------------------------- orbax
 def save_orbax(path: str, sim, camera: Camera | None = None) -> None:
     import os

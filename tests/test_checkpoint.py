@@ -114,6 +114,33 @@ def test_npz_roundtrip(tmp_path):
     assert sim2.config.integrator == sim.config.integrator
 
 
+def test_cli_resume_keeps_saved_dt(tmp_path, capsys):
+    """Resuming via the CLI without --dt keeps the checkpoint's dt; an
+    explicit --dt overrides (previously CLI defaults silently clobbered
+    the saved value)."""
+    from nbody3d_tpu.cli import main as cli_main
+
+    outdir = tmp_path / "out"
+    cli_main([
+        "run", "--preset", "uniform-sphere", "--n", "32", "--steps", "2",
+        "--dt", "2e-4", "--log-every", "2", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    capsys.readouterr()
+    # resume WITHOUT --dt: saved dt=2e-4 must survive
+    cli_main([
+        "run", "--checkpoint", str(outdir / "final.npz"), "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir / "r1"),
+    ])
+    assert "dt=0.0002" in capsys.readouterr().out
+    # resume WITH --dt: explicit value wins
+    cli_main([
+        "run", "--checkpoint", str(outdir / "final.npz"), "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir / "r2"), "--dt", "5e-4",
+    ])
+    assert "dt=0.0005" in capsys.readouterr().out
+
+
 def test_orbax_roundtrip(tmp_path):
     sim = small_sim(dt=2e-4)
     sim.step(4)

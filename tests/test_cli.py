@@ -128,6 +128,21 @@ def test_reference_random_flags(tmp_path, capsys):
     assert 33 <= n <= 63
 
 
+def test_multi_device_run(tmp_path, capsys):
+    """--devices shards the run over the (virtual) mesh via the ring."""
+    outdir = tmp_path / "out"
+    rc = run_cli([
+        "run", "--preset", "uniform-sphere", "--n", "64", "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir), "--devices", "2",
+        "--strategy", "ring", "--backend", "jnp",
+        "--block-target", "32", "--block-source", "32", "--diagnostics",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "step=2" in out and "E=" in out
+    assert (outdir / "final.npz").exists()
+
+
 def test_log_slider_semantics(capsys):
     """--log-dt/-G: dt = 10**v (util.js:38-54)."""
     rc = run_cli([

@@ -84,4 +84,14 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:
+        # Transient relay/device errors poison the in-process backend; retry
+        # once in a FRESH process (guarded against looping).
+        if os.environ.get("NBODY_BENCH_RETRIED") == "1":
+            raise
+        print(f"bench attempt failed ({type(e).__name__}: {e}); retrying fresh", file=sys.stderr)
+        time.sleep(10)
+        env = dict(os.environ, NBODY_BENCH_RETRIED="1")
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)

@@ -8,8 +8,10 @@ listeners, SURVEY C12) with subcommands:
 - ``bench``    throughput benchmark printing one JSON line
                (steps/s + G pairwise interactions/s).
 - ``render``   rasterize a checkpoint to PNG.
-- ``convert``  convert checkpoints between reference JSON and native npz
-               (the export/import buttons, ``util.js:265-274``).
+- ``animate``  orbiting-camera PNG sequence (scripted stand-in for the
+               interactive orbit controls, ``camera.js:143-168``).
+- ``convert``  convert checkpoints between reference JSON, native npz and
+               orbax (the export/import buttons, ``util.js:265-274``).
 - ``info``     platform/mesh report (the WebGPU-support check,
                ``nbody3d.js:139-155``).
 

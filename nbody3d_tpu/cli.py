@@ -245,7 +245,7 @@ def cmd_render(args) -> int:
     from nbody3d_tpu.render.image import save_png
 
     sim = _load_sim(args.checkpoint, args)
-    img = sim.render_frame(width=args.width, height=args.height)
+    img = sim.render_frame(width=args.width, height=args.height, color_mode=args.color_mode)
     save_png(args.output, img)
     print(f"wrote {args.output}")
     return 0
@@ -341,6 +341,8 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default="frame.png")
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
+    p.add_argument("--color-mode", default="magnitude", choices=["magnitude", "direction"],
+                   help="velocity magnitude colormap (nbody3d.js:380) or direction (:381)")
     _add_common(p)
     p.set_defaults(fn=cmd_render)
 

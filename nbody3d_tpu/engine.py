@@ -242,7 +242,14 @@ class Simulation:
         return checkpoint.load_orbax(path, config, mesh=mesh, platform=platform)
 
     # -------------------------------------------------------------- render
-    def render_frame(self, camera=None, *, width: int = 1024, height: int = 768):
+    def render_frame(
+        self,
+        camera=None,
+        *,
+        width: int = 1024,
+        height: int = 768,
+        color_mode: str = "magnitude",
+    ):
         """Headless point-splat frame of the current state (SURVEY P3)."""
         from nbody3d_tpu.render.rasterize import render_points
         from nbody3d_tpu.utils.camera import Camera
@@ -257,6 +264,7 @@ class Simulation:
             width=width,
             height=height,
             size_factor=self.config.size_factor,
+            color_mode=color_mode,
         )
 
     # ------------------------------------------------------------- logging

@@ -21,3 +21,13 @@ def velocity_colormap(speed: np.ndarray) -> np.ndarray:
     b = 1.0 - v
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(rgb, 0.0, 1.0)
+
+
+def direction_colormap(vel3: np.ndarray) -> np.ndarray:
+    """Color by velocity direction: ``normalize(vel) * 0.5 + 0.5`` — the
+    reference's alternate visualization (``nbody3d.js:381``).  (N, 3) in,
+    RGB in [0, 1] out; zero velocities map to mid-gray."""
+    v = np.asarray(vel3, dtype=np.float32)
+    norm = np.linalg.norm(v, axis=-1, keepdims=True)
+    unit = np.divide(v, norm, out=np.zeros_like(v), where=norm > 0)
+    return np.clip(unit * 0.5 + 0.5, 0.0, 1.0)

@@ -35,7 +35,7 @@ import math
 
 import numpy as np
 
-from nbody3d_tpu.render.colormap import velocity_colormap
+from nbody3d_tpu.render.colormap import direction_colormap, velocity_colormap
 from nbody3d_tpu.utils import mathlib
 from nbody3d_tpu.utils.camera import Camera
 
@@ -76,8 +76,13 @@ def render_points(
     size_factor: float = 1000.0,
     max_radius_px: int = 64,
     background: tuple[int, int, int] = (0, 0, 0),
+    color_mode: str = "magnitude",
 ) -> np.ndarray:
-    """Render one frame. Returns (H, W, 3) uint8."""
+    """Render one frame. Returns (H, W, 3) uint8.
+
+    ``color_mode``: "magnitude" (``nbody3d.js:380``) or "direction" (the
+    reference's alternate visualization, ``nbody3d.js:381``).
+    """
     pos = np.asarray(pos_mass, dtype=np.float64)[:, :3]
     mass = np.asarray(pos_mass, dtype=np.float64)[:, 3]
     vel3 = np.asarray(vel, dtype=np.float64)[:, :3]
@@ -108,8 +113,11 @@ def render_points(
     if idx.size == 0:
         return img
 
-    speed = np.linalg.norm(vel3[idx], axis=1)
-    rgb = (velocity_colormap(speed) * 255.0).astype(np.uint32)
+    if color_mode == "direction":
+        rgb = (direction_colormap(vel3[idx]) * 255.0).astype(np.uint32)
+    else:
+        speed = np.linalg.norm(vel3[idx], axis=1)
+        rgb = (velocity_colormap(speed) * 255.0).astype(np.uint32)
     rgb24 = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
 
     cx = np.round(px[idx]).astype(np.int64)

@@ -105,3 +105,23 @@ def test_save_png(tmp_path):
 
     back = np.asarray(Image.open(path))
     np.testing.assert_array_equal(back, img)
+
+
+def test_direction_colormap():
+    """normalize(vel)*0.5+0.5 (nbody3d.js:381)."""
+    from nbody3d_tpu.render.colormap import direction_colormap
+
+    rgb = direction_colormap(np.array([[10.0, 0, 0], [0, -5.0, 0], [0, 0, 0]]))
+    np.testing.assert_allclose(rgb[0], [1.0, 0.5, 0.5])
+    np.testing.assert_allclose(rgb[1], [0.5, 0.0, 0.5])
+    np.testing.assert_allclose(rgb[2], [0.5, 0.5, 0.5])  # zero vel -> gray
+
+
+def test_render_color_mode_direction():
+    cam = centered_camera()
+    pos_mass = np.array([[0, 0, 0, 1e6]], np.float32)
+    vel = np.array([[50.0, 0, 0, 0]], np.float32)  # +x => red-dominant
+    img = render_points(pos_mass, vel, cam, width=128, height=128,
+                        size_factor=1000.0, color_mode="direction")
+    center = img[64, 64]
+    assert center[0] == 255 and center[1] in (127, 128) and center[2] in (127, 128)

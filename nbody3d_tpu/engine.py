@@ -188,8 +188,11 @@ class Simulation:
         if self.mesh is not None:
             from nbody3d_tpu.parallel.sharded import make_sharded_diagnostics
 
-            fn = make_sharded_diagnostics(self.config, self.n_pad, self.mesh)
-            return jax.device_get(fn(self.state, self.G))
+            if not hasattr(self, "_sharded_diag"):
+                self._sharded_diag = make_sharded_diagnostics(
+                    self.config, self.n_pad, self.mesh
+                )
+            return jax.device_get(self._sharded_diag(self.state, self.G))
         from nbody3d_tpu.ops.step import fit_block
 
         if chunk is not None:

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: tiled all-pairs softened gravity with fused Verlet.
+"""Pallas TPU kernel: tiled all-pairs softened gravity (optional fused Verlet).
 
 This is the TPU-native rebuild of the reference's WGSL compute pass
 (``nbody3d.js:218-294``), redesigned for the VPU/MXU/VMEM rather than
@@ -18,8 +18,12 @@ per-thread scalar accumulator              | per-source-tile lane reduction
 in-dispatch read/write race for N > 256    | pure functional: inputs immutable,
   (SURVEY §2.3)                            |   outputs separate buffers ->
                                            |   deterministic Jacobi at all N
-fused velocity-Verlet tail                 | fused epilogue on the last source
-  (``nbody3d.js:274-290``)                 |   step; state never leaves HBM
+fused velocity-Verlet tail                 | available as a fused epilogue, but
+  (``nbody3d.js:274-290``)                 |   OFF by default: fusion measured
+                                           |   2x slower on TPU (config.py) —
+                                           |   integration runs as XLA
+                                           |   elementwise ops, state still
+                                           |   HBM-resident under lax.scan
 
 Pair math matches ``bodyAccel`` (``nbody3d.js:232-237``): ``d2 = |r|^2 +
 eps2``, ``w = G*m_j * rsqrt(d2^3)``.  The self-pair needs **no index mask**
@@ -30,20 +34,20 @@ are force-neutral because their ``G*m`` lane is 0 (the ``index < nBodies``
 source guard, ``nbody3d.js:257``); padded *targets* are frozen by the
 epilogue mask.
 
-Two accumulation modes (measured on v5e at N=128k, see
-``benchmarks/kernel_sweep.py``):
+Two accumulation modes (measured on one v5e at N=262,144 with 2048x2048
+blocks, see ``benchmarks/kernel_sweep.py`` / ``fast_tune.py``):
 
-- ``exact`` (~175 G pairs/s): everything on the VPU in f32; per source
+- ``exact`` (184.5 G pairs/s): everything on the VPU in f32; per source
   tile, ``sum(w * d, axis=lanes)`` accumulates into the output block.
-  Matches the jnp oracle to ~1 ulp.
-- ``fast``  (~230+ G pairs/s): the (BT, BS) weight matrix multiplies a
+  Matches the jnp oracle to ~1 ulp; 10k-step energy drift 7.1e-6.
+- ``fast``  (278.6 G pairs/s): the (BT, BS) weight matrix multiplies a
   source matrix on the MXU in one bf16 pass.  Sources are pre-scaled by
   ``G*m`` and split into three bf16 limbs per coordinate (~2^-24 relative),
   so coordinate cancellation — the usual bf16 killer for N-body — is
   eliminated; the only approximation is bf16 rounding of the *weights*
   (~0.4% per-pair noise, unbiased), the TPU analog of the reference
-  relying on approximate hardware ``inverseSqrt``.  Energy-drift
-  validation lives in tests/bench.
+  relying on approximate hardware ``inverseSqrt``.  10k-step energy
+  drift 4.1e-4 (bound 1e-3, benchmarks/drift_check.py).
 
 Layouts: targets/state are AoS ``(N, 4)`` float32 exactly like the
 reference's storage buffers (``nbody3d.js:132``); sources are additionally

@@ -122,6 +122,31 @@ def test_fibonacci_shell_matches_reference_formula():
     assert pos_mass[:, 3].max() <= 2000.0
 
 
+def test_galaxy_radial_cdf_matches_profile(rng):
+    """Statistical check of the radial law r(t) = cR + R(2^{-2(t-1)}-1)/3
+    with t = sqrt(U) (nbody3d.js:90-93): empirical quantiles of the sampled
+    in-plane radius must match the closed form."""
+    radius, count = 3.0, 20000
+    cfg = GalaxyConfig(radius=radius, count=count, normal=(0, 1, 0), center=(0, 0, 0))
+    pos_mass, _, _ = generate_galaxies([cfg], G=G, size_factor=1000.0, rng=rng)
+    xyz = pos_mass[1:, :3].astype(np.float64)
+    # in-plane radius (normal is +y): sqrt(x^2 + z^2) ~= planar radius
+    r_emp = np.hypot(xyz[:, 0], xyz[:, 2])
+    c_radius = float((mass_to_radius(CENTRAL_MASS) + mass_to_radius(50.0)) / 1000.0)
+
+    def r_of_t(t):
+        return c_radius + radius * (2.0 ** (-2.0 * (t - 1.0)) - 1.0) / 3.0
+
+    for q in [0.25, 0.5, 0.75]:
+        # t = sqrt(U) => quantile_q(t) = sqrt(q); r monotic decreasing in t?
+        # exponent -2(t-1): t up => exponent down => r decreasing, so the
+        # q-quantile of r corresponds to the (1-q)-quantile of t.
+        expected = r_of_t(np.sqrt(1.0 - q))
+        got = np.quantile(r_emp, q)
+        # thickness shrinks planar radius slightly; tolerance covers it
+        assert abs(got - expected) / expected < 0.02, (q, got, expected)
+
+
 def test_empty_galaxy_list_rejected():
     import pytest
 

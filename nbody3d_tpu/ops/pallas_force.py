@@ -117,9 +117,18 @@ def _accum_exact(j, out_ref, srcT_ref, tgt, eps2, bt):
 def _accum_fast(j, acc_ref, srcT_ref, src10_ref, tgt, eps2):
     """MXU path: A += inv3 @ S10 with inv3 rounded to bf16 by the MXU.
 
-    S10 columns (pre-scaled by gm = G*m, each coordinate split into three
-    bf16 limbs h/m/l): [gm*x]_hml, [gm*y]_hml, [gm*z]_hml, gm.  The final
-    accel is reassembled in the epilogue as sum(limbs) - t * sum(gm*inv3).
+    S10 columns (pre-scaled by gm = G*m, each quantity split into three
+    bf16 limbs h/m/l): [gm*x]_hml, [gm*y]_hml, [gm*z]_hml, [gm]_hml.  The
+    final accel is reassembled in the epilogue as
+    sum(position limbs) - t * sum(gm limbs).
+
+    EVERY column must be limb-split, including gm: the self-pair (and any
+    near-softening pair) cancels as ``w*(gm*x) - x*(w*gm)`` with
+    ``w ~ eps2^-1.5`` (1e6 at the default softening), so a single
+    raw-f32 gm column — rounded to bf16 by the MXU while the position
+    columns reconstruct exactly — would leave a residual of
+    ``w * x * gm * 2^-9`` ≈ O(10..100) absolute.  (Found the hard way;
+    see docs/DESIGN.md.)
     """
     _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
     inv3 = lax.rsqrt(d2 * (d2 * d2))
@@ -142,7 +151,7 @@ def _accum_fast(j, acc_ref, srcT_ref, src10_ref, tgt, eps2):
 def _fast_epilogue(acc_ref, tgt, bt):
     """(BT, 16) limb accumulator -> (BT, 4) acceleration."""
     a = acc_ref[...]
-    s = a[:, 9:10]  # sum of gm * inv3
+    s = a[:, 9:10] + a[:, 10:11] + a[:, 11:12]  # sum of gm*inv3 (gm limbs)
     ax = (a[:, 0:1] + a[:, 1:2] + a[:, 2:3]) - tgt[:, 0:1] * s
     ay = (a[:, 3:4] + a[:, 4:5] + a[:, 5:6]) - tgt[:, 1:2] * s
     az = (a[:, 6:7] + a[:, 7:8] + a[:, 8:9]) - tgt[:, 2:3] * s
@@ -237,11 +246,12 @@ def src_transposed(pos_mass: jax.Array, G) -> jax.Array:
 
 
 def src_limbs(pos_mass: jax.Array, G) -> jax.Array:
-    """(N, 16) fast-mode source matrix: per coordinate the product gm*x
-    split into three bf16 limbs (h = bf16(v), m = bf16(v-h),
-    l = v-h-m — together ~2^-24 relative), then the gm column; padded to 16
-    lanes.  Pre-splitting makes the MXU's implicit bf16 input rounding
-    lossless for everything except the per-pair weights."""
+    """(N, 16) fast-mode source matrix: gm*x per coordinate AND gm itself,
+    each split into three bf16 limbs (h = bf16(v), m = bf16(v-h),
+    l = v-h-m — together ~2^-24 relative); padded to 16 lanes.
+    Pre-splitting makes the MXU's implicit bf16 input rounding lossless
+    for everything except the per-pair weights — see
+    :func:`_accum_fast` for why gm must be split too."""
     gm = jnp.float32(G) * pos_mass[:, 3:4]
 
     def limbs(v):
@@ -253,9 +263,9 @@ def src_limbs(pos_mass: jax.Array, G) -> jax.Array:
     cols = []
     for c in range(3):
         cols.extend(limbs(gm * pos_mass[:, c : c + 1]))
-    cols.append(gm)
+    cols.extend(limbs(gm))
     n = pos_mass.shape[0]
-    cols.append(jnp.zeros((n, 6), jnp.float32))
+    cols.append(jnp.zeros((n, 4), jnp.float32))
     return jnp.concatenate(cols, axis=1)
 
 

@@ -67,7 +67,7 @@ def test_fast_mode_within_noise_bound(rng):
 
 
 def test_src_limbs_reconstruct():
-    """The three bf16 limbs reconstruct gm*x to f32 exactness."""
+    """The three bf16 limbs reconstruct gm*x AND gm to f32 exactness."""
     rng = np.random.default_rng(0)
     pm = np.concatenate(
         [rng.normal(scale=5, size=(64, 3)), rng.uniform(1, 50, (64, 1))], axis=1
@@ -77,8 +77,50 @@ def test_src_limbs_reconstruct():
     for c in range(3):
         recon = s10[:, 3 * c] + s10[:, 3 * c + 1] + s10[:, 3 * c + 2]
         np.testing.assert_allclose(recon, (gm[:, 0] * pm[:, c]), rtol=1e-6, atol=1e-30)
-    np.testing.assert_allclose(s10[:, 9], gm[:, 0], rtol=1e-7)
-    np.testing.assert_array_equal(s10[:, 10:], 0.0)
+    np.testing.assert_allclose(
+        s10[:, 9] + s10[:, 10] + s10[:, 11], gm[:, 0], rtol=1e-7
+    )
+    np.testing.assert_array_equal(s10[:, 12:], 0.0)
+
+
+def test_fast_mode_limbs_survive_mxu_bf16_rounding():
+    """Regression for the gm-column rounding bug: simulate the MXU's bf16
+    input rounding of EVERY src10 column in numpy and assert the
+    self/near-pair cancellation still holds with a huge (softening-floor)
+    weight.  Interpret mode cannot catch this — it runs dots in f32.
+    """
+    import ml_dtypes
+
+    def mxu_round(x):
+        return np.asarray(x, np.float32).astype(ml_dtypes.bfloat16).astype(np.float64)
+
+    rng = np.random.default_rng(3)
+    n = 64
+    pm = np.concatenate(
+        [rng.normal(scale=2.0, size=(n, 3)), rng.uniform(1, 50, (n, 1))], axis=1
+    ).astype(np.float32)
+    # plant a near-coincident pair (distance << softening length)
+    pm[1, :3] = pm[0, :3] + 1e-4
+    s10 = mxu_round(np.asarray(src_limbs(jnp.asarray(pm), G)))  # MXU input rounding
+    pos = pm[:, :3].astype(np.float64)
+    gm = (G * pm[:, 3]).astype(np.float64)
+    diff = pos[None, :, :] - pos[:, None, :]
+    d2 = (diff * diff).sum(-1) + EPS2
+    w = mxu_round(d2**-1.5)  # bf16-rounded weights (the documented noise)
+    # epilogue math on the rounded operands
+    A = w @ s10
+    s = A[:, 9] + A[:, 10] + A[:, 11]
+    acc = np.stack(
+        [
+            A[:, 0] + A[:, 1] + A[:, 2] - pos[:, 0] * s,
+            A[:, 3] + A[:, 4] + A[:, 5] - pos[:, 1] * s,
+            A[:, 6] + A[:, 7] + A[:, 8] - pos[:, 2] * s,
+        ],
+        axis=1,
+    )
+    oracle = np.einsum("ts,tsc->tc", gm[None, :] * d2**-1.5, diff)
+    scale = np.abs(oracle).max()
+    assert np.abs(acc - oracle).max() / scale < 6e-3
 
 
 def test_single_source_block_vs_same_order_oracle(rng):

@@ -65,7 +65,7 @@ def make_call(n, bt, bs, subtiles):
         @pl.when(j == ns_ - 1)
         def _():
             a = acc_scr[...]
-            s_ = a[:, 9:10]
+            s_ = a[:, 9:10] + a[:, 10:11] + a[:, 11:12]
             ax = (a[:, 0:1] + a[:, 1:2] + a[:, 2:3]) - tgt[:, 0:1] * s_
             ay = (a[:, 3:4] + a[:, 4:5] + a[:, 5:6]) - tgt[:, 1:2] * s_
             az = (a[:, 6:7] + a[:, 7:8] + a[:, 8:9]) - tgt[:, 2:3] * s_

@@ -217,6 +217,12 @@ def cmd_bench(args) -> int:
     mesh = _build_mesh(args)
     from nbody3d_tpu.engine import Simulation
 
+    if args.steps % args.chunk != 0:
+        raise SystemExit(
+            f"bench: --steps ({args.steps}) must be a multiple of --chunk "
+            f"({args.chunk}) — a trailing partial chunk would compile a new "
+            f"scan inside the timed region and skew the result"
+        )
     sim = Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh)
     # Warmup must use the SAME chunk length as the timed run (scan compiles
     # per static chunk length).

@@ -269,13 +269,6 @@ def src_limbs(pos_mass: jax.Array, G) -> jax.Array:
     return jnp.concatenate(cols, axis=1)
 
 
-def _coord_limbs(v):
-    h = v.astype(jnp.bfloat16).astype(jnp.float32)
-    rem = v - h
-    m = rem.astype(jnp.bfloat16).astype(jnp.float32)
-    return h, m, rem - m
-
-
 def _check_blocks(n: int, bt: int, bs: int, what: str) -> None:
     if n % bt != 0 or n % bs != 0:
         raise ValueError(

@@ -2,8 +2,10 @@
 
 ``nbody3d.js:371-372,380``: value = |vel| / 40, then
 ``rgb = (v, 1 - |v - 0.5|, 1 - v)``, implicitly clamped to [0, 1] by the
-render target.  (The color-by-direction variant at ``nbody3d.js:381`` is
-dead code; documented, not built — SURVEY C17.)
+render target.  The color-by-direction variant (dead code in the
+reference at ``nbody3d.js:381``) is implemented here as
+:func:`direction_colormap` and exposed via the CLI ``--color-mode``
+flag.
 """
 
 from __future__ import annotations

@@ -41,6 +41,12 @@ def save_reference_json(path: str, sim, camera: Camera | None = None) -> None:
     pos_mass, vel, accel = _sim_arrays(sim)
     if camera is None:
         camera = Camera(target=sim.camera_target)
+    if not sim.G > 0:
+        raise ValueError(
+            f"reference-JSON export stores G as its log10 slider value "
+            f"(util.js:200) and quantizes it to 2 decimals, which requires "
+            f"G > 0 (got {sim.G!r}); use the lossless .npz format instead"
+        )
     data = {
         "bodies": [float(v) for v in pos_mass.reshape(-1)],
         "vel": [float(v) for v in vel.reshape(-1)],
@@ -116,7 +122,16 @@ def peek_config(path: str) -> SimConfig | None:
     import orbax.checkpoint as ocp
 
     with ocp.PyTreeCheckpointer() as ckptr:
-        tree = ckptr.restore(os.path.abspath(p))
+        # Partial restore: only the config entry, not the body arrays
+        # (which can be ~100 MB at large N and are loaded again by
+        # load_orbax anyway).  transforms={} drops everything not named
+        # in the item skeleton.
+        try:
+            tree = ckptr.restore(
+                os.path.abspath(p), item={"config_json": ""}, transforms={}
+            )
+        except TypeError:  # older orbax without item/transforms kwargs
+            tree = ckptr.restore(os.path.abspath(p))
     return SimConfig.from_json(str(tree["config_json"]))
 
 

@@ -36,29 +36,37 @@ def main() -> int:
     from nbody3d_tpu.config import SimConfig
     from nbody3d_tpu.engine import Simulation
 
+    import statistics
+
     platform = jax.default_backend()
-    # Headline mode: "fast" (MXU bf16 weights) — validated against the
-    # BASELINE acceptance bound (energy drift 4.1e-4 <= 1e-3 over 10k steps
-    # at N=16k, benchmarks/drift_check.py; exact mode drifts 7.1e-6).
-    mode = os.environ.get("NBODY_BENCH_MODE", "fast")
+    # Headline mode: "sym" (symmetric Newton-3 schedule, MXU bf16 weights,
+    # self-pair index-masked, block-centered limbs + Morton ordering) —
+    # validated against the BASELINE acceptance bounds by
+    # benchmarks/drift_check.py (energy AND momentum).
+    mode = os.environ.get("NBODY_BENCH_MODE", "sym")
     if platform == "tpu":
         n = 262144
-        steps, warmup, chunk = 20, 10, 10
-        config = SimConfig(backend="pallas", force_mode=mode)
+        chunk, warm_chunks, timed_chunks = 5, 2, 6
+        config = SimConfig(backend="pallas", force_mode=mode, morton_every=64)
     else:
         n = 4096
-        steps, warmup, chunk = 6, 3, 3
+        chunk, warm_chunks, timed_chunks = 3, 1, 5
         config = SimConfig(backend="jnp")
 
     sim = Simulation.from_preset("uniform-sphere", config, n=n)
-    # Warm with the SAME chunk length as the timed run — the scan is
+    # Warm with the SAME chunk length as the timed runs — the scan is
     # compiled per static chunk length, and a cache miss inside the timed
-    # region would pollute the measurement.
-    sim.run(chunk, chunk=chunk)
-    t0 = time.perf_counter()
-    sim.run(steps, chunk=chunk)
-    elapsed = time.perf_counter() - t0
-    steps_per_s = steps / elapsed
+    # region would pollute the measurement.  (The engine syncs each chunk
+    # on a device_get of the step counter; block_until_ready is unreliable
+    # through relay backends.)
+    sim.run(warm_chunks * chunk, chunk=chunk)
+    times = []
+    for _ in range(timed_chunks):
+        t0 = time.perf_counter()
+        sim.run(chunk, chunk=chunk)
+        times.append(time.perf_counter() - t0)
+    med = statistics.median(times)
+    steps_per_s = chunk / med
     gints = sim.pair_interactions_per_step * steps_per_s / 1e9
 
     out = {
@@ -68,15 +76,19 @@ def main() -> int:
         "vs_baseline": round(gints / BASELINE_GINTS, 4),
         "details": {
             "n_bodies": sim.n_real,
-            "steps": steps,
-            "elapsed_s": round(elapsed, 4),
+            "runs": timed_chunks,
+            "steps_per_run": chunk,
+            "chunk_s": {
+                "median": round(med, 4),
+                "min": round(min(times), 4),
+                "max": round(max(times), 4),
+            },
             "steps_per_s": round(steps_per_s, 4),
             "platform": platform,
             "backend": config.backend,
             "force_mode": config.force_mode,
             "block_target": config.block_target,
             "block_source": config.block_source,
-            "energy_drift_10k_steps_16k": {"exact": 7.1e-06, "fast": 4.1e-04},
         },
     }
     print(json.dumps(out))

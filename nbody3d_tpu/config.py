@@ -63,7 +63,18 @@ class SimConfig:
     backend: str = "auto"  # "auto" | "pallas" | "jnp"
     block_target: int = 2048  # target-body rows per Pallas grid step (max)
     block_source: int = 2048  # source-body lanes per streamed tile (max)
-    force_mode: str = "exact"  # "exact" (VPU f32) | "fast" (MXU bf16 weights)
+    # "exact": all-VPU f32, ~1 ulp vs oracle.
+    # "fast": rectangular MXU bf16-weight schedule (also the multi-chip
+    #         ring's per-hop kernel).
+    # "sym":  single-chip symmetric (Newton-3) schedule — each unordered
+    #         block pair's weight chain evaluated once, two MXU dots
+    #         deliver both directions; the throughput headline.
+    force_mode: str = "exact"
+    # Re-sort bodies along the Morton (Z-order) curve every this many steps
+    # (0 = never).  Physics is order-invariant; compact blocks shrink the
+    # centered-limb accumulation error of the sym/fast MXU paths
+    # (ops/morton.py).  Applied at scan-chunk boundaries by the engine.
+    morton_every: int = 0
     # Fusing Verlet into the force kernel is the reference's design
     # (nbody3d.js:274-290) but loses on TPU: the multi-output revisited
     # epilogue halves kernel throughput (727 vs 365 ms/step at N=256k on

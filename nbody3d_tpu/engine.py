@@ -130,6 +130,7 @@ class Simulation:
             return self.state
         remaining = n_steps
         while remaining > 0:
+            self._maybe_morton_sort()
             k = min(chunk, remaining)
             t0 = time.perf_counter()
             self.state = self._run_chunk(self.state, self.dt, self.G, k)
@@ -161,6 +162,27 @@ class Simulation:
 
     def step(self, n: int = 1) -> SimState:
         return self.run(n, chunk=n)
+
+    def _maybe_morton_sort(self) -> None:
+        """Re-sort bodies along the Z-order curve every
+        ``config.morton_every`` steps (at chunk boundaries).  Keeps kernel
+        blocks spatially compact, which bounds the centered-limb
+        accumulation error of the sym/fast MXU paths (ops/morton.py);
+        physics is permutation-invariant."""
+        every = self.config.morton_every
+        if not every:
+            return
+        done = self.stats.total_steps
+        if done < getattr(self, "_next_morton", 0):
+            return
+        self._next_morton = done + every
+        from nbody3d_tpu.ops.morton import morton_reorder
+
+        p, v, a = morton_reorder(
+            self.state.pos_mass, self.state.vel, self.state.accel,
+            n_real=self.n_real,
+        )
+        self.state = SimState(p, v, a, self.state.step)
 
     @property
     def pair_interactions_per_step(self) -> int:

@@ -9,6 +9,8 @@
 - :mod:`nbody3d_tpu.ops.diagnostics` — energy/momentum conservation metrics
   (the reference has no equivalent; exports were its only inspection tool,
   SURVEY §4).
+- :mod:`nbody3d_tpu.ops.morton` — Z-order body reordering (keeps kernel
+  blocks spatially compact for the centered-limb MXU paths).
 """
 
-from nbody3d_tpu.ops import diagnostics, force_jnp, integrate  # noqa: F401
+from nbody3d_tpu.ops import diagnostics, force_jnp, integrate, morton  # noqa: F401

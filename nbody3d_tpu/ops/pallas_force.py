@@ -73,7 +73,10 @@ DEFAULT_BLOCK_TARGET = 2048
 DEFAULT_BLOCK_SOURCE = 2048
 _VMEM_LIMIT = 100 * 1024 * 1024
 
-MODES = ("exact", "fast")
+MODES = ("exact", "fast", "sym")
+
+# diag_offset sentinel: "targets and sources share no global indices".
+NO_DIAG = 1 << 30
 
 
 def _pair_diffs(tgt, srcT_ref, eps2):
@@ -114,7 +117,7 @@ def _accum_exact(j, out_ref, srcT_ref, tgt, eps2, bt):
         out_ref[...] += part
 
 
-def _accum_fast(j, acc_ref, srcT_ref, src10_ref, tgt, eps2):
+def _accum_fast(i, j, acc_ref, srcT_ref, src10_ref, tgt, eps2, bt, bs, diag_offset):
     """MXU path: A += inv3 @ S10 with inv3 rounded to bf16 by the MXU.
 
     S10 columns (pre-scaled by gm = G*m, each quantity split into three
@@ -129,23 +132,44 @@ def _accum_fast(j, acc_ref, srcT_ref, src10_ref, tgt, eps2):
     columns reconstruct exactly — would leave a residual of
     ``w * x * gm * 2^-9`` ≈ O(10..100) absolute.  (Found the hard way;
     see docs/DESIGN.md.)
+
+    Unlike exact mode, the self-pair MUST be excluded by index here (the
+    reference's ``index2 != bodyIndex`` guard, ``nbody3d.js:265``): its
+    contribution is ~0, but its softening-floor weight ``eps2**-1.5``
+    (1e6) times a heavy body's gm puts an O(1e9)-magnitude term into the
+    MXU's **f32 accumulator**, whose ulp then absorbs every real source
+    term in that row — measured 100% relative error on the galaxy
+    preset's central body (docs/DESIGN.md round-2 postmortem).  A pair is
+    a self-pair iff ``global_source_col == global_target_row +
+    diag_offset``; the masked dot only runs on grid steps whose blocks
+    straddle that diagonal, so the mask costs nothing in the steady
+    state.
     """
     _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
     inv3 = lax.rsqrt(d2 * (d2 * d2))
-    part = jnp.dot(
-        inv3,
-        src10_ref[...],
-        preferred_element_type=jnp.float32,
-        precision=lax.Precision.DEFAULT,
-    )
 
     @pl.when(j == 0)
     def _():
-        acc_ref[...] = part
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
 
-    @pl.when(j > 0)
+    row0 = i * bt + diag_offset  # target rows mapped into source-col space
+    col0 = j * bs
+    straddles = jnp.logical_and(row0 < col0 + bs, col0 < row0 + bt)
+
+    @pl.when(straddles)
     def _():
-        acc_ref[...] += part
+        rows = lax.broadcasted_iota(jnp.int32, (bt, bs), 0) + row0
+        cols = lax.broadcasted_iota(jnp.int32, (bt, bs), 1) + col0
+        w = jnp.where(rows == cols, 0.0, inv3)
+        acc_ref[...] += jnp.dot(
+            w, src10_ref[...], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(jnp.logical_not(straddles))
+    def _():
+        acc_ref[...] += jnp.dot(
+            inv3, src10_ref[...], preferred_element_type=jnp.float32
+        )
 
 
 def _fast_epilogue(acc_ref, tgt, bt):
@@ -204,7 +228,8 @@ def _fused_kernel_fast(
     j = pl.program_id(1)
     ns = pl.num_programs(1)
     tgt = tgt_ref[...]
-    _accum_fast(j, acc_scr, srcT_ref, src10_ref, tgt, eps2)
+    # Fused path is single-chip targets == sources: diag offset 0.
+    _accum_fast(i, j, acc_scr, srcT_ref, src10_ref, tgt, eps2, bt, bs, 0)
 
     @pl.when(j == ns - 1)
     def _():
@@ -225,11 +250,14 @@ def _force_kernel_exact(srcT_ref, tgt_ref, out_ref, *, eps2, bt, bs):
     _accum_exact(j, out_ref, srcT_ref, tgt_ref[...], eps2, bt)
 
 
-def _force_kernel_fast(srcT_ref, src10_ref, tgt_ref, out_ref, acc_scr, *, eps2, bt, bs):
+def _force_kernel_fast(
+    diag_ref, srcT_ref, src10_ref, tgt_ref, out_ref, acc_scr, *, eps2, bt, bs
+):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     ns = pl.num_programs(1)
     tgt = tgt_ref[...]
-    _accum_fast(j, acc_scr, srcT_ref, src10_ref, tgt, eps2)
+    _accum_fast(i, j, acc_scr, srcT_ref, src10_ref, tgt, eps2, bt, bs, diag_ref[0])
 
     @pl.when(j == ns - 1)
     def _():
@@ -373,6 +401,215 @@ def fused_step_pallas(
     return tuple(result)
 
 
+# ------------------------------------------------------- symmetric schedule
+def _limb3(v: jax.Array) -> list[jax.Array]:
+    """Three bf16 limbs of f32 ``v`` (h = bf16(v), m = bf16(v-h), l = rest);
+    each limb is exactly bf16-representable so the MXU consumes the triple
+    losslessly, and the limbs sum back to ``v`` to f32 exactness."""
+    h = v.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = v - h
+    m = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    return [h, m, rem - m]
+
+
+def sym_operands(
+    pos_mass: jax.Array, G, block: int
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """MXU operands for mode='sym': ``(s16 (N,16), t16t (16,N), cent (nt,4))``.
+
+    ``s16`` is the limb matrix of **block-centered** sources: columns 0-8
+    are three bf16 limbs each of ``gm*(x-c)``, ``gm*(y-c)``, ``gm*(z-c)``
+    with ``c`` the body's own block centroid; columns 9-11 are gm limbs;
+    12-15 zero (the kernel writes its c*W running correction there).
+    Centering shrinks the magnitudes the MXU's f32 accumulator sums from
+    O(|x|) to O(block radius) — with Morton-ordered bodies that is what
+    keeps fast-path momentum error near reduction-order (docs/DESIGN.md).
+    ``t16t`` is the same matrix transposed (the reverse-dot operand).
+    Any centroid is *algebraically* exact (the kernel adds ``c * sum(w*gm)``
+    back), so padded blocks' meaningless centroids are harmless.
+    """
+    n = pos_mass.shape[0]
+    nt = n // block
+    pos = pos_mass[:, :3]
+    cent = jnp.mean(pos.reshape(nt, block, 3), axis=1)  # (nt, 3)
+    c_per = jnp.repeat(cent, block, axis=0)  # (n, 3)
+    gm = jnp.float32(G) * pos_mass[:, 3:4]
+    cols: list[jax.Array] = []
+    for c in range(3):
+        cols.extend(_limb3(gm[:, 0] * (pos[:, c] - c_per[:, c])))
+    cols.extend(_limb3(gm[:, 0]))
+    s16 = jnp.stack(cols, axis=1)  # (n, 12)
+    s16 = jnp.concatenate([s16, jnp.zeros((n, 4), jnp.float32)], axis=1)
+    cent4 = jnp.concatenate([cent, jnp.zeros((nt, 1), jnp.float32)], axis=1)
+    return s16, s16.T, cent4
+
+
+def _sym_kernel(
+    srcT_ref, tgt_ref, s16_ref, t16t_ref, cent_ref, out_tgt_ref, out_src_ref,
+    *, eps2, b, nt,
+):
+    """One unordered block pair per grid step (Newton's third law).
+
+    Grid ``(nt, nt//2 + 1)``; step ``(i, k)`` pairs target block ``i`` with
+    source block ``j = (i + k) % nt`` — the round-robin enumeration that
+    covers every unordered pair exactly once (``k = nt/2`` is halved via
+    the ``i < nt/2`` guard; ``k = 0`` is the diagonal).  The expensive
+    per-pair weight chain (d2, cube, rsqrt — the VPU budget, docs/DESIGN.md)
+    runs ONCE per unordered pair; two standard-orientation MXU dots then
+    deliver forces to both sides:
+
+      forward:  out_tgt[i] += inv3 @ s16[j]          (BT,BS)@(BS,16)
+      reverse:  out_src[j] += t16t[:, i] @ inv3      (16,BT)@(BT,BS)
+
+    ``w_ij == w_ji`` holds *exactly* (shared bf16-rounded inv3), so the
+    pair antisymmetry the reference gets from evaluating ``bodyAccel``
+    twice (``nbody3d.js:232-237``) is preserved by construction — better:
+    the reference's two evaluations could disagree, ours cannot.
+    ``out_src`` is a VMEM-resident (nt, 16, BT) accumulator indexed
+    dynamically by ``j``; both sides carry the running ``c * sum(w*gm)``
+    correction in columns 12-14 so the epilogue can un-center.
+    """
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    j = lax.rem(i + k, nt)
+    half = nt // 2
+
+    @pl.when(jnp.logical_and(i == 0, k == 0))
+    def _():
+        out_src_ref[...] = jnp.zeros(out_src_ref.shape, out_src_ref.dtype)
+
+    @pl.when(k == 0)
+    def _():
+        out_tgt_ref[...] = jnp.zeros(out_tgt_ref.shape, out_tgt_ref.dtype)
+
+    tgt = tgt_ref[...]
+    _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
+    inv3 = lax.rsqrt(d2 * (d2 * d2))
+
+    cjx = cent_ref[j, 0]
+    cjy = cent_ref[j, 1]
+    cjz = cent_ref[j, 2]
+
+    def fwd(part):
+        wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
+        cw = jnp.concatenate(
+            [wsum * cjx, wsum * cjy, wsum * cjz, jnp.zeros_like(wsum)], axis=1
+        )
+        out_tgt_ref[...] += jnp.concatenate([part[:, :12], cw], axis=1)
+
+    @pl.when(k == 0)
+    def _():
+        # Diagonal block: one masked forward dot serves both directions of
+        # every in-block pair; the index mask kills the self-pair (see
+        # _accum_fast on why fast paths must mask it).
+        rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+        w = jnp.where(rows == cols, 0.0, inv3)
+        fwd(jnp.dot(w, s16_ref[...], preferred_element_type=jnp.float32))
+
+    if nt > 1:
+        active = jnp.logical_and(
+            k > 0, jnp.logical_or(k < half, i < half)
+        )
+
+        @pl.when(active)
+        def _():
+            fwd(jnp.dot(inv3, s16_ref[...], preferred_element_type=jnp.float32))
+            part_r = jnp.dot(
+                t16t_ref[...], inv3, preferred_element_type=jnp.float32
+            )  # (16, BT) @ (BT, BS) -> (16, BS)
+            wsum_r = part_r[9:10, :] + part_r[10:11, :] + part_r[11:12, :]
+            cix = cent_ref[i, 0]
+            ciy = cent_ref[i, 1]
+            ciz = cent_ref[i, 2]
+            cw_r = jnp.concatenate(
+                [wsum_r * cix, wsum_r * ciy, wsum_r * ciz, jnp.zeros_like(wsum_r)],
+                axis=0,
+            )
+            contrib = jnp.concatenate([part_r[:12, :], cw_r], axis=0)
+            out_src_ref[j] = out_src_ref[j] + contrib
+
+
+def sym_combine(
+    out_tgt: jax.Array, out_src: jax.Array, pos_mass: jax.Array
+) -> jax.Array:
+    """(N,16) + (nt,16,B) limb accumulators -> (N,4) accelerations.
+
+    Per body: ``a = sum(position limbs) + c*W correction - x * sum(gm limbs)``
+    summed over both sides (the algebra is linear, so the sides combine
+    before the un-centering epilogue).
+    """
+    n = pos_mass.shape[0]
+    a = out_tgt + jnp.transpose(out_src, (0, 2, 1)).reshape(n, 16)
+    s = a[:, 9] + a[:, 10] + a[:, 11]
+    ax = a[:, 0] + a[:, 1] + a[:, 2] + a[:, 12] - pos_mass[:, 0] * s
+    ay = a[:, 3] + a[:, 4] + a[:, 5] + a[:, 13] - pos_mass[:, 1] * s
+    az = a[:, 6] + a[:, 7] + a[:, 8] + a[:, 14] - pos_mass[:, 2] * s
+    return jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("eps2", "block", "interpret"))
+def accel_sym_pallas(
+    pos_mass: jax.Array,
+    G: jax.Array | float,
+    *,
+    eps2: float = 1e-4,
+    block: int = DEFAULT_BLOCK_TARGET,
+    interpret: bool = False,
+) -> jax.Array:
+    """All-pairs accelerations via the symmetric (Newton-3) schedule.
+
+    Single-chip full-square only (targets are the sources); the multi-chip
+    ring keeps the rectangular :func:`accel_pallas`.  Requires ``N %
+    block == 0`` and an even (or 1) block count.  Returns ``(N, 4)``.
+    """
+    if eps2 <= 0:
+        raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
+    n = pos_mass.shape[0]
+    if n % block != 0:
+        raise ValueError(f"sym: N={n} must be divisible by block={block}")
+    nt = n // block
+    if nt > 1 and nt % 2 != 0:
+        raise ValueError(
+            f"sym: block count {nt} must be even (round-robin pairing); "
+            f"pad N or halve the block"
+        )
+    srcT = src_transposed(pos_mass, G)
+    s16, t16t, cent = sym_operands(pos_mass, G, block)
+    nkk = nt // 2 + 1 if nt > 1 else 1
+    kernel = functools.partial(_sym_kernel, eps2=float(eps2), b=block, nt=nt)
+    out_tgt, out_src = pl.pallas_call(
+        kernel,
+        grid=(nt, nkk),
+        in_specs=[
+            pl.BlockSpec((4, block), lambda i, k: (0, (i + k) % nt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 16), lambda i, k: ((i + k) % nt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, block), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # centroids
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, 16, block), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 16), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 16, block), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n * (n // 2 + block),
+            bytes_accessed=nt * (nkk + 1) * block * 16 * 4,
+            transcendentals=n * (n // 2 + block),
+        ),
+        interpret=interpret,
+    )(srcT, pos_mass, s16, t16t, cent)
+    return sym_combine(out_tgt, out_src, pos_mass)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("eps2", "block_target", "block_source", "mode", "interpret"),
@@ -381,6 +618,7 @@ def accel_pallas(
     tgt_pos_mass: jax.Array,
     srcT: jax.Array,
     src10: jax.Array | None = None,
+    diag_offset: jax.Array | int = 0,
     *,
     eps2: float = 1e-4,
     block_target: int = DEFAULT_BLOCK_TARGET,
@@ -391,15 +629,23 @@ def accel_pallas(
     """Partial accelerations of local targets against one source shard.
 
     ``srcT`` is ``(4, N_src)`` rows ``[x, y, z, G*m]`` (:func:`src_transposed`);
-    fast mode additionally needs ``src10 = src_limbs(...)``.  No self-pair
-    masking is required: a coincident-index pair has zero separation and
-    contributes exactly zero (see module docstring).  Returns
+    fast mode additionally needs ``src10 = src_limbs(...)``.
+
+    ``diag_offset`` (traced scalar, fast mode only): a pair is a self-pair
+    iff ``source_col == target_row + diag_offset`` — 0 when targets ARE
+    the sources, ``(my_shard - src_shard) * shard`` inside the ring, or
+    :data:`NO_DIAG` when the sets are disjoint.  Exact mode needs no mask
+    (the self separation is exactly zero so its contribution is 0), but in
+    fast mode the softening-floor self *weight* corrupts the f32 MXU
+    accumulator for heavy bodies — see :func:`_accum_fast`.  Returns
     ``(N_tgt, 4)`` with zero w lane.
     """
     if eps2 <= 0:
         raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
     if mode not in MODES:
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
+    if mode == "sym":
+        raise ValueError("mode='sym' is a full-square schedule; use accel_sym_pallas")
     n_t = tgt_pos_mass.shape[0]
     n_s = srcT.shape[1]
     bt, bs = block_target, block_source
@@ -428,11 +674,13 @@ def accel_pallas(
         )(srcT, tgt_pos_mass)
     if src10 is None:
         raise ValueError("fast mode requires src10 = src_limbs(pos_mass, G)")
+    diag = jnp.reshape(jnp.asarray(diag_offset, jnp.int32), (1,))
     kernel = functools.partial(_force_kernel_fast, eps2=float(eps2), bt=bt, bs=bs)
     return pl.pallas_call(
         kernel,
         grid=(nt, n_s // bs),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # diag_offset
             pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bs, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             blk_t,
@@ -443,4 +691,4 @@ def accel_pallas(
         compiler_params=_compiler_params(),
         cost_estimate=_cost(n_t, n_s, nt),
         interpret=interpret,
-    )(srcT, src10, tgt_pos_mass)
+    )(diag, srcT, src10, tgt_pos_mass)

@@ -22,6 +22,7 @@ from nbody3d_tpu.ops.force_jnp import accel_direct
 from nbody3d_tpu.ops.integrate import INTEGRATORS
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
+    accel_sym_pallas,
     fused_step_pallas,
     src_limbs,
     src_transposed,
@@ -51,6 +52,18 @@ def fit_block(n: int, want: int, floor: int = 8) -> int:
     return b
 
 
+def fit_sym_block(n: int, want: int, floor: int = 8) -> int:
+    """Like :func:`fit_block`, but the symmetric schedule's round-robin
+    pairing additionally needs an even block count (or a single block)."""
+    b = fit_block(n, want, floor)
+    while b > floor and n // b > 1 and (n // b) % 2 != 0:
+        b //= 2
+    nt = n // b
+    if nt > 1 and nt % 2 != 0:
+        raise ValueError(f"cannot fit an even sym block count into n={n}")
+    return b
+
+
 def resolve_backend(config: SimConfig, platform: str | None = None) -> tuple[str, bool]:
     """Resolve ``config.backend`` ("auto") against the runtime platform.
     Returns ``(backend, interpret)`` where ``interpret`` runs the Pallas
@@ -76,7 +89,25 @@ def make_step_fn(
     bt = fit_block(n_pad, config.block_target)
     bs = fit_block(n_pad, config.block_source)
 
-    if backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:
+    if backend == "pallas" and config.force_mode == "sym":
+        # Symmetric (Newton-3) schedule: each unordered block pair's weight
+        # chain is evaluated once and serves both directions — the headline
+        # single-chip mode.  Integration runs as XLA elementwise ops (the
+        # fused epilogue is unfusable here: source-side partials complete
+        # only at grid end).
+        b = fit_sym_block(n_pad, config.block_target)
+
+        def step(state: SimState, dt, G) -> SimState:
+            acc = accel_sym_pallas(
+                state.pos_mass,
+                G,
+                eps2=config.eps2,
+                block=b,
+                interpret=interpret,
+            )
+            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+
+    elif backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:
 
         def step(state: SimState, dt, G) -> SimState:
             p, v, a = fused_step_pallas(

@@ -75,13 +75,21 @@ def make_sharded_step(
     backend, interpret = resolve_backend(config, platform)
     bt = fit_block(shard, config.block_target)
     bs = fit_block(shard, config.block_source)
-    fast = config.force_mode == "fast"
 
-    def local_force(tgt, src_pos_mass, G, bs_eff):
+    # The symmetric single-chip schedule doesn't decompose over the ring
+    # (it needs both blocks' outputs per pair); hops use the rectangular
+    # fast kernel instead.
+    mode = "fast" if config.force_mode == "sym" else config.force_mode
+    fast = mode == "fast"
+
+    def local_force(tgt, src_pos_mass, G, bs_eff, diag_offset):
         """Accel of local targets vs one source shard (pos_mass layout).
 
-        No self-pair masking is needed: coincident-index pairs have zero
-        separation and contribute exactly zero (ops.pallas_force docs)."""
+        ``diag_offset``: a pair is a self-pair iff ``source_col ==
+        target_row + diag_offset`` in shard-local indices.  Exact mode
+        needs no mask (zero separation => zero contribution), but the fast
+        MXU path must exclude the self-pair by index or its softening-floor
+        weight corrupts the f32 accumulator (ops.pallas_force._accum_fast)."""
         srcT = src_transposed(src_pos_mass, G)
         if backend == "pallas":
             src10 = src_limbs(src_pos_mass, G) if fast else None
@@ -89,14 +97,14 @@ def make_sharded_step(
                 tgt,
                 srcT,
                 src10,
+                diag_offset,
                 eps2=config.eps2,
                 block_target=bt,
                 block_source=bs_eff,
-                mode=config.force_mode,
+                mode=mode,
                 interpret=interpret,
             )
-        # jnp fallback: huge diag offset disables its (redundant) self-mask.
-        return accel_partial(tgt, srcT, 1 << 30, eps2=config.eps2)
+        return accel_partial(tgt, srcT, diag_offset, eps2=config.eps2)
 
     ring_perm = [(i, (i + 1) % d) for i in range(d)]
 
@@ -106,7 +114,11 @@ def make_sharded_step(
 
         if config.strategy == "gather" or d == 1:
             all_pm = lax.all_gather(pos_mass, axis, axis=0, tiled=True)  # (n_pad, 4)
-            acc = local_force(pos_mass, all_pm, G, fit_block(n_pad, config.block_source))
+            # Local row r is global my*shard + r == gathered source column.
+            acc = local_force(
+                pos_mass, all_pm, G, fit_block(n_pad, config.block_source),
+                my * shard,
+            )
         elif config.strategy == "ring":
             # Rotate the raw pos_mass shard (16 B/body over ICI); the kernel
             # input layouts (srcT / limb matrix) are recomputed locally per
@@ -116,7 +128,10 @@ def make_sharded_step(
                 # Issue the permute first: no data dependency with the force
                 # kernel on `src`, so XLA can run the ICI transfer async.
                 nxt = lax.ppermute(src, axis, ring_perm)
-                acc = acc + local_force(pos_mass, src, G, bs)
+                # After k hops this chip holds the shard of chip
+                # (my - k) mod d; self-pairs exist only at k == 0.
+                src_dev = jnp.mod(my - k, d)
+                acc = acc + local_force(pos_mass, src, G, bs, (my - src_dev) * shard)
                 return acc, nxt
 
             acc = jnp.zeros_like(pos_mass)

@@ -1,0 +1,87 @@
+"""Native (C) components, built on demand with the system compiler.
+
+The only native component with a reference-justified role (the reference
+itself is pure JS, SURVEY §2): a float32<->JSON array codec that makes
+reference-schema checkpoint export/import (util.js:160-263) practical at
+large N (~100 MB of JSON at 500k bodies).  Everything here is optional —
+callers fall back to the pure-Python path when no compiler is available.
+
+Build: compiled once into ``_fastjson.<abi>.so`` next to the source at
+first import (no pip / setuptools involvement); rebuilt automatically if
+the .c file is newer than the .so.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import subprocess
+import sys
+import sysconfig
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "_fastjson.c")
+
+
+def _so_path() -> str:
+    tag = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    return os.path.join(_DIR, "_fastjson" + tag)
+
+
+def _build() -> str | None:
+    so = _so_path()
+    try:
+        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+            return so
+        cc = os.environ.get("CC", "cc")
+        include = sysconfig.get_paths()["include"]
+        cmd = [
+            cc, "-O2", "-fPIC", "-shared", "-o", so + ".tmp", _SRC,
+            f"-I{include}",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return so
+    except Exception:
+        return None
+
+
+def _load():
+    so = _build()
+    if so is None:
+        return None
+    try:
+        spec = importlib.util.spec_from_file_location("nbody3d_tpu.native._fastjson", so)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except Exception:
+        return None
+
+
+fastjson = _load()  # None when no working compiler is present
+
+
+def dumps_f32(arr) -> bytes | None:
+    """float32 ndarray -> JSON array bytes (json.dump-identical), or None
+    when the native codec is unavailable or the data needs the slow path
+    (non-finite values have different JSON spellings)."""
+    import numpy as np
+
+    if fastjson is None:
+        return None
+    a = np.ascontiguousarray(arr, dtype="<f4")
+    if not np.isfinite(a).all():
+        return None
+    return fastjson.dumps_f32(a.reshape(-1).tobytes())
+
+
+def scan_f32(buf: bytes, start: int):
+    """Parse a JSON number array at ``buf[start] == '['``; returns
+    ``(float32 ndarray, end_index)`` or None if unavailable."""
+    import numpy as np
+
+    if fastjson is None:
+        return None
+    data, end = fastjson.scan_f32(buf, start)
+    return np.frombuffer(data, dtype="<f4"), end

@@ -548,7 +548,7 @@ def sym_combine(
     return jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("eps2", "block", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps2", "block", "interpret", "raw"))
 def accel_sym_pallas(
     pos_mass: jax.Array,
     G: jax.Array | float,
@@ -556,6 +556,7 @@ def accel_sym_pallas(
     eps2: float = 1e-4,
     block: int = DEFAULT_BLOCK_TARGET,
     interpret: bool = False,
+    raw: bool = False,
 ) -> jax.Array:
     """All-pairs accelerations via the symmetric (Newton-3) schedule.
 
@@ -607,6 +608,8 @@ def accel_sym_pallas(
         ),
         interpret=interpret,
     )(srcT, pos_mass, s16, t16t, cent)
+    if raw:  # debug: the two uncombined limb accumulators
+        return out_tgt, out_src
     return sym_combine(out_tgt, out_src, pos_mass)
 
 

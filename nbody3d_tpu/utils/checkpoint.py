@@ -47,10 +47,7 @@ def save_reference_json(path: str, sim, camera: Camera | None = None) -> None:
             f"(util.js:200) and quantizes it to 2 decimals, which requires "
             f"G > 0 (got {sim.G!r}); use the lossless .npz format instead"
         )
-    data = {
-        "bodies": [float(v) for v in pos_mass.reshape(-1)],
-        "vel": [float(v) for v in vel.reshape(-1)],
-        "accel": [float(v) for v in accel.reshape(-1)],
+    meta = {
         "camera": camera.to_dict(),
         "G": f"{math.log10(sim.G):.2f}",  # util.js:200 slider-value string
         # Additive fixes for reference gaps (ignored by the WebGPU app):
@@ -58,18 +55,84 @@ def save_reference_json(path: str, sim, camera: Camera | None = None) -> None:
         "step": sim.step_count,
         "nBodies": sim.n_real,
     }
+
+    from nbody3d_tpu import native
+
+    chunks = (
+        [native.dumps_f32(a) for a in (pos_mass, vel, accel)]
+        if native.fastjson is not None
+        else [None, None, None]
+    )
+    if all(c is not None for c in chunks):
+        # Native codec: ~20x faster than boxing 12M floats at 500k bodies;
+        # %.9g digits round-trip every float32 exactly (native/_fastjson.c).
+        # Assembled with json.dump's separators so the document is
+        # indistinguishable from the pure-Python writer apart from digit
+        # spelling.
+        with open(path, "wb") as f:
+            f.write(b'{"bodies": ' + chunks[0])
+            f.write(b', "vel": ' + chunks[1])
+            f.write(b', "accel": ' + chunks[2])
+            for k, v in meta.items():
+                f.write(b", " + json.dumps(k).encode() + b": " + json.dumps(v).encode())
+            f.write(b"}")
+        return
+    data = {
+        "bodies": [float(v) for v in pos_mass.reshape(-1)],
+        "vel": [float(v) for v in vel.reshape(-1)],
+        "accel": [float(v) for v in accel.reshape(-1)],
+        **meta,
+    }
     with open(path, "w") as f:
         json.dump(data, f)
+
+
+def _parse_fast(raw: bytes):
+    """Native-codec parse of the three state arrays (None -> fall back):
+    scan each JSON number array in place, then json-parse the small
+    remainder (camera/G/dt/...) with the arrays excised."""
+    from nbody3d_tpu import native
+
+    if native.fastjson is None:
+        return None
+    try:
+        arrays, spans = {}, []
+        for key in ("bodies", "vel", "accel"):
+            kpos = raw.find(b'"%s"' % key.encode())
+            if kpos < 0:
+                return None
+            astart = raw.index(b"[", kpos)
+            arr, end = native.scan_f32(raw, astart)
+            arrays[key] = arr
+            spans.append((astart, end))
+        spans.sort()
+        parts, prev = [], 0
+        for s, e in spans:
+            parts.append(raw[prev:s] + b"[]")
+            prev = e
+        parts.append(raw[prev:])
+        meta = json.loads(b"".join(parts))
+        return arrays, meta
+    except (ValueError, json.JSONDecodeError):
+        return None
 
 
 def parse_reference_json(path: str):
     """Parse a reference-schema file into arrays + metadata without building
     a Simulation (shared by the loader and the format-conversion CLI)."""
-    with open(path) as f:
-        data = json.load(f)
-    bodies = np.asarray(data["bodies"], dtype=np.float32).reshape(-1, 4)
-    vel = np.asarray(data["vel"], dtype=np.float32).reshape(-1, 4)
-    accel = np.asarray(data["accel"], dtype=np.float32).reshape(-1, 4)
+    with open(path, "rb") as f:
+        raw = f.read()
+    fast = _parse_fast(raw)
+    if fast is not None:
+        arrays, data = fast
+        bodies = arrays["bodies"].reshape(-1, 4)
+        vel = arrays["vel"].reshape(-1, 4)
+        accel = arrays["accel"].reshape(-1, 4)
+    else:
+        data = json.loads(raw)
+        bodies = np.asarray(data["bodies"], dtype=np.float32).reshape(-1, 4)
+        vel = np.asarray(data["vel"], dtype=np.float32).reshape(-1, 4)
+        accel = np.asarray(data["accel"], dtype=np.float32).reshape(-1, 4)
     n = bodies.shape[0]
     if vel.shape[0] != n or accel.shape[0] != n:
         raise ValueError(

@@ -172,3 +172,47 @@ def test_resume_continues_trajectory(tmp_path):
     np.testing.assert_array_equal(pA, pB)
     np.testing.assert_array_equal(vA, vB)
     np.testing.assert_array_equal(aA, aB)
+
+
+def test_native_json_codec_roundtrip(tmp_path):
+    """The C fast-JSON codec (nbody3d_tpu/native) round-trips float32
+    exactly and its documents parse as plain JSON (util.js:160-263 schema).
+    Skipped when no compiler is available (pure-Python fallback covers
+    the other tests)."""
+    from nbody3d_tpu import native
+
+    if native.fastjson is None:
+        import pytest
+
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(7)
+    a = rng.normal(scale=100, size=4096).astype(np.float32)
+    a[0], a[1], a[2] = 1.0, -0.0, 1e7
+    blob = native.dumps_f32(a)
+    parsed, end = native.scan_f32(blob, 0)
+    np.testing.assert_array_equal(parsed, a)
+    assert end == len(blob)
+    np.testing.assert_array_equal(
+        np.asarray(json.loads(blob.decode()), np.float32), a
+    )
+    # non-finite values must refuse the fast path (JSON spelling differs)
+    bad = a.copy()
+    bad[5] = np.inf
+    assert native.dumps_f32(bad) is None
+
+
+def test_native_and_python_writers_interchange(tmp_path):
+    """A file written by the native writer loads through the pure-Python
+    parser and vice versa with identical arrays."""
+    from nbody3d_tpu.utils import checkpoint as ck
+
+    sim = small_sim()
+    sim.step(2)
+    p = tmp_path / "x.json"
+    sim.save(str(p))
+    # force the pure-Python parser on the same file
+    raw = p.read_bytes()
+    data = json.loads(raw)
+    b_py = np.asarray(data["bodies"], np.float32).reshape(-1, 4)
+    b_fast, _, _, _, _, _, _ = ck.parse_reference_json(str(p))
+    np.testing.assert_array_equal(b_py, b_fast)

@@ -280,14 +280,21 @@ def cmd_animate(args) -> int:
     cam = Camera(target=sim.camera_target)
     os.makedirs(args.outdir, exist_ok=True)
     step_px = _math.radians(args.orbit_degrees) / max(args.frames, 1) / ROT_SPEED
+    frame_paths = []
     for i in range(args.frames):
         img = sim.render_frame(camera=cam, width=args.width, height=args.height)
         path = os.path.join(args.outdir, f"frame_{i:06d}.png")
         save_png(path, img)
+        frame_paths.append(path)
         cam.orbit(step_px, 0.0)
         if args.steps_per_frame:
             sim.run(args.steps_per_frame, chunk=args.steps_per_frame)
     print(f"wrote {args.frames} frames to {args.outdir}")
+    if args.video:
+        from nbody3d_tpu.render.image import save_animation
+
+        save_animation(frame_paths, args.video, fps=args.fps)
+        print(f"wrote {args.video}")
     return 0
 
 
@@ -330,6 +337,10 @@ def main(argv=None) -> int:
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--outdir", default="frames")
+    p.add_argument("--video", default=None,
+                   help="also assemble frames into this file (.gif always "
+                        "works; .mp4/.webm need ffmpeg on PATH)")
+    p.add_argument("--fps", type=float, default=30.0)
     _add_common(p)
     p.set_defaults(fn=cmd_animate)
 

@@ -85,6 +85,9 @@ class Simulation:
         # (SURVEY §5.5 — the persistent-log upgrade over the reference's
         # transient HUD spans).
         self.metrics_path: str | None = None
+        # Render-pass observability (HUD parity: render ms + camera pose).
+        self.last_render_ms: float | None = None
+        self.last_render_info: str | None = None
 
     # ------------------------------------------------------------------ run
     @classmethod
@@ -157,6 +160,9 @@ class Simulation:
             "dt": self.dt,
             "G": self.G,
         }
+        if self.last_render_ms is not None:
+            rec["render_ms"] = round(self.last_render_ms, 3)
+            rec["render_info"] = self.last_render_info
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
@@ -282,7 +288,8 @@ class Simulation:
         pos_mass, vel, _ = self.arrays()
         if camera is None:
             camera = Camera(target=self.camera_target)
-        return render_points(
+        t0 = time.perf_counter()
+        img = render_points(
             pos_mass,
             vel,
             camera,
@@ -291,6 +298,13 @@ class Simulation:
             size_factor=self.config.size_factor,
             color_mode=color_mode,
         )
+        # The HUD's separated render-pass timing + live camera pose
+        # (nbody3d.js:497-501, camera.js:73-78): renders run host-side here,
+        # so wall-clock IS the render time, reported next to the chunk's
+        # compute time in log_lines/metrics.
+        self.last_render_ms = (time.perf_counter() - t0) * 1e3
+        self.last_render_info = f"{width}x{height} {camera.describe()}"
+        return img
 
     # ------------------------------------------------------------- logging
     def log_lines(self) -> Iterator[str]:
@@ -301,3 +315,7 @@ class Simulation:
             f"Gints/s={s.gints_per_s:.2f} wall_ms/step={s.ms_per_step:.3f} "
             f"N={self.n_real} dt={self.dt:g} G={self.G:g}"
         )
+        if self.last_render_ms is not None:
+            yield (
+                f"  render_ms={self.last_render_ms:.1f} {self.last_render_info}"
+            )

@@ -413,9 +413,9 @@ def _limb3(v: jax.Array) -> list[jax.Array]:
 
 
 def sym_operands(
-    pos_mass: jax.Array, G, block: int
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """MXU operands for mode='sym': ``(s16 (N,16), t16t (16,N), cent (nt,4))``.
+    pos_mass: jax.Array, G, block: int, center: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """MXU operands for mode='sym': ``(s16 (N,16), cent (nt,4))``.
 
     ``s16`` is the limb matrix of **block-centered** sources: columns 0-8
     are three bf16 limbs each of ``gm*(x-c)``, ``gm*(y-c)``, ``gm*(z-c)``
@@ -424,14 +424,17 @@ def sym_operands(
     Centering shrinks the magnitudes the MXU's f32 accumulator sums from
     O(|x|) to O(block radius) — with Morton-ordered bodies that is what
     keeps fast-path momentum error near reduction-order (docs/DESIGN.md).
-    ``t16t`` is the same matrix transposed (the reverse-dot operand).
-    Any centroid is *algebraically* exact (the kernel adds ``c * sum(w*gm)``
-    back), so padded blocks' meaningless centroids are harmless.
+    The same matrix serves both dots (the reverse dot contracts it in TN
+    orientation), so no transposed copy exists.  Any centroid is
+    *algebraically* exact (the kernel adds ``c * sum(w*gm)`` back), so
+    padded blocks' meaningless centroids are harmless.
     """
     n = pos_mass.shape[0]
     nt = n // block
     pos = pos_mass[:, :3]
     cent = jnp.mean(pos.reshape(nt, block, 3), axis=1)  # (nt, 3)
+    if not center:  # debug/ablation: uncentered operands (fast-mode style)
+        cent = jnp.zeros_like(cent)
     c_per = jnp.repeat(cent, block, axis=0)  # (n, 3)
     gm = jnp.float32(G) * pos_mass[:, 3:4]
     cols: list[jax.Array] = []
@@ -441,11 +444,11 @@ def sym_operands(
     s16 = jnp.stack(cols, axis=1)  # (n, 12)
     s16 = jnp.concatenate([s16, jnp.zeros((n, 4), jnp.float32)], axis=1)
     cent4 = jnp.concatenate([cent, jnp.zeros((nt, 1), jnp.float32)], axis=1)
-    return s16, s16.T, cent4
+    return s16, cent4
 
 
 def _sym_kernel(
-    srcT_ref, tgt_ref, s16_ref, t16t_ref, cent_ref, out_tgt_ref, out_src_ref,
+    srcT_ref, tgt_ref, s16j_ref, s16i_ref, cent_ref, out_tgt_ref, out_src_ref,
     *, eps2, b, nt,
 ):
     """One unordered block pair per grid step (Newton's third law).
@@ -455,17 +458,23 @@ def _sym_kernel(
     covers every unordered pair exactly once (``k = nt/2`` is halved via
     the ``i < nt/2`` guard; ``k = 0`` is the diagonal).  The expensive
     per-pair weight chain (d2, cube, rsqrt — the VPU budget, docs/DESIGN.md)
-    runs ONCE per unordered pair; two standard-orientation MXU dots then
-    deliver forces to both sides:
+    runs ONCE per unordered pair; two MXU dots over the SAME weight matrix
+    then deliver forces to both sides:
 
-      forward:  out_tgt[i] += inv3 @ s16[j]          (BT,BS)@(BS,16)
-      reverse:  out_src[j] += t16t[:, i] @ inv3      (16,BT)@(BT,BS)
+      forward:  out_tgt[i] += inv3 @ s16[j]                    (B,B)@(B,16)
+      reverse:  out_src[j] += dot_general(inv3^T contraction) @ s16[i]
+
+    The reverse contraction runs in TN orientation (contract inv3's dim 0)
+    so both dots keep M = B: a plain transposed formulation with M=16
+    — ``dot(s16[i].T (16,B), inv3)`` — lowers to a low-precision
+    accumulation path on v5e and cost 4x accuracy (measured; see
+    docs/DESIGN.md round-2 notes).
 
     ``w_ij == w_ji`` holds *exactly* (shared bf16-rounded inv3), so the
     pair antisymmetry the reference gets from evaluating ``bodyAccel``
     twice (``nbody3d.js:232-237``) is preserved by construction — better:
     the reference's two evaluations could disagree, ours cannot.
-    ``out_src`` is a VMEM-resident (nt, 16, BT) accumulator indexed
+    ``out_src`` is a VMEM-resident (nt, B, 16) accumulator indexed
     dynamically by ``j``; both sides carry the running ``c * sum(w*gm)``
     correction in columns 12-14 so the epilogue can un-center.
     """
@@ -490,12 +499,12 @@ def _sym_kernel(
     cjy = cent_ref[j, 1]
     cjz = cent_ref[j, 2]
 
-    def fwd(part):
+    def with_cw(part, cx, cy, cz):
         wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
         cw = jnp.concatenate(
-            [wsum * cjx, wsum * cjy, wsum * cjz, jnp.zeros_like(wsum)], axis=1
+            [wsum * cx, wsum * cy, wsum * cz, jnp.zeros_like(wsum)], axis=1
         )
-        out_tgt_ref[...] += jnp.concatenate([part[:, :12], cw], axis=1)
+        return jnp.concatenate([part[:, :12], cw], axis=1)
 
     @pl.when(k == 0)
     def _():
@@ -505,7 +514,8 @@ def _sym_kernel(
         rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
         cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
         w = jnp.where(rows == cols, 0.0, inv3)
-        fwd(jnp.dot(w, s16_ref[...], preferred_element_type=jnp.float32))
+        part = jnp.dot(w, s16j_ref[...], preferred_element_type=jnp.float32)
+        out_tgt_ref[...] += with_cw(part, cjx, cjy, cjz)
 
     if nt > 1:
         active = jnp.logical_and(
@@ -514,33 +524,33 @@ def _sym_kernel(
 
         @pl.when(active)
         def _():
-            fwd(jnp.dot(inv3, s16_ref[...], preferred_element_type=jnp.float32))
-            part_r = jnp.dot(
-                t16t_ref[...], inv3, preferred_element_type=jnp.float32
-            )  # (16, BT) @ (BT, BS) -> (16, BS)
-            wsum_r = part_r[9:10, :] + part_r[10:11, :] + part_r[11:12, :]
+            part = jnp.dot(
+                inv3, s16j_ref[...], preferred_element_type=jnp.float32
+            )
+            out_tgt_ref[...] += with_cw(part, cjx, cjy, cjz)
+            part_r = lax.dot_general(
+                inv3,
+                s16i_ref[...],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # contract over targets -> (BS, 16)
             cix = cent_ref[i, 0]
             ciy = cent_ref[i, 1]
             ciz = cent_ref[i, 2]
-            cw_r = jnp.concatenate(
-                [wsum_r * cix, wsum_r * ciy, wsum_r * ciz, jnp.zeros_like(wsum_r)],
-                axis=0,
-            )
-            contrib = jnp.concatenate([part_r[:12, :], cw_r], axis=0)
-            out_src_ref[j] = out_src_ref[j] + contrib
+            out_src_ref[j] = out_src_ref[j] + with_cw(part_r, cix, ciy, ciz)
 
 
 def sym_combine(
     out_tgt: jax.Array, out_src: jax.Array, pos_mass: jax.Array
 ) -> jax.Array:
-    """(N,16) + (nt,16,B) limb accumulators -> (N,4) accelerations.
+    """(N,16) + (nt,B,16) limb accumulators -> (N,4) accelerations.
 
     Per body: ``a = sum(position limbs) + c*W correction - x * sum(gm limbs)``
     summed over both sides (the algebra is linear, so the sides combine
     before the un-centering epilogue).
     """
     n = pos_mass.shape[0]
-    a = out_tgt + jnp.transpose(out_src, (0, 2, 1)).reshape(n, 16)
+    a = out_tgt + out_src.reshape(n, 16)
     s = a[:, 9] + a[:, 10] + a[:, 11]
     ax = a[:, 0] + a[:, 1] + a[:, 2] + a[:, 12] - pos_mass[:, 0] * s
     ay = a[:, 3] + a[:, 4] + a[:, 5] + a[:, 13] - pos_mass[:, 1] * s
@@ -548,7 +558,10 @@ def sym_combine(
     return jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("eps2", "block", "interpret", "raw"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps2", "block", "interpret", "raw", "center"),
+)
 def accel_sym_pallas(
     pos_mass: jax.Array,
     G: jax.Array | float,
@@ -557,6 +570,7 @@ def accel_sym_pallas(
     block: int = DEFAULT_BLOCK_TARGET,
     interpret: bool = False,
     raw: bool = False,
+    center: bool = True,
 ) -> jax.Array:
     """All-pairs accelerations via the symmetric (Newton-3) schedule.
 
@@ -576,7 +590,7 @@ def accel_sym_pallas(
             f"pad N or halve the block"
         )
     srcT = src_transposed(pos_mass, G)
-    s16, t16t, cent = sym_operands(pos_mass, G, block)
+    s16, cent = sym_operands(pos_mass, G, block, center=center)
     nkk = nt // 2 + 1 if nt > 1 else 1
     kernel = functools.partial(_sym_kernel, eps2=float(eps2), b=block, nt=nt)
     out_tgt, out_src = pl.pallas_call(
@@ -586,16 +600,16 @@ def accel_sym_pallas(
             pl.BlockSpec((4, block), lambda i, k: (0, (i + k) % nt), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 4), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 16), lambda i, k: ((i + k) % nt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, block), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # centroids
         ],
         out_specs=[
             pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, 16, block), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, block, 16), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 16), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 16, block), jnp.float32),
+            jax.ShapeDtypeStruct((nt, block, 16), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -607,7 +621,7 @@ def accel_sym_pallas(
             transcendentals=n * (n // 2 + block),
         ),
         interpret=interpret,
-    )(srcT, pos_mass, s16, t16t, cent)
+    )(srcT, pos_mass, s16, s16, cent)
     if raw:  # debug: the two uncombined limb accumulators
         return out_tgt, out_src
     return sym_combine(out_tgt, out_src, pos_mass)

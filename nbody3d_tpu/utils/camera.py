@@ -134,6 +134,18 @@ class Camera:
             self.elevation = el0
             self.target = target0.copy()
 
+    def describe(self) -> str:
+        """One-line pose summary — the HUD's live camera block
+        (``camera.js:73-78``, ``index.html:36-48``) as a log field."""
+        t, p = self.target, self.position
+        return (
+            f"cam target=({t[0]:.3g},{t[1]:.3g},{t[2]:.3g}) "
+            f"pos=({p[0]:.3g},{p[1]:.3g},{p[2]:.3g}) r={self.radius:.4g} "
+            f"az={math.degrees(self.azimuth):.1f}° "
+            f"el={math.degrees(self.elevation):.1f}° "
+            f"fov={math.degrees(self.fov):.1f}°"
+        )
+
     # -------------------------------------------------------- serialization
     def to_dict(self) -> dict:
         """Reference checkpoint camera schema (``util.js:191-199``)."""

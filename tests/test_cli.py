@@ -100,14 +100,20 @@ def test_metrics_jsonl_and_animate(tmp_path, capsys):
     assert "gints_per_s" in lines[0]
 
     frames = tmp_path / "frames"
+    video = tmp_path / "orbit.gif"
     rc = run_cli([
         "animate", str(outdir / "final.npz"), "--frames", "3",
         "--orbit-degrees", "90", "--width", "48", "--height", "32",
-        "--outdir", str(frames), "--backend", "jnp",
-        "--block-target", "32", "--block-source", "32",
+        "--outdir", str(frames), "--video", str(video), "--fps", "10",
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
     ])
     assert rc == 0
     assert len(list(frames.glob("frame_*.png"))) == 3
+    # the assembled animation is a real multi-frame GIF
+    from PIL import Image
+
+    with Image.open(video) as gif:
+        assert gif.is_animated and gif.n_frames == 3
 
 
 def test_reference_random_flags(tmp_path, capsys):

@@ -125,3 +125,32 @@ def test_render_color_mode_direction():
                         size_factor=1000.0, color_mode="direction")
     center = img[64, 64]
     assert center[0] == 255 and center[1] in (127, 128) and center[2] in (127, 128)
+
+
+def test_large_splat_path_matches_offset_loop():
+    """The per-body disc fast path (r > _SMALL_MAX) must produce exactly
+    what the shared offset loop would: force all bodies down one path or
+    the other by scaling radii, same scene."""
+    from nbody3d_tpu.render import rasterize
+
+    rng = np.random.default_rng(5)
+    n = 64
+    pos_mass = np.concatenate(
+        [rng.normal(scale=1.0, size=(n, 3)), rng.uniform(1e4, 8e4, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    vel = rng.normal(size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3))
+    kw = dict(width=160, height=120, size_factor=100.0)
+    img_mixed = rasterize.render_points(pos_mass, vel, cam, **kw)
+    # force everything through the offset loop by raising the threshold
+    old = rasterize._SMALL_MAX
+    try:
+        rasterize._SMALL_MAX = 10**9
+        img_loop = rasterize.render_points(pos_mass, vel, cam, **kw)
+        rasterize._SMALL_MAX = 0  # everything through the per-body path
+        img_disc = rasterize.render_points(pos_mass, vel, cam, **kw)
+    finally:
+        rasterize._SMALL_MAX = old
+    np.testing.assert_array_equal(img_mixed, img_loop)
+    np.testing.assert_array_equal(img_mixed, img_disc)

@@ -224,7 +224,7 @@ def test_sym_momentum_under_mxu_rounding():
     order = np.argsort(np.asarray(morton_keys(jnp.asarray(pm))))
     pm = pm[order]
 
-    s16, _, cent = sym_operands(jnp.asarray(pm), G, block)
+    s16, cent = sym_operands(jnp.asarray(pm), G, block)
     s16 = _bf16(np.asarray(s16))
     cent = np.asarray(cent)
     pos = pm[:, :3].astype(np.float32)

@@ -58,7 +58,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--block-target", type=int, default=None)
     p.add_argument("--block-source", type=int, default=None)
     p.add_argument("--devices", type=int, default=1, help=">1 shards bodies over a mesh")
-    p.add_argument("--strategy", default=None, choices=["ring", "gather"])
+    p.add_argument("--strategy", default=None, choices=["ring", "gather", "2d"])
     p.add_argument(
         "--distributed",
         action="store_true",
@@ -114,6 +114,10 @@ def _build_mesh(args):
         jax.distributed.initialize()
     if args.devices <= 1:
         return None
+    if getattr(args, "strategy", None) == "2d":
+        from nbody3d_tpu.parallel.mesh import grid_mesh
+
+        return grid_mesh(n_devices=args.devices)
     from nbody3d_tpu.parallel.mesh import default_mesh
 
     return default_mesh(args.devices)

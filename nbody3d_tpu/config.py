@@ -85,7 +85,10 @@ class SimConfig:
 
     # Multi-chip.
     mesh_axis: str = "x"
-    strategy: str = "ring"  # "ring" (ppermute) | "gather" (all_gather)
+    # "ring": 1-D ppermute rotation; "gather": all_gather sources (small N);
+    # "2d": grid force decomposition over a (row, col) mesh — per-step
+    # traffic ~2N/sqrt(D) vs the ring's ~N (parallel/sharded.py).
+    strategy: str = "ring"
 
     # Misc.
     seed: int = 0

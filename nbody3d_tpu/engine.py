@@ -69,7 +69,8 @@ class Simulation:
             self._step_fn = make_sharded_step(
                 config, self.n_pad, self.n_real, mesh, platform
             )
-            self.state = shard_state(self.state, mesh, config.mesh_axis)
+            axis = None if config.strategy == "2d" else config.mesh_axis
+            self.state = shard_state(self.state, mesh, axis)
         self._run_chunk = make_scan_fn(self._step_fn)
 
         # Live-tunable runtime params (the dt/G sliders, util.js:38-54) and

@@ -86,13 +86,19 @@ def accel_partial(
     diag_offset: jax.Array | int,
     *,
     eps2: float = 1e-4,
+    diag_lo: jax.Array | int = 0,
+    diag_hi: jax.Array | int | None = None,
 ) -> jax.Array:
     """jnp twin of :func:`nbody3d_tpu.ops.pallas_force.accel_pallas`:
     accelerations of local targets against one source shard given as
     ``(4, N_src)`` rows ``[x, y, z, G*m]``.  A pair is a self-pair iff
-    ``target_row + diag_offset == source_col``.  Used as the CPU fallback of
-    the multi-chip ring/gather paths and as their correctness oracle.
-    Returns ``(N_tgt, 4)`` with zero w lane.
+    ``target_row + diag_offset == source_col`` AND the target row lies in
+    ``[diag_lo, diag_hi)`` — the range matters when the source set is a
+    concatenation of non-adjacent global pieces (the 2-D grid strategy):
+    only the piece matching the target segment contains true self-pairs,
+    and masking the unrestricted diagonal would zero real pairs.  Used as
+    the CPU fallback of the multi-chip paths and as their correctness
+    oracle.  Returns ``(N_tgt, 4)`` with zero w lane.
     """
     pos = tgt_pos_mass[:, :3]
     src_pos = srcT[:3, :].T  # (Ns, 3)
@@ -100,8 +106,12 @@ def accel_partial(
     diff = src_pos[None, :, :] - pos[:, None, :]  # (Nt, Ns, 3)
     d2 = jnp.sum(diff * diff, axis=-1) + eps2
     w = gm[None, :] * lax.rsqrt(d2 * d2 * d2)
-    rows = lax.broadcasted_iota(jnp.int32, w.shape, 0) + jnp.asarray(diag_offset, jnp.int32)
+    trows = lax.broadcasted_iota(jnp.int32, w.shape, 0)
     cols = lax.broadcasted_iota(jnp.int32, w.shape, 1)
-    w = jnp.where(rows == cols, 0.0, w)
+    is_self = trows + jnp.asarray(diag_offset, jnp.int32) == cols
+    is_self &= trows >= jnp.asarray(diag_lo, jnp.int32)
+    if diag_hi is not None:
+        is_self &= trows < jnp.asarray(diag_hi, jnp.int32)
+    w = jnp.where(is_self, 0.0, w)
     acc = jnp.einsum("ts,tsc->tc", w, diff)
     return jnp.concatenate([acc, jnp.zeros((acc.shape[0], 1), acc.dtype)], axis=1)

@@ -117,7 +117,10 @@ def _accum_exact(j, out_ref, srcT_ref, tgt, eps2, bt):
         out_ref[...] += part
 
 
-def _accum_fast(i, j, acc_ref, srcT_ref, src10_ref, tgt, eps2, bt, bs, diag_offset):
+def _accum_fast(
+    i, j, acc_ref, srcT_ref, src10_ref, tgt, eps2, bt, bs,
+    diag_offset, diag_lo=0, diag_hi=NO_DIAG,
+):
     """MXU path: A += inv3 @ S10 with inv3 rounded to bf16 by the MXU.
 
     S10 columns (pre-scaled by gm = G*m, each quantity split into three
@@ -141,9 +144,12 @@ def _accum_fast(i, j, acc_ref, srcT_ref, src10_ref, tgt, eps2, bt, bs, diag_offs
     term in that row — measured 100% relative error on the galaxy
     preset's central body (docs/DESIGN.md round-2 postmortem).  A pair is
     a self-pair iff ``global_source_col == global_target_row +
-    diag_offset``; the masked dot only runs on grid steps whose blocks
-    straddle that diagonal, so the mask costs nothing in the steady
-    state.
+    diag_offset`` AND the target row lies in ``[diag_lo, diag_hi)`` (the
+    range restricts the diagonal to the source piece that actually aliases
+    the targets — needed by the 2-D grid strategy whose source set
+    concatenates non-adjacent global pieces); the masked dot only runs on
+    grid steps whose blocks straddle that diagonal segment, so the mask
+    costs nothing in the steady state.
     """
     _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
     inv3 = lax.rsqrt(d2 * (d2 * d2))
@@ -155,12 +161,21 @@ def _accum_fast(i, j, acc_ref, srcT_ref, src10_ref, tgt, eps2, bt, bs, diag_offs
     row0 = i * bt + diag_offset  # target rows mapped into source-col space
     col0 = j * bs
     straddles = jnp.logical_and(row0 < col0 + bs, col0 < row0 + bt)
+    # ... and the target-row range [diag_lo, diag_hi) overlaps this block
+    straddles = jnp.logical_and(
+        straddles,
+        jnp.logical_and(diag_lo < (i + 1) * bt, i * bt < diag_hi),
+    )
 
     @pl.when(straddles)
     def _():
-        rows = lax.broadcasted_iota(jnp.int32, (bt, bs), 0) + row0
+        trows = lax.broadcasted_iota(jnp.int32, (bt, bs), 0) + i * bt
         cols = lax.broadcasted_iota(jnp.int32, (bt, bs), 1) + col0
-        w = jnp.where(rows == cols, 0.0, inv3)
+        is_self = jnp.logical_and(
+            trows + diag_offset == cols,
+            jnp.logical_and(trows >= diag_lo, trows < diag_hi),
+        )
+        w = jnp.where(is_self, 0.0, inv3)
         acc_ref[...] += jnp.dot(
             w, src10_ref[...], preferred_element_type=jnp.float32
         )
@@ -257,7 +272,10 @@ def _force_kernel_fast(
     j = pl.program_id(1)
     ns = pl.num_programs(1)
     tgt = tgt_ref[...]
-    _accum_fast(i, j, acc_scr, srcT_ref, src10_ref, tgt, eps2, bt, bs, diag_ref[0])
+    _accum_fast(
+        i, j, acc_scr, srcT_ref, src10_ref, tgt, eps2, bt, bs,
+        diag_ref[0], diag_ref[1], diag_ref[2],
+    )
 
     @pl.when(j == ns - 1)
     def _():
@@ -461,20 +479,24 @@ def _sym_kernel(
     runs ONCE per unordered pair; two MXU dots over the SAME weight matrix
     then deliver forces to both sides:
 
-      forward:  out_tgt[i] += inv3 @ s16[j]                    (B,B)@(B,16)
-      reverse:  out_src[j] += dot_general(inv3^T contraction) @ s16[i]
+      forward:  out_tgt[i] += inv3 @ s16[j]                      (B,B)@(B,16)
+      reverse:  out_src[j] += dot_general(s16[i], inv3, contract dim0 x dim0)
 
-    The reverse contraction runs in TN orientation (contract inv3's dim 0)
-    so both dots keep M = B: a plain transposed formulation with M=16
-    — ``dot(s16[i].T (16,B), inv3)`` — lowers to a low-precision
-    accumulation path on v5e and cost 4x accuracy (measured; see
-    docs/DESIGN.md round-2 notes).
+    The reverse contraction runs in TN orientation over the weight
+    matrix's TARGET dim, producing (16, BS) directly in the accumulator's
+    layout: a plain transposed formulation — ``dot(s16[i].T (16,B),
+    inv3)`` — lowers to a low-precision accumulation path on v5e and cost
+    4x accuracy (measured 8.8e-3 vs the 2.1e-3 weight-noise floor; see
+    docs/DESIGN.md round-2 notes).  The (nt, 16, B) accumulator layout
+    keeps B on the lane dimension — a (nt, B, 16) layout pads its 16-wide
+    minor dim to 128 lanes and 8x the VMEM (blew the 128 MB budget at
+    N=256k).
 
     ``w_ij == w_ji`` holds *exactly* (shared bf16-rounded inv3), so the
     pair antisymmetry the reference gets from evaluating ``bodyAccel``
     twice (``nbody3d.js:232-237``) is preserved by construction — better:
     the reference's two evaluations could disagree, ours cannot.
-    ``out_src`` is a VMEM-resident (nt, B, 16) accumulator indexed
+    ``out_src`` is a VMEM-resident (nt, 16, B) accumulator indexed
     dynamically by ``j``; both sides carry the running ``c * sum(w*gm)``
     correction in columns 12-14 so the epilogue can un-center.
     """
@@ -529,28 +551,35 @@ def _sym_kernel(
             )
             out_tgt_ref[...] += with_cw(part, cjx, cjy, cjz)
             part_r = lax.dot_general(
-                inv3,
                 s16i_ref[...],
+                inv3,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # contract over targets -> (BS, 16)
+            )  # contract over targets -> (16, BS)
+            wsum_r = part_r[9:10, :] + part_r[10:11, :] + part_r[11:12, :]
             cix = cent_ref[i, 0]
             ciy = cent_ref[i, 1]
             ciz = cent_ref[i, 2]
-            out_src_ref[j] = out_src_ref[j] + with_cw(part_r, cix, ciy, ciz)
+            cw_r = jnp.concatenate(
+                [wsum_r * cix, wsum_r * ciy, wsum_r * ciz, jnp.zeros_like(wsum_r)],
+                axis=0,
+            )
+            out_src_ref[j] = out_src_ref[j] + jnp.concatenate(
+                [part_r[:12, :], cw_r], axis=0
+            )
 
 
 def sym_combine(
     out_tgt: jax.Array, out_src: jax.Array, pos_mass: jax.Array
 ) -> jax.Array:
-    """(N,16) + (nt,B,16) limb accumulators -> (N,4) accelerations.
+    """(N,16) + (nt,16,B) limb accumulators -> (N,4) accelerations.
 
     Per body: ``a = sum(position limbs) + c*W correction - x * sum(gm limbs)``
     summed over both sides (the algebra is linear, so the sides combine
     before the un-centering epilogue).
     """
     n = pos_mass.shape[0]
-    a = out_tgt + out_src.reshape(n, 16)
+    a = out_tgt + jnp.transpose(out_src, (0, 2, 1)).reshape(n, 16)
     s = a[:, 9] + a[:, 10] + a[:, 11]
     ax = a[:, 0] + a[:, 1] + a[:, 2] + a[:, 12] - pos_mass[:, 0] * s
     ay = a[:, 3] + a[:, 4] + a[:, 5] + a[:, 13] - pos_mass[:, 1] * s
@@ -605,11 +634,11 @@ def accel_sym_pallas(
         ],
         out_specs=[
             pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, block, 16), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nt, 16, block), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 16), jnp.float32),
-            jax.ShapeDtypeStruct((nt, block, 16), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 16, block), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -642,6 +671,8 @@ def accel_pallas(
     block_source: int = DEFAULT_BLOCK_SOURCE,
     mode: str = "exact",
     interpret: bool = False,
+    diag_lo: jax.Array | int = 0,
+    diag_hi: jax.Array | int = NO_DIAG,
 ) -> jax.Array:
     """Partial accelerations of local targets against one source shard.
 
@@ -649,13 +680,16 @@ def accel_pallas(
     fast mode additionally needs ``src10 = src_limbs(...)``.
 
     ``diag_offset`` (traced scalar, fast mode only): a pair is a self-pair
-    iff ``source_col == target_row + diag_offset`` — 0 when targets ARE
-    the sources, ``(my_shard - src_shard) * shard`` inside the ring, or
-    :data:`NO_DIAG` when the sets are disjoint.  Exact mode needs no mask
-    (the self separation is exactly zero so its contribution is 0), but in
-    fast mode the softening-floor self *weight* corrupts the f32 MXU
-    accumulator for heavy bodies — see :func:`_accum_fast`.  Returns
-    ``(N_tgt, 4)`` with zero w lane.
+    iff ``source_col == target_row + diag_offset`` AND the target row lies
+    in ``[diag_lo, diag_hi)`` — 0 / full range when targets ARE the
+    sources, ``(my_shard - src_shard) * shard`` inside the ring,
+    :data:`NO_DIAG` when the sets are disjoint, or a piece-restricted
+    range under the 2-D grid decomposition (whose source set concatenates
+    non-adjacent global pieces, so the unrestricted diagonal would alias
+    real pairs).  Exact mode needs no mask (the self separation is exactly
+    zero so its contribution is 0), but in fast mode the softening-floor
+    self *weight* corrupts the f32 MXU accumulator for heavy bodies — see
+    :func:`_accum_fast`.  Returns ``(N_tgt, 4)`` with zero w lane.
     """
     if eps2 <= 0:
         raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
@@ -691,7 +725,13 @@ def accel_pallas(
         )(srcT, tgt_pos_mass)
     if src10 is None:
         raise ValueError("fast mode requires src10 = src_limbs(pos_mass, G)")
-    diag = jnp.reshape(jnp.asarray(diag_offset, jnp.int32), (1,))
+    diag = jnp.stack(
+        [
+            jnp.asarray(diag_offset, jnp.int32),
+            jnp.asarray(diag_lo, jnp.int32),
+            jnp.asarray(diag_hi, jnp.int32),
+        ]
+    )
     kernel = functools.partial(_force_kernel_fast, eps2=float(eps2), bt=bt, bs=bs)
     return pl.pallas_call(
         kernel,

@@ -21,6 +21,31 @@ def default_mesh(n_devices: int | None = None, axis: str = "x") -> jax.sharding.
     return jax.make_mesh((n_devices,), (axis,), devices=devices[:n_devices])
 
 
+def grid_mesh(
+    rows: int | None = None,
+    cols: int | None = None,
+    axes: tuple[str, str] = ("row", "col"),
+    n_devices: int | None = None,
+) -> jax.sharding.Mesh:
+    """2-D (rows x cols) mesh for the grid force decomposition (strategy
+    '2d', SURVEY §2.2's TP-analog).  With no shape given, picks the most
+    square factorization of the device count — per-step traffic scales with
+    N/rows + N/cols, so square minimizes it (~2N/sqrt(D) vs the ring's N).
+    """
+    devices = jax.devices()
+    d = n_devices if n_devices is not None else len(devices)
+    if d > len(devices):
+        raise ValueError(f"requested {d} devices, have {len(devices)}")
+    if rows is None or cols is None:
+        rows = int(d**0.5)
+        while d % rows != 0:
+            rows -= 1
+        cols = d // rows
+    if rows * cols != d:
+        raise ValueError(f"mesh {rows}x{cols} != {d} devices")
+    return jax.make_mesh((rows, cols), axes, devices=devices[:d])
+
+
 def mesh_info() -> dict:
     """Platform/device info — the framework's answer to the reference's
     adapter feature negotiation + unsupported-browser fallback

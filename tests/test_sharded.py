@@ -140,3 +140,66 @@ def test_determinism_across_shardings(mesh):
     out2 = jax.jit(step)(shard_state(s, mesh, "x"), DT, G)
     np.testing.assert_array_equal(np.asarray(out1.pos_mass), np.asarray(out2.pos_mass))
     np.testing.assert_array_equal(np.asarray(out1.accel), np.asarray(out2.accel))
+
+
+# ------------------------------------------------------ 2-D grid strategy
+@pytest.fixture(scope="module")
+def mesh2d():
+    from nbody3d_tpu.parallel.mesh import grid_mesh
+
+    return grid_mesh(2, 4)
+
+
+def test_grid2d_matches_single_device(mesh2d):
+    n = 512
+    cfg = SimConfig(backend="jnp", block_target=64, block_source=64, strategy="2d")
+    s = random_state(0, n)
+    ref = make_step_fn(cfg.replace(strategy="ring"), n, n, "cpu")(s, DT, G)
+    step = make_sharded_step(cfg, n, n, mesh2d, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh2d), DT, G)
+    np.testing.assert_allclose(
+        np.asarray(out.pos_mass), np.asarray(ref.pos_mass), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.accel), np.asarray(ref.accel), rtol=1e-4, atol=1e-6
+    )
+    assert int(out.step) == 1
+
+
+def test_grid2d_with_padding_and_pallas(mesh2d):
+    """2-D tile force with the real kernel (interpret) + the single-diagonal
+    self-mask at offset (r - c) * m, with padded tail rows frozen."""
+    n, n_pad = 400, 512
+    cfg = SimConfig(
+        backend="pallas", force_mode="fast",
+        block_target=32, block_source=32, strategy="2d",
+    )
+    s = random_state(2, n, n_pad=n_pad)
+    ref = make_step_fn(SimConfig(backend="jnp"), n_pad, n, "cpu")(s, DT, G)
+    step = make_sharded_step(cfg, n_pad, n, mesh2d, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh2d), DT, G)
+    pos = np.asarray(jax.device_get(out.pos_mass))
+    np.testing.assert_allclose(pos[:n], np.asarray(ref.pos_mass)[:n], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(pos[n:], np.zeros((n_pad - n, 4)))
+    a, r = np.asarray(out.accel)[:n], np.asarray(ref.accel)[:n]
+    assert np.abs(a - r).max() / np.abs(r).max() < 2e-2
+
+
+def test_grid2d_multi_step_and_diagnostics(mesh2d):
+    n = 256
+    cfg = SimConfig(backend="jnp", block_target=32, block_source=32, strategy="2d")
+    s = random_state(1, n)
+    step1 = make_step_fn(cfg.replace(strategy="ring"), n, n, "cpu")
+    ref = make_scan_fn(step1)(jax.tree.map(jnp.copy, s), DT, G, 10)
+    stepD = make_sharded_step(cfg, n, n, mesh2d, "cpu")
+    out = make_scan_fn(stepD)(shard_state(s, mesh2d), DT, G, 10)
+    np.testing.assert_allclose(
+        np.asarray(out.pos_mass), np.asarray(ref.pos_mass), rtol=1e-5, atol=1e-6
+    )
+    # diagnostics reduce over both mesh axes
+    s2 = random_state(3, 512)
+    fn = make_sharded_diagnostics(cfg, 512, mesh2d)
+    d = fn(shard_state(s2, mesh2d), G)
+    d0 = diag_mod.compute(s2.pos_mass, s2.vel, G, eps2=cfg.eps2)
+    np.testing.assert_allclose(float(d.kinetic), float(d0.kinetic), rtol=1e-5)
+    np.testing.assert_allclose(float(d.potential), float(d0.potential), rtol=1e-5)

@@ -268,6 +268,12 @@ def _force_kernel_exact(srcT_ref, tgt_ref, out_ref, *, eps2, bt, bs):
 def _force_kernel_fast(
     diag_ref, srcT_ref, src10_ref, tgt_ref, out_ref, acc_scr, *, eps2, bt, bs
 ):
+    """Traced-diagonal variant: used when the self-pair diagonal's position
+    is only known at runtime (2-D grid / gather shardings, where it depends
+    on ``lax.axis_index``).  The conditional masked/unmasked dot pair costs
+    ~30% throughput vs the condition-free kernels below (Mosaic pipelines
+    predicated dots poorly) — statically-known diagonals take the split
+    path in :func:`accel_pallas` instead."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     ns = pl.num_programs(1)
@@ -280,6 +286,56 @@ def _force_kernel_fast(
     @pl.when(j == ns - 1)
     def _():
         out_ref[...] = _fast_epilogue(acc_scr, tgt, bt)
+
+
+def _force_kernel_fast_nomask(
+    srcT_ref, src10_ref, tgt_ref, out_ref, acc_scr, *, eps2, bt, bs
+):
+    """Condition-free fast kernel: no self-pairs anywhere in this grid
+    (disjoint target/source sets, or the diagonal block is handled by the
+    separate :func:`_force_kernel_fast_diag` call).  One unconditional dot
+    per grid step — the full-throughput path."""
+    j = pl.program_id(1)
+    ns = pl.num_programs(1)
+    tgt = tgt_ref[...]
+    _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
+    inv3 = lax.rsqrt(d2 * (d2 * d2))
+    part = jnp.dot(inv3, src10_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        acc_scr[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_scr[...] += part
+
+    @pl.when(j == ns - 1)
+    def _():
+        out_ref[...] = _fast_epilogue(acc_scr, tgt, bt)
+
+
+def _force_kernel_fast_diag(
+    srcT_ref, src10_ref, tgt_ref, out_ref, *, eps2, bt, bs, off, lo, hi
+):
+    """Diagonal-block companion of :func:`_force_kernel_fast_nomask`: grid
+    (nt,), one always-masked dot per target block against its single
+    diagonal-straddling source block (static offset).  Outputs this
+    partial's epilogue; the fast epilogue is linear in the accumulator, so
+    the two calls' (N, 4) outputs simply add."""
+    i = pl.program_id(0)
+    tgt = tgt_ref[...]
+    _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
+    inv3 = lax.rsqrt(d2 * (d2 * d2))
+    trows = lax.broadcasted_iota(jnp.int32, (bt, bs), 0) + i * bt
+    jd = (i * bt + off) // bs
+    cols = lax.broadcasted_iota(jnp.int32, (bt, bs), 1) + jd * bs
+    is_self = jnp.logical_and(
+        trows + off == cols, jnp.logical_and(trows >= lo, trows < hi)
+    )
+    w = jnp.where(is_self, 0.0, inv3)
+    part = jnp.dot(w, src10_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = _fast_epilogue(part, tgt, bt)
 
 
 # --------------------------------------------------------------- host prep
@@ -725,6 +781,88 @@ def accel_pallas(
         )(srcT, tgt_pos_mass)
     if src10 is None:
         raise ValueError("fast mode requires src10 = src_limbs(pos_mass, G)")
+    ns = n_s // bs
+    static_diag = (
+        isinstance(diag_offset, int)
+        and isinstance(diag_lo, int)
+        and isinstance(diag_hi, int)
+    )
+
+    def nomask_call(grid_j, src_idx_map):
+        kernel = functools.partial(
+            _force_kernel_fast_nomask, eps2=float(eps2), bt=bt, bs=bs
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nt, grid_j),
+            in_specs=[
+                pl.BlockSpec((4, bs), lambda i, j: (0, src_idx_map(i, j)), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs, 16), lambda i, j: (src_idx_map(i, j), 0), memory_space=pltpu.VMEM),
+                blk_t,
+            ],
+            out_specs=blk_out,
+            out_shape=jax.ShapeDtypeStruct((n_t, 4), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bt, 16), jnp.float32)],
+            compiler_params=_compiler_params(),
+            cost_estimate=_cost(n_t, n_s, nt),
+            interpret=interpret,
+        )(srcT, src10, tgt_pos_mass)
+
+    if static_diag:
+        # Diagonal position known at compile time: condition-free kernels
+        # (the conditional masked/unmasked dot pair costs ~30% throughput).
+        t_lo, t_hi = max(0, diag_lo), min(n_t, diag_hi)
+        no_self = (
+            t_lo >= t_hi  # empty target range
+            or t_hi + diag_offset <= 0  # diagonal left of the source cols
+            or t_lo + diag_offset >= n_s  # ... or right of them
+        )
+        if no_self:
+            return nomask_call(ns, lambda i, j: j)
+        # Split needs every row's diagonal inside ONE in-range source block.
+        splittable = (
+            diag_offset % bs == 0
+            and bt <= bs
+            and diag_offset >= 0
+            and diag_offset + n_t <= n_s
+        )
+        if splittable:
+            # main call skips each row's single diagonal-straddling source
+            # block via grid remap; the diag call covers it with one
+            # always-masked dot.  The fast epilogue is linear in the
+            # accumulator, so the two (N, 4) outputs add exactly.
+            off = diag_offset
+            diag_kernel = functools.partial(
+                _force_kernel_fast_diag,
+                eps2=float(eps2), bt=bt, bs=bs,
+                off=off, lo=diag_lo, hi=min(diag_hi, n_t),
+            )
+            diag_part = pl.pallas_call(
+                diag_kernel,
+                grid=(nt,),
+                in_specs=[
+                    pl.BlockSpec((4, bs), lambda i: (0, (i * bt + off) // bs), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bs, 16), lambda i: ((i * bt + off) // bs, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bt, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((n_t, 4), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                    vmem_limit_bytes=_VMEM_LIMIT,
+                ),
+                cost_estimate=_cost(n_t, bs, nt),
+                interpret=interpret,
+            )(srcT, src10, tgt_pos_mass)
+            if ns == 1:
+                return diag_part  # the diagonal block was everything
+            jd = lambda i: (i * bt + off) // bs  # noqa: E731
+            main = nomask_call(
+                ns - 1, lambda i, j: j + jnp.where(j >= jd(i), 1, 0)
+            )
+            return main + diag_part
+        # fall through: static but unaligned diagonal -> traced kernel
+
     diag = jnp.stack(
         [
             jnp.asarray(diag_offset, jnp.int32),
@@ -735,9 +873,9 @@ def accel_pallas(
     kernel = functools.partial(_force_kernel_fast, eps2=float(eps2), bt=bt, bs=bs)
     return pl.pallas_call(
         kernel,
-        grid=(nt, n_s // bs),
+        grid=(nt, ns),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # diag_offset
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # diag_offset, lo, hi
             pl.BlockSpec((4, bs), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bs, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             blk_t,

@@ -39,6 +39,12 @@ StepFn = Callable[[SimState, jax.Array, jax.Array], SimState]
 # pair-compute) instead of dropping to 256-wide blocks.
 PAD_GRANULE = 2048
 
+# The sym schedule keeps a (nt, 16, B) = N*64-byte accumulator resident in
+# VMEM; beyond this body count that plus the (B, B) temporaries exceeds the
+# v5e's 128 MB, so huge single-chip runs fall back to the rectangular fast
+# kernel (multi-chip shards never hit this: per-shard N/D is small).
+SYM_MAX_N = 768 * 1024
+
 
 def fit_block(n: int, want: int, floor: int = 8) -> int:
     """Largest power-of-two-ish block <= want that divides n."""
@@ -89,7 +95,11 @@ def make_step_fn(
     bt = fit_block(n_pad, config.block_target)
     bs = fit_block(n_pad, config.block_source)
 
-    if backend == "pallas" and config.force_mode == "sym":
+    force_mode = config.force_mode
+    if force_mode == "sym" and n_pad > SYM_MAX_N:
+        force_mode = "fast"
+
+    if backend == "pallas" and force_mode == "sym":
         # Symmetric (Newton-3) schedule: each unordered block pair's weight
         # chain is evaluated once and serves both directions — the headline
         # single-chip mode.  Integration runs as XLA elementwise ops (the
@@ -120,7 +130,7 @@ def make_step_fn(
                 n_real=n_real,
                 block_target=bt,
                 block_source=bs,
-                mode=config.force_mode,
+                mode=force_mode,
                 interpret=interpret,
             )
             return SimState(p, v, a, state.step + 1)
@@ -129,7 +139,7 @@ def make_step_fn(
 
         def step(state: SimState, dt, G) -> SimState:
             srcT = src_transposed(state.pos_mass, G)
-            src10 = src_limbs(state.pos_mass, G) if config.force_mode == "fast" else None
+            src10 = src_limbs(state.pos_mass, G) if force_mode == "fast" else None
             acc = accel_pallas(
                 state.pos_mass,
                 srcT,
@@ -137,7 +147,7 @@ def make_step_fn(
                 eps2=config.eps2,
                 block_target=bt,
                 block_source=bs,
-                mode=config.force_mode,
+                mode=force_mode,
                 interpret=interpret,
             )
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)

@@ -33,7 +33,12 @@ from nbody3d_tpu.config import SimConfig
 from nbody3d_tpu.ops import diagnostics as diag
 from nbody3d_tpu.ops.force_jnp import accel_partial
 from nbody3d_tpu.ops.integrate import apply_integrator
-from nbody3d_tpu.ops.pallas_force import accel_pallas, src_limbs, src_transposed
+from nbody3d_tpu.ops.pallas_force import (
+    NO_DIAG,
+    accel_pallas,
+    src_limbs,
+    src_transposed,
+)
 from nbody3d_tpu.ops.step import fit_block, resolve_backend
 from nbody3d_tpu.state import SimState
 
@@ -131,26 +136,31 @@ def make_sharded_step(
         elif config.strategy == "ring":
             # Rotate the raw pos_mass shard (16 B/body over ICI); the kernel
             # input layouts (srcT / limb matrix) are recomputed locally per
-            # hop — O(shard) work vs O(shard^2) force math.
-            def ring_body(k, carry):
+            # hop — O(shard) work vs O(shard^2) force math.  Self-pairs
+            # exist only at hop 0 (the resident shard against itself), so
+            # hop 0 uses the statically-masked kernel split and every later
+            # hop the condition-free NO_DIAG kernel — both full-throughput
+            # paths (ops.pallas_force: conditional masked dots cost ~30%).
+            def ring_body(diag, carry):
                 acc, src = carry
                 # Issue the permute first: no data dependency with the force
                 # kernel on `src`, so XLA can run the ICI transfer async.
                 nxt = lax.ppermute(src, axis, ring_perm)
-                # After k hops this chip holds the shard of chip
-                # (my - k) mod d; self-pairs exist only at k == 0.
-                src_dev = jnp.mod(my - k, d)
-                acc = acc + local_force(pos_mass, src, G, bs, (my - src_dev) * shard)
+                acc = acc + local_force(pos_mass, src, G, bs, diag)
                 return acc, nxt
 
             acc = jnp.zeros_like(pos_mass)
             if d <= _MAX_UNROLL:
                 carry = (acc, pos_mass)
                 for k in range(d):
-                    carry = ring_body(jnp.int32(k), carry)
+                    carry = ring_body(0 if k == 0 else NO_DIAG, carry)
                 acc = carry[0]
             else:
-                acc, _ = lax.fori_loop(0, d, ring_body, (acc, pos_mass))
+                # rolled fallback: hop 0 (the only masked one) outside the loop
+                carry = ring_body(0, (acc, pos_mass))
+                acc, _ = lax.fori_loop(
+                    1, d, lambda k, c: ring_body(NO_DIAG, c), carry
+                )
         else:
             raise ValueError(f"unknown strategy {config.strategy!r}")
 

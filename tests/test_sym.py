@@ -326,3 +326,20 @@ def test_engine_morton_hook(rng):
     d = sim.diagnostics()
     assert np.isfinite(d.total_energy)
     assert sim.step_count == 8
+
+
+def test_sym_huge_n_falls_back_to_fast(rng, monkeypatch):
+    """Beyond SYM_MAX_N the sym accumulator would blow VMEM; make_step_fn
+    silently uses the rectangular fast kernel instead (same physics)."""
+    import nbody3d_tpu.ops.step as step_mod
+
+    cfg = SimConfig(backend="pallas", force_mode="sym", block_target=128)
+    n = 512
+    pm = galaxy_like(rng, n, heavy=False)
+    vel = np.zeros((n, 4), np.float32)
+    s = init_state(pm, vel, n_pad=n)
+    monkeypatch.setattr(step_mod, "SYM_MAX_N", 256)  # force the fallback
+    out = step_mod.make_step_fn(cfg, n, n, platform="cpu")(s, 1e-4, G)
+    cfg_fast = cfg.replace(force_mode="fast")
+    ref = step_mod.make_step_fn(cfg_fast, n, n, platform="cpu")(s, 1e-4, G)
+    np.testing.assert_array_equal(np.asarray(out.accel), np.asarray(ref.accel))

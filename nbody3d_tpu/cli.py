@@ -302,6 +302,30 @@ def cmd_animate(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Live interactive viewer — the reference's browser experience
+    (render loop + sliders + camera interaction + HUD) served over HTTP
+    while the TPU advances the simulation (viewer.py)."""
+    config = _build_config(args)
+    mesh = _build_mesh(args)
+    from nbody3d_tpu.engine import Simulation
+    from nbody3d_tpu.viewer import LiveViewer
+
+    if args.checkpoint:
+        sim = _load_sim(args.checkpoint, args, mesh)
+    else:
+        sim = Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh)
+    viewer = LiveViewer(
+        sim,
+        width=args.width,
+        height=args.height,
+        steps_per_frame=args.steps_per_frame,
+        diagnostics_every=args.diagnostics_every,
+    )
+    viewer.serve_forever(args.host, args.port)
+    return 0
+
+
 def cmd_info(args) -> int:
     from nbody3d_tpu.parallel.mesh import mesh_info
 
@@ -372,6 +396,22 @@ def main(argv=None) -> int:
     p.add_argument("output")
     _add_common(p)
     p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser(
+        "serve", help="live interactive viewer over HTTP (MJPEG + controls)"
+    )
+    p.add_argument("--checkpoint", default=None, help="resume from a checkpoint")
+    p.add_argument("--preset", default="two-galaxy")
+    p.add_argument("--n", type=int, default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--steps-per-frame", type=int, default=20)
+    p.add_argument("--diagnostics-every", type=int, default=0,
+                   help="compute total energy every this many frames (0 = off)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("info", help="platform / device report")
     p.set_defaults(fn=cmd_info)

@@ -1,0 +1,274 @@
+"""Live interactive viewer — the reference's browser experience, served.
+
+The reference is a real-time interactive app: a render loop
+(``nbody3d.js:439-514``), dt/G log sliders (``util.js:38-54``),
+play/pause (``util.js:56-64``), an orbit/pan/zoom camera driven by mouse
+and keys (``camera.js:132-251``), and a live HUD (``index.html:16-48``).
+This module reproduces that experience headlessly: a background thread
+advances the simulation in scan chunks and renders JPEG frames; a
+stdlib HTTP server streams them as MJPEG and accepts control requests.
+
+Endpoints:
+  GET  /         — control page (sliders, buttons, key bindings, HUD)
+  GET  /stream   — multipart/x-mixed-replace MJPEG of live frames
+  GET  /stats    — JSON HUD data (step, rates, energy, camera pose)
+  GET  /control  — query-string controls: dt, logdt, G, logG, pause,
+                   orbit=dx,dy, pan=dx,dy, zoom=d, fov=d, reset
+
+dt and G are traced runtime scalars in the step function, so slider moves
+never recompile — exactly the reference's rebuild-free uniform-block
+semantics (``nbody3d.js:470``).  Camera keys match ``camera.js:185-251``:
+arrows orbit, WASD pan, f/c zoom, space reset.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import math
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>nbody3d_tpu live</title><style>
+body { margin:0; background:#000; color:#ddd; font-family:monospace; }
+#hud { position:fixed; top:8px; left:8px; white-space:pre; font-size:12px;
+       background:rgba(0,0,0,.55); padding:6px; border-radius:4px; }
+#panel { position:fixed; top:8px; right:8px; background:rgba(0,0,0,.55);
+         padding:8px; border-radius:4px; font-size:12px; }
+#panel label { display:block; margin:4px 0; }
+img { width:100vw; height:100vh; object-fit:contain; display:block; }
+</style></head><body>
+<img id="view" src="/stream">
+<div id="hud">connecting...</div>
+<div id="panel">
+  <label>dt = 10^<span id="dtv">-4.0</span>
+    <input id="dt" type="range" min="-5" max="-3" step="0.01" value="-4"></label>
+  <label>G = 10^<span id="Gv">-4.0</span>
+    <input id="G" type="range" min="-6" max="0" step="0.01" value="-4"></label>
+  <button id="pause">pause</button> <button id="reset">reset cam</button>
+  <div>drag: orbit &middot; shift-drag: pan &middot; wheel: zoom<br>
+       arrows orbit &middot; WASD pan &middot; f/c zoom &middot; space reset</div>
+</div>
+<script>
+const send = q => fetch('/control?' + q);
+dt.oninput = () => { dtv.textContent = dt.value; send('logdt=' + dt.value); };
+G.oninput  = () => { Gv.textContent = G.value;  send('logG=' + G.value); };
+pause.onclick = () => send('pause=1');
+reset.onclick = () => send('reset=1');
+let drag = null;
+view.onmousedown = e => { drag = [e.clientX, e.clientY, e.shiftKey]; e.preventDefault(); };
+window.onmouseup = () => drag = null;
+window.onmousemove = e => {
+  if (!drag) return;
+  const [x0, y0, pan] = drag, dx = e.clientX - x0, dy = e.clientY - y0;
+  drag = [e.clientX, e.clientY, pan];
+  send((pan ? 'pan=' : 'orbit=') + dx + ',' + dy);
+};
+view.onwheel = e => { send('zoom=' + (e.deltaY > 0 ? 0.1 : -0.1)); e.preventDefault(); };
+const KEYS = {ArrowLeft:'orbit=-8,0', ArrowRight:'orbit=8,0',
+  ArrowUp:'orbit=0,-8', ArrowDown:'orbit=0,8', a:'pan=-8,0', d:'pan=8,0',
+  w:'pan=0,-8', s:'pan=0,8', f:'zoom=-0.1', c:'zoom=0.1', ' ':'reset=1'};
+window.onkeydown = e => { if (KEYS[e.key]) { send(KEYS[e.key]); e.preventDefault(); } };
+setInterval(async () => {
+  const s = await (await fetch('/stats')).json();
+  hud.textContent =
+    `bodies: ${s.n}\\nstep: ${s.step}\\nsteps/s: ${s.steps_per_s.toFixed(1)}` +
+    `\\nG-int/s: ${s.gints_per_s.toFixed(2)}\\nrender ms: ${s.render_ms.toFixed(1)}` +
+    `\\nE: ${s.energy === null ? 'n/a' : s.energy.toExponential(3)}` +
+    `\\ndt: ${s.dt.toExponential(2)}  G: ${s.G.toExponential(2)}` +
+    `\\n${s.camera}\\n${s.resolution}${s.paused ? '\\n[paused]' : ''}`;
+}, 250);
+</script></body></html>"""
+
+
+class LiveViewer:
+    """Owns the sim loop thread + latest-frame buffer + control handling."""
+
+    def __init__(
+        self,
+        sim,
+        *,
+        width: int = 960,
+        height: int = 720,
+        steps_per_frame: int = 20,
+        diagnostics_every: int = 0,
+        quality: int = 85,
+    ):
+        from nbody3d_tpu.utils.camera import Camera
+
+        self.sim = sim
+        self.width, self.height = width, height
+        self.steps_per_frame = max(1, steps_per_frame)
+        self.diagnostics_every = diagnostics_every
+        self.quality = quality
+        self.camera = Camera(target=sim.camera_target)
+        self._lock = threading.Lock()  # camera mutations vs render
+        self._frame = b""
+        self._frame_event = threading.Event()
+        self._stop = threading.Event()
+        self._energy: float | None = None
+        self._frames_done = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    # ------------------------------------------------------------- sim loop
+    def start(self) -> None:
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    def _loop(self) -> None:
+        k = self.steps_per_frame
+        while not self._stop.is_set():
+            if not self.sim.paused:
+                self.sim.run(k, chunk=k)
+                if self.diagnostics_every and (
+                    self._frames_done % self.diagnostics_every == 0
+                ):
+                    self._energy = float(self.sim.diagnostics().total_energy)
+            self._render_frame()
+            self._frames_done += 1
+            if self.sim.paused:
+                time.sleep(0.05)  # render-only loop, like nbody3d.js:474
+
+    def _render_frame(self) -> None:
+        from PIL import Image
+
+        with self._lock:
+            cam = self.camera
+            img = self.sim.render_frame(
+                camera=cam, width=self.width, height=self.height
+            )
+        buf = io.BytesIO()
+        Image.fromarray(img, mode="RGB").save(buf, "JPEG", quality=self.quality)
+        self._frame = buf.getvalue()
+        self._frame_event.set()
+
+    # ------------------------------------------------------------- controls
+    def control(self, q: dict) -> None:
+        sim, cam = self.sim, self.camera
+        with self._lock:
+            if "logdt" in q:
+                from nbody3d_tpu.config import log_slider_dt
+
+                v = log_slider_dt(float(q["logdt"][0]))
+                if sim.paused:
+                    sim._old_dt = v  # applied on unpause (util.js:40-44)
+                else:
+                    sim.dt = v
+            if "dt" in q:
+                sim.dt = float(q["dt"][0])
+            if "logG" in q:
+                from nbody3d_tpu.config import log_slider_G
+
+                sim.G = log_slider_G(float(q["logG"][0]))
+            if "G" in q:
+                sim.G = float(q["G"][0])
+            if "pause" in q:
+                sim.toggle_pause()
+            if "orbit" in q:
+                dx, dy = (float(v) for v in q["orbit"][0].split(","))
+                cam.orbit(dx, dy)
+            if "pan" in q:
+                dx, dy = (float(v) for v in q["pan"][0].split(","))
+                cam.pan(dx, dy)
+            if "zoom" in q:
+                cam.zoom(float(q["zoom"][0]))
+            if "fov" in q:
+                cam.adj_fov(float(q["fov"][0]))
+            if "reset" in q:
+                cam.reset()
+
+    def stats(self) -> dict:
+        s = self.sim.stats
+        return {
+            "n": self.sim.n_real,
+            "step": self.sim.step_count,
+            "steps_per_s": s.steps_per_s if math.isfinite(s.steps_per_s) else 0.0,
+            "gints_per_s": s.gints_per_s if math.isfinite(s.gints_per_s) else 0.0,
+            "render_ms": self.sim.last_render_ms or 0.0,
+            "energy": self._energy,
+            "dt": self.sim.dt if not self.sim.paused else (self.sim._old_dt or 0.0),
+            "G": self.sim.G,
+            "paused": self.sim.paused,
+            "camera": self.camera.describe(),
+            "resolution": f"{self.width}x{self.height}",
+        }
+
+    # --------------------------------------------------------------- server
+    def make_server(self, host: str = "127.0.0.1", port: int = 8000):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    body = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif url.path == "/stats":
+                    body = json.dumps(viewer.stats()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif url.path == "/control":
+                    viewer.control(parse_qs(url.query))
+                    self.send_response(204)
+                    self.end_headers()
+                elif url.path == "/frame.jpg":
+                    viewer._frame_event.wait(timeout=10)
+                    body = viewer._frame
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif url.path == "/stream":
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type",
+                        "multipart/x-mixed-replace; boundary=frame",
+                    )
+                    self.end_headers()
+                    try:
+                        while not viewer._stop.is_set():
+                            viewer._frame_event.wait(timeout=10)
+                            viewer._frame_event.clear()
+                            frame = viewer._frame
+                            self.wfile.write(
+                                b"--frame\r\nContent-Type: image/jpeg\r\n"
+                                + f"Content-Length: {len(frame)}\r\n\r\n".encode()
+                            )
+                            self.wfile.write(frame)
+                            self.wfile.write(b"\r\n")
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def serve_forever(self, host: str = "127.0.0.1", port: int = 8000) -> None:
+        server = self.make_server(host, port)
+        self.start()
+        print(f"live viewer at http://{host}:{server.server_address[1]}/", flush=True)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+            server.server_close()

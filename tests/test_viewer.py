@@ -1,0 +1,98 @@
+"""Live viewer (viewer.py): the served counterpart of the reference's
+interactive app — stream, HUD stats, and control semantics
+(util.js:38-64 sliders/pause, camera.js:132-251 interaction)."""
+
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from nbody3d_tpu.config import SimConfig
+from nbody3d_tpu.engine import Simulation
+from nbody3d_tpu.viewer import LiveViewer
+
+
+@pytest.fixture()
+def viewer():
+    config = SimConfig(backend="jnp", block_target=32, block_source=32)
+    sim = Simulation.from_preset("uniform-sphere", config, n=64)
+    v = LiveViewer(sim, width=64, height=48, steps_per_frame=2)
+    server = v.make_server("127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    v.start()
+    yield v, server.server_address[1]
+    v.stop()
+    server.shutdown()
+    server.server_close()
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=20)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    body = resp.read() if resp.getheader("Content-Length") else b""
+    status, headers = resp.status, dict(resp.getheaders())
+    conn.close()
+    return status, headers, body
+
+
+def test_page_and_stats(viewer):
+    v, port = viewer
+    status, headers, body = _get(port, "/")
+    assert status == 200 and b"nbody3d_tpu live" in body
+    # reference log-slider ranges baked into the page (util.js:38-54)
+    assert b'min="-5" max="-3"' in body  # dt
+    assert b'min="-6" max="0"' in body  # G
+
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        status, _, body = _get(port, "/stats")
+        s = json.loads(body)
+        if s["step"] > 0:
+            break
+        time.sleep(0.1)
+    assert s["step"] > 0
+    assert s["n"] == 64
+    assert "cam target=" in s["camera"]
+    assert s["resolution"] == "64x48"
+
+
+def test_frame_endpoint_serves_jpeg(viewer):
+    v, port = viewer
+    status, headers, body = _get(port, "/frame.jpg")
+    assert status == 200
+    assert body[:2] == b"\xff\xd8"  # JPEG SOI marker
+
+
+def test_controls_change_live_params(viewer):
+    v, port = viewer
+    # dt log-slider: 10^-3.5 (util.js:38-46 semantics)
+    _get(port, "/control?logdt=-3.5")
+    assert np.isclose(v.sim.dt, 10**-3.5)
+    _get(port, "/control?logG=-2")
+    assert np.isclose(v.sim.G, 1e-2)
+    # pause swaps dt<->0 through oldDt (util.js:56-64)
+    step0 = None
+    _get(port, "/control?pause=1")
+    assert v.sim.paused
+    time.sleep(0.3)
+    step0 = v.sim.step_count
+    time.sleep(0.4)
+    assert v.sim.step_count == step0  # no stepping while paused
+    _get(port, "/control?pause=1")
+    assert not v.sim.paused
+    assert np.isclose(v.sim.dt, 10**-3.5)  # dt restored
+
+    # camera ops mirror camera.js:81-128
+    az0 = v.camera.azimuth
+    _get(port, "/control?orbit=10,0")
+    assert v.camera.azimuth != az0
+    r0 = v.camera.radius
+    _get(port, "/control?zoom=0.5")
+    assert v.camera.radius > r0
+    _get(port, "/control?reset=1")
+    assert np.isclose(v.camera.radius, 5.0)  # camera.js default radius

@@ -51,8 +51,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--force-mode",
         default=None,
-        choices=["exact", "fast"],
-        help="kernel accuracy/speed tradeoff (see ops/pallas_force.py)",
+        choices=["exact", "fast", "sym"],
+        help="kernel accuracy/speed tradeoff (see ops/pallas_force.py); "
+        "sym = the symmetric Newton-3 headline schedule",
+    )
+    p.add_argument(
+        "--morton-every",
+        type=int,
+        default=None,
+        help="re-sort bodies along the Z-order curve every N steps "
+        "(0 = never; shrinks the MXU paths' centered-limb error)",
     )
     p.add_argument("--integrator", default=None, choices=["verlet", "euler"])
     p.add_argument("--block-target", type=int, default=None)
@@ -82,6 +90,7 @@ def _config_overrides(args) -> dict:
         ("seed", args.seed),
         ("backend", args.backend),
         ("force_mode", args.force_mode),
+        ("morton_every", args.morton_every),
         ("integrator", args.integrator),
         ("block_target", args.block_target),
         ("block_source", args.block_source),

@@ -75,13 +75,22 @@ def test_controls_change_live_params(viewer):
     assert np.isclose(v.sim.dt, 10**-3.5)
     _get(port, "/control?logG=-2")
     assert np.isclose(v.sim.G, 1e-2)
-    # pause swaps dt<->0 through oldDt (util.js:56-64)
-    step0 = None
+    # pause swaps dt<->0 through oldDt (util.js:56-64).  An in-flight scan
+    # chunk may still complete (the reference likewise applies the toggle
+    # on the next frame), so wait for the loop to settle first.
     _get(port, "/control?pause=1")
     assert v.sim.paused
-    time.sleep(0.3)
+    # wait until the loop thread has provably cycled twice in paused mode
+    # (frames keep rendering, steps must not advance) — the chunk that was
+    # in flight when the toggle landed is allowed to finish first
+    frames0 = v._frames_done
+    deadline = time.time() + 20
+    while time.time() < deadline and v._frames_done < frames0 + 2:
+        time.sleep(0.05)
     step0 = v.sim.step_count
-    time.sleep(0.4)
+    frames1 = v._frames_done
+    while time.time() < deadline and v._frames_done < frames1 + 2:
+        time.sleep(0.05)
     assert v.sim.step_count == step0  # no stepping while paused
     _get(port, "/control?pause=1")
     assert not v.sim.paused

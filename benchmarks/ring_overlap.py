@@ -91,9 +91,10 @@ def main() -> int:
             if backend == "pallas":
                 src10 = src_limbs(pos_mass_l, G)
                 acc = acc + accel_pallas(
-                    pos_mass_l, srcT, src10, NO_DIAG,
+                    pos_mass_l, srcT, src10,
                     eps2=config.eps2, block_target=bt, block_source=bs,
                     mode="fast", interpret=interpret,
+                    static_diag=(NO_DIAG, 0, NO_DIAG),
                 )
             else:
                 from nbody3d_tpu.ops.force_jnp import accel_partial

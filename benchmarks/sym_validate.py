@@ -102,7 +102,7 @@ def main() -> int:
     t0 = time.time()
     out_fast = sync(
         accel_pallas(
-            jnp.asarray(pm_sorted), srcT, src10, 0,
+            jnp.asarray(pm_sorted), srcT, src10,
             eps2=EPS2, block_target=2048, block_source=2048, mode="fast",
         )
     )
@@ -161,7 +161,7 @@ def main() -> int:
     src10b = src_limbs(pmb, G)
     g = bench(
         lambda: accel_pallas(
-            pmb, srcTb, src10b, 0,
+            pmb, srcTb, src10b,
             eps2=EPS2, block_target=2048, block_source=2048, mode="fast",
         ),
         "fast(masked) b=2048",

@@ -116,6 +116,25 @@ def _build_config(args, base=None):
     return (base or SimConfig()).replace(**_config_overrides(args))
 
 
+def _resolved_strategy(args) -> str:
+    """The strategy that will actually be in effect: the explicit flag
+    wins; otherwise a resumed checkpoint's saved config (resume semantics:
+    the checkpoint's config wins unless overridden); otherwise the
+    default.  The mesh shape must follow this (2d needs a 2-axis mesh)."""
+    if getattr(args, "strategy", None) is not None:
+        return args.strategy
+    ckpt = getattr(args, "checkpoint", None)
+    if ckpt:
+        from nbody3d_tpu.utils.checkpoint import peek_config
+
+        saved = peek_config(ckpt)
+        if saved is not None:
+            return saved.strategy
+    from nbody3d_tpu.config import SimConfig
+
+    return SimConfig().strategy
+
+
 def _build_mesh(args):
     if getattr(args, "distributed", False):
         import jax
@@ -123,7 +142,7 @@ def _build_mesh(args):
         jax.distributed.initialize()
     if args.devices <= 1:
         return None
-    if getattr(args, "strategy", None) == "2d":
+    if _resolved_strategy(args) == "2d":
         from nbody3d_tpu.parallel.mesh import grid_mesh
 
         return grid_mesh(n_devices=args.devices)

@@ -35,12 +35,13 @@ def _build() -> str | None:
             return so
         cc = os.environ.get("CC", "cc")
         include = sysconfig.get_paths()["include"]
-        cmd = [
-            cc, "-O2", "-fPIC", "-shared", "-o", so + ".tmp", _SRC,
-            f"-I{include}",
-        ]
+        # Unique temp name per process: concurrent builders (pytest-xdist,
+        # parallel CLI runs) must not clobber each other's half-written
+        # output; os.replace keeps the final install atomic either way.
+        tmp = f"{so}.{os.getpid()}.tmp"
+        cmd = [cc, "-O2", "-fPIC", "-shared", "-o", tmp, _SRC, f"-I{include}"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(so + ".tmp", so)
+        os.replace(tmp, so)
         return so
     except Exception:
         return None

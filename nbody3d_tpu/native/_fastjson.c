@@ -81,6 +81,11 @@ scan_f32(PyObject *self, PyObject *args)
     Py_ssize_t start;
     if (!PyArg_ParseTuple(args, "y*n", &view, &start))
         return NULL;
+    if (start < 0) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "start must be non-negative");
+        return NULL;
+    }
     const char *buf = (const char *)view.buf;
     Py_ssize_t len = view.len;
     Py_ssize_t i = start;
@@ -162,5 +167,16 @@ static struct PyModuleDef moduledef = {
 PyMODINIT_FUNC
 PyInit__fastjson(void)
 {
+    /* %.9g / strtod are LC_NUMERIC-dependent; refuse to load under a
+     * comma-decimal locale (some GUI libs setlocale(LC_ALL, "")) — the
+     * Python wrapper then falls back to the locale-independent pure-
+     * Python path instead of writing corrupt JSON. */
+    char probe[8];
+    snprintf(probe, sizeof probe, "%.1f", 0.5);
+    if (probe[1] != '.') {
+        PyErr_SetString(PyExc_ImportError,
+                        "_fastjson requires a '.'-decimal LC_NUMERIC locale");
+        return NULL;
+    }
     return PyModule_Create(&moduledef);
 }

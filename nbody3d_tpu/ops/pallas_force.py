@@ -714,13 +714,16 @@ def accel_sym_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps2", "block_target", "block_source", "mode", "interpret"),
+    static_argnames=(
+        "eps2", "block_target", "block_source", "mode", "interpret",
+        "static_diag",
+    ),
 )
 def accel_pallas(
     tgt_pos_mass: jax.Array,
     srcT: jax.Array,
     src10: jax.Array | None = None,
-    diag_offset: jax.Array | int = 0,
+    diag_offset: jax.Array | int | None = None,
     *,
     eps2: float = 1e-4,
     block_target: int = DEFAULT_BLOCK_TARGET,
@@ -729,23 +732,32 @@ def accel_pallas(
     interpret: bool = False,
     diag_lo: jax.Array | int = 0,
     diag_hi: jax.Array | int = NO_DIAG,
+    static_diag: tuple[int, int, int] | None = (0, 0, NO_DIAG),
 ) -> jax.Array:
     """Partial accelerations of local targets against one source shard.
 
     ``srcT`` is ``(4, N_src)`` rows ``[x, y, z, G*m]`` (:func:`src_transposed`);
     fast mode additionally needs ``src10 = src_limbs(...)``.
 
-    ``diag_offset`` (traced scalar, fast mode only): a pair is a self-pair
-    iff ``source_col == target_row + diag_offset`` AND the target row lies
-    in ``[diag_lo, diag_hi)`` — 0 / full range when targets ARE the
-    sources, ``(my_shard - src_shard) * shard`` inside the ring,
-    :data:`NO_DIAG` when the sets are disjoint, or a piece-restricted
-    range under the 2-D grid decomposition (whose source set concatenates
-    non-adjacent global pieces, so the unrestricted diagonal would alias
-    real pairs).  Exact mode needs no mask (the self separation is exactly
-    zero so its contribution is 0), but in fast mode the softening-floor
-    self *weight* corrupts the f32 MXU accumulator for heavy bodies — see
-    :func:`_accum_fast`.  Returns ``(N_tgt, 4)`` with zero w lane.
+    Self-pair spec (fast mode only — exact mode needs no mask because the
+    self separation is exactly zero, while the fast MXU path's
+    softening-floor self *weight* corrupts the f32 accumulator for heavy
+    bodies, see :func:`_accum_fast`): a pair is a self-pair iff
+    ``source_col == target_row + offset`` AND the target row lies in
+    ``[lo, hi)``.
+
+    - ``static_diag=(offset, lo, hi)`` (STATIC python ints — the default
+      ``(0, 0, NO_DIAG)`` is the single-chip targets==sources case):
+      compiles condition-free kernels, splitting the diagonal into its own
+      tiny pallas call when one straddles the grid.  Use
+      ``(NO_DIAG, 0, NO_DIAG)`` for disjoint target/source sets (ring
+      hops k > 0).  This is the full-throughput path; the conditional
+      masked/unmasked dot pair costs ~30% (measured, docs/DESIGN.md).
+    - ``static_diag=None`` + traced ``diag_offset``/``diag_lo``/``diag_hi``:
+      for shardings where the diagonal position depends on
+      ``lax.axis_index`` (2-D grid, gather) and is unknown at compile time.
+
+    Returns ``(N_tgt, 4)`` with zero w lane.
     """
     if eps2 <= 0:
         raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
@@ -782,11 +794,12 @@ def accel_pallas(
     if src10 is None:
         raise ValueError("fast mode requires src10 = src_limbs(pos_mass, G)")
     ns = n_s // bs
-    static_diag = (
-        isinstance(diag_offset, int)
-        and isinstance(diag_lo, int)
-        and isinstance(diag_hi, int)
-    )
+    if static_diag is not None and diag_offset is not None:
+        raise ValueError(
+            "pass EITHER static_diag (compile-time diagonal, full-speed "
+            "kernels) OR traced diag_offset/diag_lo/diag_hi with "
+            "static_diag=None — not both"
+        )
 
     def nomask_call(grid_j, src_idx_map):
         kernel = functools.partial(
@@ -808,34 +821,39 @@ def accel_pallas(
             interpret=interpret,
         )(srcT, src10, tgt_pos_mass)
 
-    if static_diag:
+    if static_diag is not None:
         # Diagonal position known at compile time: condition-free kernels
         # (the conditional masked/unmasked dot pair costs ~30% throughput).
-        t_lo, t_hi = max(0, diag_lo), min(n_t, diag_hi)
+        s_off, s_lo, s_hi = static_diag
+        t_lo, t_hi = max(0, s_lo), min(n_t, s_hi)
         no_self = (
             t_lo >= t_hi  # empty target range
-            or t_hi + diag_offset <= 0  # diagonal left of the source cols
-            or t_lo + diag_offset >= n_s  # ... or right of them
+            or t_hi + s_off <= 0  # diagonal left of the source cols
+            or t_lo + s_off >= n_s  # ... or right of them
         )
         if no_self:
             return nomask_call(ns, lambda i, j: j)
-        # Split needs every row's diagonal inside ONE in-range source block.
+        # Split needs every target block's diagonal inside ONE in-range
+        # source block: block-aligned offset AND bs a multiple of bt
+        # (otherwise a target block's diagonal straddles two source blocks
+        # and the single-jd diag call would leave self-pairs unmasked).
         splittable = (
-            diag_offset % bs == 0
+            s_off % bs == 0
             and bt <= bs
-            and diag_offset >= 0
-            and diag_offset + n_t <= n_s
+            and bs % bt == 0
+            and s_off >= 0
+            and s_off + n_t <= n_s
         )
         if splittable:
             # main call skips each row's single diagonal-straddling source
             # block via grid remap; the diag call covers it with one
             # always-masked dot.  The fast epilogue is linear in the
             # accumulator, so the two (N, 4) outputs add exactly.
-            off = diag_offset
+            off = s_off
             diag_kernel = functools.partial(
                 _force_kernel_fast_diag,
                 eps2=float(eps2), bt=bt, bs=bs,
-                off=off, lo=diag_lo, hi=min(diag_hi, n_t),
+                off=off, lo=t_lo, hi=t_hi,
             )
             diag_part = pl.pallas_call(
                 diag_kernel,
@@ -861,8 +879,11 @@ def accel_pallas(
                 ns - 1, lambda i, j: j + jnp.where(j >= jd(i), 1, 0)
             )
             return main + diag_part
-        # fall through: static but unaligned diagonal -> traced kernel
+        # static but unaligned diagonal -> traced conditional kernel
+        diag_offset, diag_lo, diag_hi = s_off, s_lo, s_hi
 
+    if diag_offset is None:
+        raise ValueError("static_diag=None requires an explicit diag_offset")
     diag = jnp.stack(
         [
             jnp.asarray(diag_offset, jnp.int32),

@@ -36,10 +36,18 @@ def grid_mesh(
     d = n_devices if n_devices is not None else len(devices)
     if d > len(devices):
         raise ValueError(f"requested {d} devices, have {len(devices)}")
-    if rows is None or cols is None:
+    if rows is None and cols is None:
         rows = int(d**0.5)
         while d % rows != 0:
             rows -= 1
+        cols = d // rows
+    elif rows is None:
+        if d % cols != 0:
+            raise ValueError(f"cols={cols} does not divide {d} devices")
+        rows = d // cols
+    elif cols is None:
+        if d % rows != 0:
+            raise ValueError(f"rows={rows} does not divide {d} devices")
         cols = d // rows
     if rows * cols != d:
         raise ValueError(f"mesh {rows}x{cols} != {d} devices")

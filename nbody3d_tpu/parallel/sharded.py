@@ -96,14 +96,16 @@ def make_sharded_step(
     mode = "fast" if config.force_mode == "sym" else config.force_mode
     fast = mode == "fast"
 
-    def local_force(tgt, src_pos_mass, G, bs_eff, diag_offset):
+    def local_force(tgt, src_pos_mass, G, bs_eff, static_diag=None, diag=None):
         """Accel of local targets vs one source shard (pos_mass layout).
 
-        ``diag_offset``: a pair is a self-pair iff ``source_col ==
-        target_row + diag_offset`` in shard-local indices.  Exact mode
-        needs no mask (zero separation => zero contribution), but the fast
-        MXU path must exclude the self-pair by index or its softening-floor
-        weight corrupts the f32 accumulator (ops.pallas_force._accum_fast)."""
+        A pair is a self-pair iff ``source_col == target_row + offset`` in
+        shard-local indices.  Exact mode needs no mask (zero separation =>
+        zero contribution), but the fast MXU path must exclude the
+        self-pair by index or its softening-floor weight corrupts the f32
+        accumulator (ops.pallas_force._accum_fast).  ``static_diag``
+        (python-int triple) compiles condition-free kernels; ``diag``
+        (traced scalar) is for axis_index-dependent diagonals."""
         srcT = src_transposed(src_pos_mass, G)
         if backend == "pallas":
             src10 = src_limbs(src_pos_mass, G) if fast else None
@@ -111,14 +113,16 @@ def make_sharded_step(
                 tgt,
                 srcT,
                 src10,
-                diag_offset,
+                diag,
                 eps2=config.eps2,
                 block_target=bt,
                 block_source=bs_eff,
                 mode=mode,
                 interpret=interpret,
+                static_diag=static_diag,
             )
-        return accel_partial(tgt, srcT, diag_offset, eps2=config.eps2)
+        off = static_diag[0] if static_diag is not None else diag
+        return accel_partial(tgt, srcT, off, eps2=config.eps2)
 
     ring_perm = [(i, (i + 1) % d) for i in range(d)]
 
@@ -128,10 +132,12 @@ def make_sharded_step(
 
         if config.strategy == "gather" or d == 1:
             all_pm = lax.all_gather(pos_mass, axis, axis=0, tiled=True)  # (n_pad, 4)
-            # Local row r is global my*shard + r == gathered source column.
+            # Local row r is global my*shard + r == gathered source column:
+            # the offset depends on axis_index, so the traced-diagonal
+            # kernel handles it.
             acc = local_force(
                 pos_mass, all_pm, G, fit_block(n_pad, config.block_source),
-                my * shard,
+                diag=my * shard,
             )
         elif config.strategy == "ring":
             # Rotate the raw pos_mass shard (16 B/body over ICI); the kernel
@@ -141,25 +147,28 @@ def make_sharded_step(
             # hop 0 uses the statically-masked kernel split and every later
             # hop the condition-free NO_DIAG kernel — both full-throughput
             # paths (ops.pallas_force: conditional masked dots cost ~30%).
-            def ring_body(diag, carry):
+            SELF = (0, 0, NO_DIAG)  # hop 0: resident shard vs itself
+            DISJOINT = (NO_DIAG, 0, NO_DIAG)  # later hops: no self-pairs
+
+            def ring_body(sd, carry):
                 acc, src = carry
                 # Issue the permute first: no data dependency with the force
                 # kernel on `src`, so XLA can run the ICI transfer async.
                 nxt = lax.ppermute(src, axis, ring_perm)
-                acc = acc + local_force(pos_mass, src, G, bs, diag)
+                acc = acc + local_force(pos_mass, src, G, bs, static_diag=sd)
                 return acc, nxt
 
             acc = jnp.zeros_like(pos_mass)
             if d <= _MAX_UNROLL:
                 carry = (acc, pos_mass)
                 for k in range(d):
-                    carry = ring_body(0 if k == 0 else NO_DIAG, carry)
+                    carry = ring_body(SELF if k == 0 else DISJOINT, carry)
                 acc = carry[0]
             else:
                 # rolled fallback: hop 0 (the only masked one) outside the loop
-                carry = ring_body(0, (acc, pos_mass))
+                carry = ring_body(SELF, (acc, pos_mass))
                 acc, _ = lax.fori_loop(
-                    1, d, lambda k, c: ring_body(NO_DIAG, c), carry
+                    1, d, lambda k, c: ring_body(DISJOINT, c), carry
                 )
         else:
             raise ValueError(f"unknown strategy {config.strategy!r}")
@@ -263,6 +272,7 @@ def make_grid2d_step(
                 interpret=interpret,
                 diag_lo=lo,
                 diag_hi=hi,
+                static_diag=None,  # offset depends on axis_index (traced)
             )
         else:
             part = accel_partial(

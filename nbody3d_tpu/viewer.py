@@ -138,11 +138,15 @@ class LiveViewer:
     def _render_frame(self) -> None:
         from PIL import Image
 
+        from nbody3d_tpu.utils.camera import Camera
+
+        # Snapshot the camera pose under the lock, render OUTSIDE it —
+        # a large-N render takes seconds and must not block /control.
         with self._lock:
-            cam = self.camera
-            img = self.sim.render_frame(
-                camera=cam, width=self.width, height=self.height
-            )
+            cam = Camera.from_dict(self.camera.to_dict())
+        img = self.sim.render_frame(
+            camera=cam, width=self.width, height=self.height
+        )
         buf = io.BytesIO()
         Image.fromarray(img, mode="RGB").save(buf, "JPEG", quality=self.quality)
         self._frame = buf.getvalue()

@@ -177,9 +177,9 @@ def test_fast_interpret_masks_self_pair(rng):
     src10 = src_limbs(jnp.asarray(pm), G)
     out = np.asarray(
         accel_pallas(
-            jnp.asarray(pm), srcT, src10, 0,
+            jnp.asarray(pm), srcT, src10,
             eps2=EPS2, block_target=128, block_source=128, mode="fast",
-            interpret=True,
+            interpret=True,  # default static_diag = single-chip (0, 0, NO_DIAG)
         )
     )
     oracle = np.asarray(accel_direct(jnp.asarray(pm), G, eps2=EPS2))
@@ -194,9 +194,8 @@ def test_fast_interpret_masks_self_pair(rng):
             jnp.asarray(tgt),
             src_transposed(jnp.asarray(src), G),
             src_limbs(jnp.asarray(src), G),
-            NO_DIAG,
             eps2=EPS2, block_target=128, block_source=128, mode="fast",
-            interpret=True,
+            interpret=True, static_diag=(NO_DIAG, 0, NO_DIAG),
         )
     )
     from nbody3d_tpu.ops.force_jnp import accel_partial

@@ -14,6 +14,9 @@ Endpoints:
   GET  /stats    — JSON HUD data (step, rates, energy, camera pose)
   GET  /control  — query-string controls: dt, logdt, G, logG, pause,
                    orbit=dx,dy, pan=dx,dy, zoom=d, fov=d, reset
+  GET  /export.json | /export.npz — download the full simulation state
+                   (the reference's export button, ``util.js:265``; the
+                   .json form is its exact checkpoint schema)
 
 dt and G are traced runtime scalars in the step function, so slider moves
 never recompile — exactly the reference's rebuild-free uniform-block
@@ -49,6 +52,8 @@ img { width:100vw; height:100vh; object-fit:contain; display:block; }
   <label>G = 10^<span id="Gv">-4.0</span>
     <input id="G" type="range" min="-6" max="0" step="0.01" value="-4"></label>
   <button id="pause">pause</button> <button id="reset">reset cam</button>
+  <a href="/export.json" download="simulation_export.json">export .json</a>
+  <a href="/export.npz" download="simulation_export.npz">.npz</a>
   <div>drag: orbit &middot; shift-drag: pan &middot; wheel: zoom<br>
        arrows orbit &middot; WASD pan &middot; f/c zoom &middot; space reset</div>
 </div>
@@ -106,6 +111,9 @@ class LiveViewer:
         self.quality = quality
         self.camera = Camera(target=sim.camera_target)
         self._lock = threading.Lock()  # camera mutations vs render
+        # Held while the loop thread advances the (donated) device state;
+        # export takes it so it never reads mid-donation arrays.
+        self._sim_lock = threading.Lock()
         self._frame = b""
         self._frame_event = threading.Event()
         self._stop = threading.Event()
@@ -125,11 +133,12 @@ class LiveViewer:
         k = self.steps_per_frame
         while not self._stop.is_set():
             if not self.sim.paused:
-                self.sim.run(k, chunk=k)
-                if self.diagnostics_every and (
-                    self._frames_done % self.diagnostics_every == 0
-                ):
-                    self._energy = float(self.sim.diagnostics().total_energy)
+                with self._sim_lock:
+                    self.sim.run(k, chunk=k)
+                    if self.diagnostics_every and (
+                        self._frames_done % self.diagnostics_every == 0
+                    ):
+                        self._energy = float(self.sim.diagnostics().total_energy)
             self._render_frame()
             self._frames_done += 1
             if self.sim.paused:
@@ -187,6 +196,21 @@ class LiveViewer:
             if "reset" in q:
                 cam.reset()
 
+    def export_state(self, suffix: str) -> bytes:
+        """Serialize the current state in the requested checkpoint format
+        (the reference's export button, ``util.js:160-208``).  Runs in the
+        HTTP thread under the sim lock, so it always observes a chunk
+        boundary (never a donated-away buffer)."""
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "export" + suffix)
+            with self._sim_lock:  # not mid-donation (scan donates state)
+                self.sim.save(path)
+            with open(path, "rb") as f:
+                return f.read()
+
     def stats(self) -> dict:
         s = self.sim.stats
         return {
@@ -231,6 +255,23 @@ class LiveViewer:
                     viewer.control(parse_qs(url.query))
                     self.send_response(204)
                     self.end_headers()
+                elif url.path in ("/export.json", "/export.npz"):
+                    suffix = ".json" if url.path.endswith(".json") else ".npz"
+                    body = viewer.export_state(suffix)
+                    ctype = (
+                        "application/json"
+                        if suffix == ".json"
+                        else "application/octet-stream"
+                    )
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header(
+                        "Content-Disposition",
+                        f"attachment; filename=simulation_export{suffix}",
+                    )
+                    self.end_headers()
+                    self.wfile.write(body)
                 elif url.path == "/frame.jpg":
                     viewer._frame_event.wait(timeout=10)
                     body = viewer._frame

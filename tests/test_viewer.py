@@ -105,3 +105,29 @@ def test_controls_change_live_params(viewer):
     assert v.camera.radius > r0
     _get(port, "/control?reset=1")
     assert np.isclose(v.camera.radius, 5.0)  # camera.js default radius
+
+
+def test_export_endpoints(viewer, tmp_path):
+    """The served export buttons (util.js:265): .json is the reference's
+    exact checkpoint schema and loads back; .npz is the native format."""
+    import json as _json
+
+    v, port = viewer
+    status, headers, body = _get(port, "/export.json")
+    assert status == 200
+    data = _json.loads(body)
+    for key in ("bodies", "vel", "accel", "camera", "G"):
+        assert key in data
+    assert len(data["bodies"]) == 64 * 4
+
+    status, headers, body = _get(port, "/export.npz")
+    assert status == 200 and body[:4] == b"PK\x03\x04"  # zip magic
+    p = tmp_path / "x.npz"
+    p.write_bytes(body)
+    from nbody3d_tpu.engine import Simulation
+
+    sim2 = Simulation.load(
+        str(p), SimConfig(backend="jnp", block_target=32, block_source=32),
+        platform="cpu",
+    )
+    assert sim2.n_real == 64

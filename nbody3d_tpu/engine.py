@@ -49,12 +49,15 @@ class Simulation:
         self.n_real = int(np.asarray(pos_mass).shape[0])
         # Pad to the kernel granule (blocks adapt down to fit, see
         # ops.step.fit_block); sharding additionally needs granule-aligned
-        # equal shards per device.
-        from nbody3d_tpu.ops.step import PAD_GRANULE
+        # equal shards per device.  The jnp oracle backend has no block
+        # alignment needs — a small granule keeps tiny CPU runs from
+        # computing (2048*D)^2 pair matrices.
+        from nbody3d_tpu.ops.step import PAD_GRANULE, resolve_backend
 
-        multiple = PAD_GRANULE
+        backend, _ = resolve_backend(config, platform)
+        multiple = PAD_GRANULE if backend == "pallas" else 8
         if mesh is not None:
-            multiple *= mesh.shape[config.mesh_axis]
+            multiple *= mesh.size  # total devices (1-D ring or 2-D grid)
         self.n_pad = pad_count(self.n_real, multiple)
         self.state = init_state(pos_mass, vel, accel, n_pad=self.n_pad, step=step)
         self.camera_target = (

@@ -157,3 +157,22 @@ def test_log_slider_semantics(capsys):
         "--backend", "jnp", "--block-target", "32", "--block-source", "32",
     ])
     assert rc == 0
+
+
+def test_resumed_checkpoint_strategy_drives_mesh_shape(tmp_path, capsys):
+    """A checkpoint saved from a 2d run must resume onto a 2-axis mesh
+    without re-passing --strategy (resume semantics: saved config wins)."""
+    outdir = tmp_path / "out"
+    rc = run_cli([
+        "run", "--preset", "uniform-sphere", "--n", "64", "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "8", "--block-source", "8",
+        "--devices", "8", "--strategy", "2d",
+    ])
+    assert rc == 0
+    rc = run_cli([
+        "run", "--checkpoint", str(outdir / "final.npz"), "--steps", "2",
+        "--log-every", "2", "--outdir", str(tmp_path / "out2"),
+        "--devices", "8",  # no --strategy: must come from the checkpoint
+    ])
+    assert rc == 0

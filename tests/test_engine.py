@@ -24,12 +24,20 @@ def test_pad_count():
 
 
 def test_engine_pads_to_granule():
+    from nbody3d_tpu.config import SimConfig
+    from nbody3d_tpu.engine import Simulation
     from nbody3d_tpu.ops.step import PAD_GRANULE
 
+    # jnp oracle needs no block alignment: small granule
     sim = make_sim(100)
     assert sim.n_real == 100
-    assert sim.n_pad == PAD_GRANULE
-    assert sim.state.pos_mass.shape == (PAD_GRANULE, 4)
+    assert sim.n_pad == 104
+    assert sim.state.pos_mass.shape == (104, 4)
+    # the pallas kernel path pads to the full kernel granule
+    sim2 = Simulation.from_preset(
+        "uniform-sphere", SimConfig(backend="pallas"), n=100, platform="cpu"
+    )
+    assert sim2.n_pad == PAD_GRANULE
 
 
 def test_run_advances_steps_and_stats():

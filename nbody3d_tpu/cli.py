@@ -66,7 +66,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--block-target", type=int, default=None)
     p.add_argument("--block-source", type=int, default=None)
     p.add_argument("--devices", type=int, default=1, help=">1 shards bodies over a mesh")
-    p.add_argument("--strategy", default=None, choices=["ring", "gather", "2d"])
+    p.add_argument(
+        "--strategy", default=None,
+        choices=["ring", "ringsym", "gather", "2d"],
+    )
     p.add_argument(
         "--distributed",
         action="store_true",

@@ -85,7 +85,10 @@ class SimConfig:
 
     # Multi-chip.
     mesh_axis: str = "x"
-    # "ring": 1-D ppermute rotation; "gather": all_gather sources (small N);
+    # "ring": 1-D ppermute rotation; "ringsym": Newton-3 half ring — each
+    # unordered shard pair computed once, source-side partials returned on
+    # a backward carry (half the compute at equal wire bytes; ring+sym
+    # auto-upgrades to this); "gather": all_gather sources (small N);
     # "2d": grid force decomposition over a (row, col) mesh — per-step
     # traffic ~2N/sqrt(D) vs the ring's ~N (parallel/sharded.py).
     strategy: str = "ring"

@@ -712,6 +712,131 @@ def accel_sym_pallas(
     return sym_combine(out_tgt, out_src, pos_mass)
 
 
+def _pair_sym_kernel(
+    srcT_ref, tgt_ref, s16s_ref, s16t_ref, cents_ref, centt_ref,
+    out_tgt_ref, out_src_ref, *, eps2, bt, bs,
+):
+    """Rectangular Newton-3 pair kernel (two DISJOINT body sets, e.g. two
+    ring shards): one weight chain per block pair, forward dot for the
+    targets, TN reverse dot for the sources — the multi-chip analog of
+    :func:`_sym_kernel` without the round-robin (every (i, j) block pair
+    is visited exactly once by the full grid).  No self-pairs by
+    precondition (same-shard interactions take :func:`accel_sym_pallas`).
+    ``out_src`` is the (ns, 16, bs) VMEM-resident reverse accumulator."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _():
+        out_src_ref[...] = jnp.zeros(out_src_ref.shape, out_src_ref.dtype)
+
+    @pl.when(j == 0)
+    def _():
+        out_tgt_ref[...] = jnp.zeros(out_tgt_ref.shape, out_tgt_ref.dtype)
+
+    tgt = tgt_ref[...]
+    _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
+    inv3 = lax.rsqrt(d2 * (d2 * d2))
+
+    part = jnp.dot(inv3, s16s_ref[...], preferred_element_type=jnp.float32)
+    wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
+    cjx = cents_ref[j, 0]
+    cjy = cents_ref[j, 1]
+    cjz = cents_ref[j, 2]
+    cw = jnp.concatenate(
+        [wsum * cjx, wsum * cjy, wsum * cjz, jnp.zeros_like(wsum)], axis=1
+    )
+    out_tgt_ref[...] += jnp.concatenate([part[:, :12], cw], axis=1)
+
+    part_r = lax.dot_general(
+        s16t_ref[...],
+        inv3,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (16, bs)
+    wsum_r = part_r[9:10, :] + part_r[10:11, :] + part_r[11:12, :]
+    cix = centt_ref[i, 0]
+    ciy = centt_ref[i, 1]
+    ciz = centt_ref[i, 2]
+    cw_r = jnp.concatenate(
+        [wsum_r * cix, wsum_r * ciy, wsum_r * ciz, jnp.zeros_like(wsum_r)],
+        axis=0,
+    )
+    out_src_ref[j] = out_src_ref[j] + jnp.concatenate([part_r[:12, :], cw_r], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("eps2", "block", "interpret"))
+def accel_pair_sym_pallas(
+    tgt_pos_mass: jax.Array,
+    src_pos_mass: jax.Array,
+    G: jax.Array | float,
+    *,
+    eps2: float = 1e-4,
+    block: int = DEFAULT_BLOCK_TARGET,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Forces between two DISJOINT body sets, both directions from one
+    weight-chain evaluation (Newton's third law): returns
+    ``(acc_on_targets (Nt,4), acc_on_sources (Ns,4))``.
+
+    This is the per-hop kernel of the Newton-3 ring (parallel/sharded.py
+    strategy "ringsym"): each unordered shard pair is computed by ONE
+    chip; the source-side partial is shipped back to its owner on the
+    return carry.  Shared bf16 weights make the ij/ji antisymmetry exact,
+    like the single-chip sym mode.  Self-pairs are a precondition
+    violation (use :func:`accel_sym_pallas` for a shard against itself).
+    """
+    if eps2 <= 0:
+        raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
+    n_t, n_s = tgt_pos_mass.shape[0], src_pos_mass.shape[0]
+    if n_t % block != 0 or n_s % block != 0:
+        raise ValueError(
+            f"pair_sym: Nt={n_t}, Ns={n_s} must be divisible by block={block}"
+        )
+    nt, ns = n_t // block, n_s // block
+    srcT = src_transposed(src_pos_mass, G)
+    s16s, cents = sym_operands(src_pos_mass, G, block)
+    s16t, centt = sym_operands(tgt_pos_mass, G, block)
+    kernel = functools.partial(_pair_sym_kernel, eps2=float(eps2), bt=block, bs=block)
+    out_tgt, out_src = pl.pallas_call(
+        kernel,
+        grid=(nt, ns),
+        in_specs=[
+            pl.BlockSpec((4, block), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 16), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # source centroids
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # target centroids
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 16), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ns, 16, block), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_t, 16), jnp.float32),
+            jax.ShapeDtypeStruct((ns, 16, block), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=32 * n_t * n_s,
+            bytes_accessed=(nt * ns + nt + ns) * block * 16 * 4,
+            transcendentals=n_t * n_s,
+        ),
+        interpret=interpret,
+    )(srcT, tgt_pos_mass, s16s, s16t, cents, centt)
+    acc_t = sym_combine(
+        out_tgt, jnp.zeros((nt, 16, block), jnp.float32), tgt_pos_mass
+    )
+    acc_s = sym_combine(
+        jnp.zeros((n_s, 16), jnp.float32), out_src, src_pos_mass
+    )
+    return acc_t, acc_s
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -36,10 +36,12 @@ from nbody3d_tpu.ops.integrate import apply_integrator
 from nbody3d_tpu.ops.pallas_force import (
     NO_DIAG,
     accel_pallas,
+    accel_pair_sym_pallas,
+    accel_sym_pallas,
     src_limbs,
     src_transposed,
 )
-from nbody3d_tpu.ops.step import fit_block, resolve_backend
+from nbody3d_tpu.ops.step import fit_block, fit_sym_block, resolve_backend
 from nbody3d_tpu.state import SimState
 
 # Unrolling the ring as a Python loop keeps each ppermute an independent op
@@ -76,11 +78,18 @@ def make_sharded_step(
 
     Requires ``n_pad`` divisible by ``D * block`` so every shard is
     kernel-aligned (the engine pads accordingly).  Strategies: "ring"
-    (1-D ppermute rotation), "gather" (all_gather sources), "2d" (grid
+    (1-D ppermute rotation), "ringsym" (Newton-3 half ring,
+    :func:`make_ringsym_step`), "gather" (all_gather sources), "2d" (grid
     force decomposition over a 2-axis mesh, :func:`make_grid2d_step`).
     """
     if config.strategy == "2d":
         return make_grid2d_step(config, n_pad, n_real, mesh, platform)
+    if config.strategy == "ringsym" or (
+        config.strategy == "ring" and config.force_mode == "sym"
+    ):
+        # force_mode="sym" on a ring means the Newton-3 half ring — the
+        # multi-chip continuation of the single-chip symmetric schedule.
+        return make_ringsym_step(config, n_pad, n_real, mesh, platform)
     axis = config.mesh_axis
     d = mesh.shape[axis]
     if n_pad % d != 0:
@@ -188,6 +197,115 @@ def make_sharded_step(
         out_specs=(P(axis, None), P(axis, None), P(axis, None), P()),
         # pallas_call outputs don't carry varying-mesh-axis metadata yet;
         # the specs above fully pin the shardings.
+        check_vma=False,
+    )
+
+    def step(state: SimState, dt, G) -> SimState:
+        p, v, a, s = sharded(
+            state.pos_mass,
+            state.vel,
+            state.accel,
+            state.step,
+            jnp.float32(dt),
+            jnp.float32(G),
+        )
+        return SimState(p, v, a, s)
+
+    return step
+
+
+def make_ringsym_step(
+    config: SimConfig,
+    n_pad: int,
+    n_real: int,
+    mesh: jax.sharding.Mesh,
+    platform: str | None = None,
+) -> Callable[[SimState, jax.Array, jax.Array], SimState]:
+    """Newton-3 ring ("half-shell" schedule): each unordered SHARD pair is
+    computed by exactly one chip, both directions from one weight-chain
+    evaluation — half the ring's compute at equal wire bytes.
+
+    Forward phase: rotate the pos_mass shard ``H`` hops (``H = D//2``); at
+    hop k, chip ``i`` holds shard ``i-k`` and runs the rectangular pair
+    kernel (:func:`accel_pair_sym_pallas`): the target-side partial
+    accumulates locally, the source-side partial ``rev_k`` (owed to chip
+    ``i-k``) is stored.  Hop 0 is the shard against itself via the
+    single-chip sym kernel.  For even D the last hop's pair is shared by
+    two chips; only ``i < D/2`` computes (the other half idles that hop).
+
+    Return phase: a carry buffer rotates BACKWARD ``H`` hops; chip ``i``
+    adds ``rev_k`` just before the carry's k-th remaining shift, so each
+    contribution lands exactly at its owner: added at loop value k, it is
+    shifted during iterations k, k-1, ..., 1 — k backward hops — reaching
+    ``i - k``.  Total traffic: H forward + H backward rotations of
+    16 B/body = the plain ring's D hops, while the O(N^2/D) force math
+    halves.  Weights are shared between directions (exact ij/ji
+    antisymmetry), matching single-chip sym conservation behavior.
+    """
+    axis = config.mesh_axis
+    d = mesh.shape[axis]
+    if n_pad % d != 0:
+        raise ValueError(f"n_pad={n_pad} not divisible by mesh size {d}")
+    shard = n_pad // d
+    backend, interpret = resolve_backend(config, platform)
+    b = fit_sym_block(shard, config.block_target)
+
+    fwd_perm = [(i, (i + 1) % d) for i in range(d)]
+    bwd_perm = [(i, (i - 1) % d) for i in range(d)]
+    n_hops = d // 2  # pair hops; for even d the last is the shared half-hop
+    even = d % 2 == 0
+
+    def self_force(pm, G):
+        if backend == "pallas":
+            return accel_sym_pallas(
+                pm, G, eps2=config.eps2, block=b, interpret=interpret
+            )
+        srcT = src_transposed(pm, G)
+        return accel_partial(pm, srcT, 0, eps2=config.eps2)
+
+    def pair_force(tgt, src, G):
+        if backend == "pallas":
+            return accel_pair_sym_pallas(
+                tgt, src, G, eps2=config.eps2, block=b, interpret=interpret
+            )
+        # jnp fallback: two partial evaluations (no weight sharing — the
+        # oracle path trades the 2x saving for simplicity)
+        at = accel_partial(tgt, src_transposed(src, G), NO_DIAG, eps2=config.eps2)
+        ar = accel_partial(src, src_transposed(tgt, G), NO_DIAG, eps2=config.eps2)
+        return at, ar
+
+    def local_step(pos_mass, vel, accel, step, dt, G):
+        my = lax.axis_index(axis)
+        acc = self_force(pos_mass, G)
+        revs = []
+        src = pos_mass
+        for k in range(1, n_hops + 1):
+            src = lax.ppermute(src, axis, fwd_perm)  # now shard of my-k
+            at, ar = pair_force(pos_mass, src, G)
+            if even and k == n_hops:
+                # shared half-hop: pair {i, i+d/2} computed only by i < d/2
+                keep = (my < d // 2).astype(at.dtype)
+                at = at * keep
+                ar = ar * keep
+            acc = acc + at
+            revs.append(ar)
+        carry = jnp.zeros_like(pos_mass)
+        for k in range(n_hops, 0, -1):
+            carry = lax.ppermute(carry + revs[k - 1], axis, bwd_perm)
+        acc = acc + carry
+
+        rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
+        valid = rows < n_real if n_real < n_pad else None
+        new_pos, new_vel, new_acc = apply_integrator(
+            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        )
+        return new_pos, new_vel, new_acc, step + 1
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P()),
         check_vma=False,
     )
 

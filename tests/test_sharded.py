@@ -203,3 +203,68 @@ def test_grid2d_multi_step_and_diagnostics(mesh2d):
     d0 = diag_mod.compute(s2.pos_mass, s2.vel, G, eps2=cfg.eps2)
     np.testing.assert_allclose(float(d.kinetic), float(d0.kinetic), rtol=1e-5)
     np.testing.assert_allclose(float(d.potential), float(d0.potential), rtol=1e-5)
+
+
+# ------------------------------------------------- Newton-3 half ring
+def test_ringsym_matches_single_device(mesh):
+    """Each unordered shard pair computed once + backward return carry
+    must reproduce the monolithic force (jnp oracle path)."""
+    n = 512
+    cfg = SimConfig(backend="jnp", block_target=64, block_source=64, strategy="ringsym")
+    s = random_state(0, n)
+    ref = make_step_fn(cfg, n, n, "cpu")(s, DT, G)
+    step = make_sharded_step(cfg, n, n, mesh, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh, "x"), DT, G)
+    np.testing.assert_allclose(
+        np.asarray(out.pos_mass), np.asarray(ref.pos_mass), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.accel), np.asarray(ref.accel), rtol=1e-4, atol=1e-6
+    )
+    assert int(out.step) == 1
+
+
+def test_ringsym_odd_device_count():
+    """Odd D has no shared half-hop: distances 1..(D-1)/2 cover all pairs."""
+    mesh5 = default_mesh(5)
+    n = 400
+    cfg = SimConfig(backend="jnp", block_target=16, block_source=16, strategy="ringsym")
+    s = random_state(4, n)
+    ref = make_step_fn(cfg, n, n, "cpu")(s, DT, G)
+    step = make_sharded_step(cfg, n, n, mesh5, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh5, "x"), DT, G)
+    np.testing.assert_allclose(
+        np.asarray(out.accel), np.asarray(ref.accel), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_ringsym_pallas_interpret_and_padding(mesh):
+    """The real pair/sym kernels through the half ring, with padded tail."""
+    n, n_pad = 400, 512
+    cfg = SimConfig(
+        backend="pallas", force_mode="sym",
+        block_target=32, block_source=32, strategy="ring",  # auto-upgrades
+    )
+    s = random_state(2, n, n_pad=n_pad)
+    ref = make_step_fn(SimConfig(backend="jnp"), n_pad, n, "cpu")(s, DT, G)
+    step = make_sharded_step(cfg, n_pad, n, mesh, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh, "x"), DT, G)
+    pos = np.asarray(jax.device_get(out.pos_mass))
+    np.testing.assert_allclose(pos[:n], np.asarray(ref.pos_mass)[:n], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(pos[n:], np.zeros((n_pad - n, 4)))
+    a, r = np.asarray(out.accel)[:n], np.asarray(ref.accel)[:n]
+    assert np.abs(a - r).max() / np.abs(r).max() < 2e-2  # bf16 weight noise
+
+
+def test_ringsym_multi_step(mesh):
+    n = 256
+    cfg = SimConfig(backend="jnp", block_target=32, block_source=32, strategy="ringsym")
+    s = random_state(1, n)
+    step1 = make_step_fn(cfg, n, n, "cpu")
+    ref = make_scan_fn(step1)(jax.tree.map(jnp.copy, s), DT, G, 10)
+    stepD = make_sharded_step(cfg, n, n, mesh, "cpu")
+    out = make_scan_fn(stepD)(shard_state(s, mesh, "x"), DT, G, 10)
+    np.testing.assert_allclose(
+        np.asarray(out.pos_mass), np.asarray(ref.pos_mass), rtol=1e-5, atol=1e-6
+    )
+    assert int(out.step) == 10

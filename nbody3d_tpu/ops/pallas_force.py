@@ -339,6 +339,36 @@ def _force_kernel_fast_diag(
 
 
 # --------------------------------------------------------------- host prep
+def _round_to_bf16_f32(v: jax.Array) -> jax.Array:
+    """Round f32 to the nearest bf16 value, RESULT KEPT IN f32 — via
+    integer bit arithmetic, NOT dtype casts.
+
+    The obvious ``v.astype(bf16).astype(f32)`` is numerically identical
+    but UNSAFE here: when the limb construction lives in the same jitted
+    program as the bf16 MXU dot that consumes it, XLA's excess-precision
+    convert folding cancels the f32->bf16->f32 round trips and simplifies
+    the residual limbs ``m = bf16(v - bf16(v))`` to ``v - v = 0`` —
+    silently deleting the m/l limb columns (caught on hardware: every
+    residual accumulator column came back exactly zero, ~4% force error
+    near heavy bodies; round-1 shipped this latent).  Bit-level
+    round-to-nearest-even is opaque to that rewrite.
+    """
+    u = lax.bitcast_convert_type(v, jnp.uint32)
+    rounded = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) & jnp.uint32(
+        0xFFFF0000
+    )
+    return lax.bitcast_convert_type(rounded, jnp.float32)
+
+
+def _limb3_cols(v: jax.Array) -> list[jax.Array]:
+    """Three bf16-representable f32 limbs of ``v`` (h + m + l == v to f32
+    exactness); fold-proof (see :func:`_round_to_bf16_f32`)."""
+    h = _round_to_bf16_f32(v)
+    rem = v - h
+    m = _round_to_bf16_f32(rem)
+    return [h, m, rem - m]
+
+
 def src_transposed(pos_mass: jax.Array, G) -> jax.Array:
     """(4, N) source rows [x, y, z, G*m]; G folded in so the kernel never
     reads it (the reference reads it from the uniform block each pair,
@@ -356,16 +386,10 @@ def src_limbs(pos_mass: jax.Array, G) -> jax.Array:
     :func:`_accum_fast` for why gm must be split too."""
     gm = jnp.float32(G) * pos_mass[:, 3:4]
 
-    def limbs(v):
-        h = v.astype(jnp.bfloat16).astype(jnp.float32)
-        rem = v - h
-        m = rem.astype(jnp.bfloat16).astype(jnp.float32)
-        return h, m, rem - m
-
     cols = []
     for c in range(3):
-        cols.extend(limbs(gm * pos_mass[:, c : c + 1]))
-    cols.extend(limbs(gm))
+        cols.extend(_limb3_cols(gm * pos_mass[:, c : c + 1]))
+    cols.extend(_limb3_cols(gm))
     n = pos_mass.shape[0]
     cols.append(jnp.zeros((n, 4), jnp.float32))
     return jnp.concatenate(cols, axis=1)
@@ -476,14 +500,6 @@ def fused_step_pallas(
 
 
 # ------------------------------------------------------- symmetric schedule
-def _limb3(v: jax.Array) -> list[jax.Array]:
-    """Three bf16 limbs of f32 ``v`` (h = bf16(v), m = bf16(v-h), l = rest);
-    each limb is exactly bf16-representable so the MXU consumes the triple
-    losslessly, and the limbs sum back to ``v`` to f32 exactness."""
-    h = v.astype(jnp.bfloat16).astype(jnp.float32)
-    rem = v - h
-    m = rem.astype(jnp.bfloat16).astype(jnp.float32)
-    return [h, m, rem - m]
 
 
 def sym_operands(
@@ -513,8 +529,8 @@ def sym_operands(
     gm = jnp.float32(G) * pos_mass[:, 3:4]
     cols: list[jax.Array] = []
     for c in range(3):
-        cols.extend(_limb3(gm[:, 0] * (pos[:, c] - c_per[:, c])))
-    cols.extend(_limb3(gm[:, 0]))
+        cols.extend(_limb3_cols(gm[:, 0] * (pos[:, c] - c_per[:, c])))
+    cols.extend(_limb3_cols(gm[:, 0]))
     s16 = jnp.stack(cols, axis=1)  # (n, 12)
     s16 = jnp.concatenate([s16, jnp.zeros((n, 4), jnp.float32)], axis=1)
     cent4 = jnp.concatenate([cent, jnp.zeros((nt, 1), jnp.float32)], axis=1)

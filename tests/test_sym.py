@@ -342,3 +342,58 @@ def test_sym_huge_n_falls_back_to_fast(rng, monkeypatch):
     cfg_fast = cfg.replace(force_mode="fast")
     ref = step_mod.make_step_fn(cfg_fast, n, n, platform="cpu")(s, 1e-4, G)
     np.testing.assert_array_equal(np.asarray(out.accel), np.asarray(ref.accel))
+
+
+def test_bitlevel_bf16_rounding_matches_rtne():
+    """_round_to_bf16_f32 (the fold-proof limb primitive) must agree with
+    dtype-cast round-to-nearest-even everywhere, including ties, tiny and
+    huge magnitudes.  The bit-level form exists because XLA's
+    excess-precision convert folding deletes cast-based residual limbs
+    when they share a program with the consuming bf16 dot (docs/DESIGN.md
+    landmine #4)."""
+    from nbody3d_tpu.ops.pallas_force import _round_to_bf16_f32
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.normal(scale=10.0, size=4096).astype(np.float32),
+        rng.normal(scale=1e30, size=64).astype(np.float32),
+        rng.normal(scale=1e-30, size=64).astype(np.float32),
+        np.float32([0.0, -0.0, 1.0, 1e3, 2.0 ** -126]),
+        # exact ties around the bf16 rounding boundary
+        np.float32([1.00390625, 1.01171875, -1.00390625]),
+    ])
+    import ml_dtypes
+
+    want = vals.astype(ml_dtypes.bfloat16).astype(np.float32)
+    got = np.asarray(_round_to_bf16_f32(jnp.asarray(vals)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_limbs_survive_jit_with_consuming_dot(rng):
+    """Regression for the XLA convert-folding bug: building the limb
+    operand IN THE SAME jit as a consuming dot must keep the residual
+    (m/l) limb columns alive.  With the old cast-based limbs, XLA
+    simplified m = bf16(v - bf16(v)) to zero on TPU; the bit-level
+    construction is opaque to that rewrite.  (On CPU the folding does not
+    fire, so this asserts the construction itself; the TPU behavior is
+    covered by benchmarks/sym_validate.py's in-jit step checks.)"""
+    import jax
+
+    from nbody3d_tpu.ops.pallas_force import src_limbs
+
+    pm = galaxy_like(rng, 256)
+
+    @jax.jit
+    def limb_mass(pm):
+        s10 = src_limbs(pm, G)
+        # consuming matmul, like the kernels do
+        probe = jnp.ones((1, 256), jnp.float32)
+        return jnp.dot(probe, s10), s10
+
+    consumed, s10 = limb_mass(jnp.asarray(pm))
+    s10 = np.asarray(s10)
+    # residual limbs must carry mass: m-columns are ~2^-8 of h-columns
+    for c in range(4):
+        h = np.abs(s10[:, 3 * c]).max()
+        m = np.abs(s10[:, 3 * c + 1]).max()
+        assert m > 0 and m < h

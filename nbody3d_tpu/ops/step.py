@@ -22,6 +22,7 @@ from nbody3d_tpu.ops.force_jnp import accel_direct
 from nbody3d_tpu.ops.integrate import INTEGRATORS
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
+    accel_pair_sym_pallas,
     accel_sym_pallas,
     fused_step_pallas,
     src_limbs,
@@ -41,8 +42,10 @@ PAD_GRANULE = 2048
 
 # The sym schedule keeps a (nt, 16, B) = N*64-byte accumulator resident in
 # VMEM; beyond this body count that plus the (B, B) temporaries exceeds the
-# v5e's 128 MB, so huge single-chip runs fall back to the rectangular fast
-# kernel (multi-chip shards never hit this: per-shard N/D is small).
+# v5e's 128 MB, so huge single-chip runs switch to the MACRO-TILED sym
+# schedule (chunks of <= this size, sym on diagonal chunks + Newton-3 pair
+# kernel on unordered chunk pairs).  Multi-chip shards never hit this:
+# per-shard N/D is small.
 SYM_MAX_N = 768 * 1024
 
 
@@ -96,10 +99,8 @@ def make_step_fn(
     bs = fit_block(n_pad, config.block_source)
 
     force_mode = config.force_mode
-    if force_mode == "sym" and n_pad > SYM_MAX_N:
-        force_mode = "fast"
 
-    if backend == "pallas" and force_mode == "sym":
+    if backend == "pallas" and force_mode == "sym" and n_pad <= SYM_MAX_N:
         # Symmetric (Newton-3) schedule: each unordered block pair's weight
         # chain is evaluated once and serves both directions — the headline
         # single-chip mode.  Integration runs as XLA elementwise ops (the
@@ -115,6 +116,41 @@ def make_step_fn(
                 block=b,
                 interpret=interpret,
             )
+            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+
+    elif backend == "pallas" and force_mode == "sym":
+        # Macro-tiled sym for huge single-chip N: the VMEM-resident reverse
+        # accumulator scales with chunk size, so split the bodies into M
+        # chunks of <= SYM_MAX_N, run the sym kernel on each diagonal chunk
+        # and the Newton-3 pair kernel on each unordered chunk pair — the
+        # ringsym schedule without the ring.  Keeps the ~2x-over-fast
+        # compute saving at any N.
+        m_chunks = -(-n_pad // SYM_MAX_N)
+        while n_pad % m_chunks != 0:
+            m_chunks += 1
+        chunk_n = n_pad // m_chunks
+        b = fit_sym_block(chunk_n, config.block_target)
+
+        def step(state: SimState, dt, G) -> SimState:
+            chunks = [
+                lax.slice_in_dim(state.pos_mass, a * chunk_n, (a + 1) * chunk_n)
+                for a in range(m_chunks)
+            ]
+            accs = [
+                accel_sym_pallas(
+                    c, G, eps2=config.eps2, block=b, interpret=interpret
+                )
+                for c in chunks
+            ]
+            for a in range(m_chunks):
+                for c2 in range(a + 1, m_chunks):
+                    at, ar = accel_pair_sym_pallas(
+                        chunks[a], chunks[c2], G,
+                        eps2=config.eps2, block=b, interpret=interpret,
+                    )
+                    accs[a] = accs[a] + at
+                    accs[c2] = accs[c2] + ar
+            acc = jnp.concatenate(accs, axis=0)
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:

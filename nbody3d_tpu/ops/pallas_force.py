@@ -574,7 +574,7 @@ def _sym_kernel(
     """
     i = pl.program_id(0)
     k = pl.program_id(1)
-    j = lax.rem(i + k, nt)
+    j = lax.rem(i + k, nt)  # true block id (out_src accumulator index)
     half = nt // 2
 
     @pl.when(jnp.logical_and(i == 0, k == 0))
@@ -589,9 +589,12 @@ def _sym_kernel(
     _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
     inv3 = lax.rsqrt(d2 * (d2 * d2))
 
-    cjx = cent_ref[j, 0]
-    cjy = cent_ref[j, 1]
-    cjz = cent_ref[j, 2]
+    # cent/source arrays are wrap-extended so the LINEAR index i + k reads
+    # block j without a modulus — modular BlockSpec index maps defeat
+    # Mosaic's prefetch pipelining and cost ~10% (measured, docs/DESIGN.md).
+    cjx = cent_ref[i + k, 0]
+    cjy = cent_ref[i + k, 1]
+    cjz = cent_ref[i + k, 2]
 
     def with_cw(part, cx, cy, cz):
         wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
@@ -693,16 +696,23 @@ def accel_sym_pallas(
     srcT = src_transposed(pos_mass, G)
     s16, cent = sym_operands(pos_mass, G, block, center=center)
     nkk = nt // 2 + 1 if nt > 1 else 1
+    # Wrap-extend the source-side arrays by nkk blocks so the grid indexes
+    # them LINEARLY (j = i + k): modular index maps defeat Mosaic's
+    # prefetch pipelining (~10% measured).  Costs one O(N/2) copy per step.
+    ext = nkk * block
+    srcT_e = jnp.concatenate([srcT, srcT[:, :ext]], axis=1)
+    s16_e = jnp.concatenate([s16, s16[:ext]], axis=0)
+    cent_e = jnp.concatenate([cent, cent[:nkk]], axis=0)
     kernel = functools.partial(_sym_kernel, eps2=float(eps2), b=block, nt=nt)
     out_tgt, out_src = pl.pallas_call(
         kernel,
         grid=(nt, nkk),
         in_specs=[
-            pl.BlockSpec((4, block), lambda i, k: (0, (i + k) % nt), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i, k: (0, i + k), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 4), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 16), lambda i, k: ((i + k) % nt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 16), lambda i, k: (i + k, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # centroids
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # centroids (extended)
         ],
         out_specs=[
             pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
@@ -722,7 +732,7 @@ def accel_sym_pallas(
             transcendentals=n * (n // 2 + block),
         ),
         interpret=interpret,
-    )(srcT, pos_mass, s16, s16, cent)
+    )(srcT_e, pos_mass, s16_e, s16, cent_e)
     if raw:  # debug: the two uncombined limb accumulators
         return out_tgt, out_src
     return sym_combine(out_tgt, out_src, pos_mass)

@@ -100,10 +100,10 @@ def make_step_fn(
 
     force_mode = config.force_mode
 
-    if backend == "pallas" and force_mode == "sym" and n_pad <= SYM_MAX_N:
-        # Symmetric (Newton-3) schedule: each unordered block pair's weight
-        # chain is evaluated once and serves both directions — the headline
-        # single-chip mode.  Integration runs as XLA elementwise ops (the
+    if backend == "pallas" and force_mode == "sym" and n_pad < 4 * PAD_GRANULE:
+        # Small N: one symmetric (Newton-3) round-robin kernel — each
+        # unordered block pair's weight chain is evaluated once and serves
+        # both directions.  Integration runs as XLA elementwise ops (the
         # fused epilogue is unfusable here: source-side partials complete
         # only at grid end).
         b = fit_sym_block(n_pad, config.block_target)
@@ -119,13 +119,17 @@ def make_step_fn(
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "pallas" and force_mode == "sym":
-        # Macro-tiled sym for huge single-chip N: the VMEM-resident reverse
-        # accumulator scales with chunk size, so split the bodies into M
-        # chunks of <= SYM_MAX_N, run the sym kernel on each diagonal chunk
-        # and the Newton-3 pair kernel on each unordered chunk pair — the
-        # ringsym schedule without the ring.  Keeps the ~2x-over-fast
-        # compute saving at any N.
-        m_chunks = -(-n_pad // SYM_MAX_N)
+        # Macro-tiled sym: split the bodies into M chunks, run the sym
+        # round-robin kernel on each diagonal chunk and the Newton-3 pair
+        # kernel on each unordered chunk pair (the ringsym schedule without
+        # the ring).  The rectangular pair calls out-run the round-robin —
+        # measured at N=256k: M=4 -> 365 G-int/s vs a single sym kernel's
+        # 310 (the round-robin's wrap pairing and dynamic out_src indexing
+        # carry overheads the plain rectangle avoids); M=4 was the sweep
+        # optimum (M=2: 350, M=8: 357), and at N=2M it gives 426.  M also
+        # enforces the VMEM cap: each chunk's resident reverse accumulator
+        # is chunk*64 B <= SYM_MAX_N*64.
+        m_chunks = max(4, -(-n_pad // SYM_MAX_N))
         while n_pad % m_chunks != 0:
             m_chunks += 1
         chunk_n = n_pad // m_chunks

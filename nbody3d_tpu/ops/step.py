@@ -48,6 +48,11 @@ PAD_GRANULE = 2048
 # per-shard N/D is small.
 SYM_MAX_N = 768 * 1024
 
+# Macro-tiling needs chunks big enough to amortize per-call grid startup:
+# below this total, a single round-robin sym kernel wins (measured at 40k:
+# single 230 vs 4x10k-chunk 210 G-int/s; at 256k macro wins 365 vs 310).
+MACRO_MIN_N = 128 * 1024
+
 
 def fit_block(n: int, want: int, floor: int = 8) -> int:
     """Largest power-of-two-ish block <= want that divides n."""
@@ -100,7 +105,7 @@ def make_step_fn(
 
     force_mode = config.force_mode
 
-    if backend == "pallas" and force_mode == "sym" and n_pad < 4 * PAD_GRANULE:
+    if backend == "pallas" and force_mode == "sym" and n_pad < MACRO_MIN_N:
         # Small N: one symmetric (Newton-3) round-robin kernel — each
         # unordered block pair's weight chain is evaluated once and serves
         # both directions.  Integration runs as XLA elementwise ops (the

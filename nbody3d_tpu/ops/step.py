@@ -134,7 +134,11 @@ def make_step_fn(
         # optimum (M=2: 350, M=8: 357), and at N=2M it gives 426.  M also
         # enforces the VMEM cap: each chunk's resident reverse accumulator
         # is chunk*64 B <= SYM_MAX_N*64.
-        m_chunks = max(4, -(-n_pad // SYM_MAX_N))
+        # Chunk-size target swept on v5e: at N=2M, 256k chunks (M=8) edge
+        # out 512k ones (433 vs 426 G-int/s); at N=256k the M=4 floor wins
+        # (365; M=8 drops to 357 on per-call overheads).
+        SYM_CHUNK_TARGET = 256 * 1024
+        m_chunks = max(4, -(-n_pad // SYM_CHUNK_TARGET))
         while n_pad % m_chunks != 0:
             m_chunks += 1
         chunk_n = n_pad // m_chunks

@@ -91,6 +91,54 @@ def resolve_backend(config: SimConfig, platform: str | None = None) -> tuple[str
     return backend, interpret
 
 
+def make_sym_accel_fn(config: SimConfig, n_pad: int, interpret: bool):
+    """Single-set Newton-3 accelerations ``accel(pos_mass, G) -> (N,4)``:
+    one round-robin sym kernel below MACRO_MIN_N, otherwise the macro-tiled
+    composition (sym on diagonal chunks + pair kernel on unordered chunk
+    pairs).  Shared by the single-chip step and the Newton-3 ring's hop 0
+    (whose shard can exceed the VMEM cap on few-chip/huge-N runs)."""
+    if n_pad < MACRO_MIN_N:
+        b = fit_sym_block(n_pad, config.block_target)
+
+        def accel(pos_mass, G):
+            return accel_sym_pallas(
+                pos_mass, G, eps2=config.eps2, block=b, interpret=interpret
+            )
+
+        return accel
+
+    # Chunk-size target swept on v5e: at N=2M, 256k chunks (M=8) edge
+    # out 512k ones (433 vs 426 G-int/s); at N=256k the M=4 floor wins
+    # (365; M=8 drops to 357 on per-call overheads).
+    SYM_CHUNK_TARGET = 256 * 1024
+    m_chunks = max(4, -(-n_pad // SYM_CHUNK_TARGET))
+    while n_pad % m_chunks != 0:
+        m_chunks += 1
+    chunk_n = n_pad // m_chunks
+    b = fit_sym_block(chunk_n, config.block_target)
+
+    def accel(pos_mass, G):
+        chunks = [
+            lax.slice_in_dim(pos_mass, a * chunk_n, (a + 1) * chunk_n)
+            for a in range(m_chunks)
+        ]
+        accs = [
+            accel_sym_pallas(c, G, eps2=config.eps2, block=b, interpret=interpret)
+            for c in chunks
+        ]
+        for a in range(m_chunks):
+            for c2 in range(a + 1, m_chunks):
+                at, ar = accel_pair_sym_pallas(
+                    chunks[a], chunks[c2], G,
+                    eps2=config.eps2, block=b, interpret=interpret,
+                )
+                accs[a] = accs[a] + at
+                accs[c2] = accs[c2] + ar
+        return jnp.concatenate(accs, axis=0)
+
+    return accel
+
+
 def make_step_fn(
     config: SimConfig, n_pad: int, n_real: int, platform: str | None = None
 ) -> StepFn:
@@ -105,65 +153,17 @@ def make_step_fn(
 
     force_mode = config.force_mode
 
-    if backend == "pallas" and force_mode == "sym" and n_pad < MACRO_MIN_N:
-        # Small N: one symmetric (Newton-3) round-robin kernel — each
-        # unordered block pair's weight chain is evaluated once and serves
-        # both directions.  Integration runs as XLA elementwise ops (the
-        # fused epilogue is unfusable here: source-side partials complete
-        # only at grid end).
-        b = fit_sym_block(n_pad, config.block_target)
+    if backend == "pallas" and force_mode == "sym":
+        # Newton-3 schedule (round-robin below MACRO_MIN_N, macro-tiled
+        # above — see make_sym_accel_fn); the headline single-chip mode.
+        # Measured at 256k: macro M=4 365 G-int/s vs single round-robin
+        # 310 (M=2: 350, M=8: 357); 2M reaches 433.  Integration runs as
+        # XLA elementwise ops (the fused epilogue is unfusable here:
+        # source-side partials complete only at grid end).
+        sym_accel = make_sym_accel_fn(config, n_pad, interpret)
 
         def step(state: SimState, dt, G) -> SimState:
-            acc = accel_sym_pallas(
-                state.pos_mass,
-                G,
-                eps2=config.eps2,
-                block=b,
-                interpret=interpret,
-            )
-            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
-
-    elif backend == "pallas" and force_mode == "sym":
-        # Macro-tiled sym: split the bodies into M chunks, run the sym
-        # round-robin kernel on each diagonal chunk and the Newton-3 pair
-        # kernel on each unordered chunk pair (the ringsym schedule without
-        # the ring).  The rectangular pair calls out-run the round-robin —
-        # measured at N=256k: M=4 -> 365 G-int/s vs a single sym kernel's
-        # 310 (the round-robin's wrap pairing and dynamic out_src indexing
-        # carry overheads the plain rectangle avoids); M=4 was the sweep
-        # optimum (M=2: 350, M=8: 357), and at N=2M it gives 426.  M also
-        # enforces the VMEM cap: each chunk's resident reverse accumulator
-        # is chunk*64 B <= SYM_MAX_N*64.
-        # Chunk-size target swept on v5e: at N=2M, 256k chunks (M=8) edge
-        # out 512k ones (433 vs 426 G-int/s); at N=256k the M=4 floor wins
-        # (365; M=8 drops to 357 on per-call overheads).
-        SYM_CHUNK_TARGET = 256 * 1024
-        m_chunks = max(4, -(-n_pad // SYM_CHUNK_TARGET))
-        while n_pad % m_chunks != 0:
-            m_chunks += 1
-        chunk_n = n_pad // m_chunks
-        b = fit_sym_block(chunk_n, config.block_target)
-
-        def step(state: SimState, dt, G) -> SimState:
-            chunks = [
-                lax.slice_in_dim(state.pos_mass, a * chunk_n, (a + 1) * chunk_n)
-                for a in range(m_chunks)
-            ]
-            accs = [
-                accel_sym_pallas(
-                    c, G, eps2=config.eps2, block=b, interpret=interpret
-                )
-                for c in chunks
-            ]
-            for a in range(m_chunks):
-                for c2 in range(a + 1, m_chunks):
-                    at, ar = accel_pair_sym_pallas(
-                        chunks[a], chunks[c2], G,
-                        eps2=config.eps2, block=b, interpret=interpret,
-                    )
-                    accs[a] = accs[a] + at
-                    accs[c2] = accs[c2] + ar
-            acc = jnp.concatenate(accs, axis=0)
+            acc = sym_accel(state.pos_mass, G)
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:

@@ -37,11 +37,15 @@ from nbody3d_tpu.ops.pallas_force import (
     NO_DIAG,
     accel_pallas,
     accel_pair_sym_pallas,
-    accel_sym_pallas,
     src_limbs,
     src_transposed,
 )
-from nbody3d_tpu.ops.step import fit_block, fit_sym_block, resolve_backend
+from nbody3d_tpu.ops.step import (
+    fit_block,
+    fit_sym_block,
+    make_sym_accel_fn,
+    resolve_backend,
+)
 from nbody3d_tpu.state import SimState
 
 # Unrolling the ring as a Python loop keeps each ppermute an independent op
@@ -249,6 +253,9 @@ def make_ringsym_step(
     shard = n_pad // d
     backend, interpret = resolve_backend(config, platform)
     b = fit_sym_block(shard, config.block_target)
+    # hop 0 (shard vs itself) goes through the macro-aware sym dispatcher,
+    # so a huge per-shard N on a small mesh cannot blow the VMEM cap
+    sym_self = make_sym_accel_fn(config, shard, interpret) if backend == "pallas" else None
 
     fwd_perm = [(i, (i + 1) % d) for i in range(d)]
     bwd_perm = [(i, (i - 1) % d) for i in range(d)]
@@ -257,9 +264,7 @@ def make_ringsym_step(
 
     def self_force(pm, G):
         if backend == "pallas":
-            return accel_sym_pallas(
-                pm, G, eps2=config.eps2, block=b, interpret=interpret
-            )
+            return sym_self(pm, G)
         srcT = src_transposed(pm, G)
         return accel_partial(pm, srcT, 0, eps2=config.eps2)
 

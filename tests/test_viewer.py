@@ -30,14 +30,23 @@ def viewer():
     server.server_close()
 
 
-def _get(port, path):
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=20)
-    conn.request("GET", path)
-    resp = conn.getresponse()
-    body = resp.read() if resp.getheader("Content-Length") else b""
-    status, headers = resp.status, dict(resp.getheaders())
-    conn.close()
-    return status, headers, body
+def _get(port, path, retries=5):
+    """GET with retries: under full-suite CPU contention the threaded
+    stdlib server occasionally drops a connection mid-handshake."""
+    last = None
+    for _ in range(retries):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=20)
+            conn.request("GET", path)
+            resp = conn.getresponse()
+            body = resp.read() if resp.getheader("Content-Length") else b""
+            status, headers = resp.status, dict(resp.getheaders())
+            conn.close()
+            return status, headers, body
+        except (http.client.RemoteDisconnected, ConnectionError, OSError) as e:
+            last = e
+            time.sleep(0.2)
+    raise last
 
 
 def test_page_and_stats(viewer):

@@ -357,7 +357,10 @@ def _round_to_bf16_f32(v: jax.Array) -> jax.Array:
     rounded = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) & jnp.uint32(
         0xFFFF0000
     )
-    return lax.bitcast_convert_type(rounded, jnp.float32)
+    out = lax.bitcast_convert_type(rounded, jnp.float32)
+    # The +0x7FFF carry can launder NaN payloads into Inf/0; keep NaNs NaN
+    # so corrupt inputs propagate instead of becoming finite forces.
+    return jnp.where(jnp.isnan(v), v, out)
 
 
 def _limb3_cols(v: jax.Array) -> list[jax.Array]:
@@ -644,22 +647,25 @@ def _sym_kernel(
             )
 
 
-def sym_combine(
-    out_tgt: jax.Array, out_src: jax.Array, pos_mass: jax.Array
-) -> jax.Array:
-    """(N,16) + (nt,16,B) limb accumulators -> (N,4) accelerations.
-
-    Per body: ``a = sum(position limbs) + c*W correction - x * sum(gm limbs)``
-    summed over both sides (the algebra is linear, so the sides combine
-    before the un-centering epilogue).
-    """
-    n = pos_mass.shape[0]
-    a = out_tgt + jnp.transpose(out_src, (0, 2, 1)).reshape(n, 16)
+def _combine16(a: jax.Array, pos_mass: jax.Array) -> jax.Array:
+    """(N,16) limb accumulator -> (N,4) accelerations: ``a = sum(position
+    limbs) + c*W correction - x * sum(gm limbs)``."""
     s = a[:, 9] + a[:, 10] + a[:, 11]
     ax = a[:, 0] + a[:, 1] + a[:, 2] + a[:, 12] - pos_mass[:, 0] * s
     ay = a[:, 3] + a[:, 4] + a[:, 5] + a[:, 13] - pos_mass[:, 1] * s
     az = a[:, 6] + a[:, 7] + a[:, 8] + a[:, 14] - pos_mass[:, 2] * s
     return jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=1)
+
+
+def sym_combine(
+    out_tgt: jax.Array, out_src: jax.Array, pos_mass: jax.Array
+) -> jax.Array:
+    """(N,16) + (nt,16,B) limb accumulators -> (N,4) accelerations (the
+    algebra is linear, so the sides combine before the un-centering
+    epilogue)."""
+    n = pos_mass.shape[0]
+    a = out_tgt + jnp.transpose(out_src, (0, 2, 1)).reshape(n, 16)
+    return _combine16(a, pos_mass)
 
 
 @functools.partial(
@@ -800,6 +806,8 @@ def accel_pair_sym_pallas(
     eps2: float = 1e-4,
     block: int = DEFAULT_BLOCK_TARGET,
     interpret: bool = False,
+    tgt_pack: tuple[jax.Array, jax.Array] | None = None,
+    src_pack: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Forces between two DISJOINT body sets, both directions from one
     weight-chain evaluation (Newton's third law): returns
@@ -821,8 +829,15 @@ def accel_pair_sym_pallas(
         )
     nt, ns = n_t // block, n_s // block
     srcT = src_transposed(src_pos_mass, G)
-    s16s, cents = sym_operands(src_pos_mass, G, block)
-    s16t, centt = sym_operands(tgt_pos_mass, G, block)
+    # Operand packs are hoistable: the ringsym loop reuses the resident
+    # shard's target pack across all hops, and the macro tiler reuses each
+    # chunk's pack across its pairings.
+    s16s, cents = src_pack if src_pack is not None else sym_operands(
+        src_pos_mass, G, block
+    )
+    s16t, centt = tgt_pack if tgt_pack is not None else sym_operands(
+        tgt_pos_mass, G, block
+    )
     kernel = functools.partial(_pair_sym_kernel, eps2=float(eps2), bt=block, bs=block)
     out_tgt, out_src = pl.pallas_call(
         kernel,
@@ -854,11 +869,9 @@ def accel_pair_sym_pallas(
         ),
         interpret=interpret,
     )(srcT, tgt_pos_mass, s16s, s16t, cents, centt)
-    acc_t = sym_combine(
-        out_tgt, jnp.zeros((nt, 16, block), jnp.float32), tgt_pos_mass
-    )
-    acc_s = sym_combine(
-        jnp.zeros((n_s, 16), jnp.float32), out_src, src_pos_mass
+    acc_t = _combine16(out_tgt, tgt_pos_mass)
+    acc_s = _combine16(
+        jnp.transpose(out_src, (0, 2, 1)).reshape(n_s, 16), src_pos_mass
     )
     return acc_t, acc_s
 

@@ -40,7 +40,9 @@ from nbody3d_tpu.ops.pallas_force import (
     src_limbs,
     src_transposed,
 )
+from nbody3d_tpu.ops.pallas_force import sym_operands
 from nbody3d_tpu.ops.step import (
+    SYM_MAX_N,
     fit_block,
     fit_sym_block,
     make_sym_accel_fn,
@@ -252,10 +254,23 @@ def make_ringsym_step(
         raise ValueError(f"n_pad={n_pad} not divisible by mesh size {d}")
     shard = n_pad // d
     backend, interpret = resolve_backend(config, platform)
-    b = fit_sym_block(shard, config.block_target)
-    # hop 0 (shard vs itself) goes through the macro-aware sym dispatcher,
-    # so a huge per-shard N on a small mesh cannot blow the VMEM cap
-    sym_self = make_sym_accel_fn(config, shard, interpret) if backend == "pallas" else None
+    if backend == "pallas" and config.force_mode == "exact":
+        raise ValueError(
+            "strategy 'ringsym' is the bf16 Newton-3 schedule (~0.2% weight "
+            "noise); use strategy='ring' with force_mode='exact' for ~1 ulp "
+            "forces"
+        )
+    if backend == "pallas":
+        b = fit_sym_block(shard, config.block_target)
+        # hop 0 (shard vs itself) goes through the macro-aware sym
+        # dispatcher, and pair hops chunk their SOURCE side, so a huge
+        # per-shard N on a small mesh cannot blow the VMEM cap (the pair
+        # kernel's reverse accumulator is source_count * 64 bytes resident).
+        sym_self = make_sym_accel_fn(config, shard, interpret)
+        n_src_chunks = -(-shard // SYM_MAX_N)
+        while shard % n_src_chunks != 0:
+            n_src_chunks += 1
+        src_chunk = shard // n_src_chunks
 
     fwd_perm = [(i, (i + 1) % d) for i in range(d)]
     bwd_perm = [(i, (i - 1) % d) for i in range(d)]
@@ -268,11 +283,24 @@ def make_ringsym_step(
         srcT = src_transposed(pm, G)
         return accel_partial(pm, srcT, 0, eps2=config.eps2)
 
-    def pair_force(tgt, src, G):
+    def pair_force(tgt, src, G, tgt_pack):
         if backend == "pallas":
-            return accel_pair_sym_pallas(
-                tgt, src, G, eps2=config.eps2, block=b, interpret=interpret
-            )
+            if n_src_chunks == 1:
+                return accel_pair_sym_pallas(
+                    tgt, src, G, eps2=config.eps2, block=b,
+                    interpret=interpret, tgt_pack=tgt_pack,
+                )
+            at = None
+            ars = []
+            for a in range(n_src_chunks):
+                sc = lax.slice_in_dim(src, a * src_chunk, (a + 1) * src_chunk)
+                at_a, ar_a = accel_pair_sym_pallas(
+                    tgt, sc, G, eps2=config.eps2, block=b,
+                    interpret=interpret, tgt_pack=tgt_pack,
+                )
+                at = at_a if at is None else at + at_a
+                ars.append(ar_a)
+            return at, jnp.concatenate(ars, axis=0)
         # jnp fallback: two partial evaluations (no weight sharing — the
         # oracle path trades the 2x saving for simplicity)
         at = accel_partial(tgt, src_transposed(src, G), NO_DIAG, eps2=config.eps2)
@@ -282,21 +310,59 @@ def make_ringsym_step(
     def local_step(pos_mass, vel, accel, step, dt, G):
         my = lax.axis_index(axis)
         acc = self_force(pos_mass, G)
-        revs = []
-        src = pos_mass
-        for k in range(1, n_hops + 1):
+        # the resident shard's target-side operand pack is hop-invariant
+        tgt_pack = (
+            sym_operands(pos_mass, G, b) if backend == "pallas" else None
+        )
+
+        def fwd_hop(k, acc, src):
             src = lax.ppermute(src, axis, fwd_perm)  # now shard of my-k
-            at, ar = pair_force(pos_mass, src, G)
-            if even and k == n_hops:
+            at, ar = pair_force(pos_mass, src, G, tgt_pack)
+            if even:
                 # shared half-hop: pair {i, i+d/2} computed only by i < d/2
-                keep = (my < d // 2).astype(at.dtype)
+                keep = jnp.where(
+                    jnp.logical_or(k != n_hops, my < d // 2), 1.0, 0.0
+                ).astype(at.dtype)
                 at = at * keep
                 ar = ar * keep
-            acc = acc + at
-            revs.append(ar)
+            return acc + at, ar, src
+
         carry = jnp.zeros_like(pos_mass)
-        for k in range(n_hops, 0, -1):
-            carry = lax.ppermute(carry + revs[k - 1], axis, bwd_perm)
+        if n_hops <= _MAX_UNROLL:
+            revs = []
+            src = pos_mass
+            for k in range(1, n_hops + 1):
+                acc, ar, src = fwd_hop(k, acc, src)
+                revs.append(ar)
+            for k in range(n_hops, 0, -1):
+                carry = lax.ppermute(carry + revs[k - 1], axis, bwd_perm)
+        elif n_hops > 0:
+            # rolled fallback for big meshes (the plain ring does the same
+            # beyond _MAX_UNROLL): stash per-hop reverse partials in a
+            # stacked buffer, then run the backward carry over it.
+            revs0 = jnp.zeros((n_hops,) + pos_mass.shape, pos_mass.dtype)
+
+            def fwd_body(k, st):
+                acc_, revs_, src_ = st
+                acc_, ar, src_ = fwd_hop(k, acc_, src_)
+                revs_ = lax.dynamic_update_slice_in_dim(
+                    revs_, ar[None], k - 1, axis=0
+                )
+                return acc_, revs_, src_
+
+            acc, revs_arr, _ = lax.fori_loop(
+                1, n_hops + 1, fwd_body, (acc, revs0, pos_mass)
+            )
+
+            def bwd_body(t, carry_):
+                k = n_hops - t  # k = n_hops .. 1
+                return lax.ppermute(
+                    carry_ + lax.dynamic_index_in_dim(revs_arr, k - 1, 0, False),
+                    axis,
+                    bwd_perm,
+                )
+
+            carry = lax.fori_loop(0, n_hops, bwd_body, carry)
         acc = acc + carry
 
         rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard

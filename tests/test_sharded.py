@@ -268,3 +268,49 @@ def test_ringsym_multi_step(mesh):
         np.asarray(out.pos_mass), np.asarray(ref.pos_mass), rtol=1e-5, atol=1e-6
     )
     assert int(out.step) == 10
+
+
+def test_ringsym_rejects_exact_mode(mesh):
+    cfg = SimConfig(backend="pallas", force_mode="exact", strategy="ringsym",
+                    block_target=32, block_source=32)
+    with pytest.raises(ValueError, match="ringsym"):
+        make_sharded_step(cfg, 512, 512, mesh, "cpu")
+
+
+def test_ringsym_rolled_fallback(mesh, monkeypatch):
+    """Beyond _MAX_UNROLL the half ring rolls its hop and carry loops into
+    fori_loops (stacked reverse buffers) — results must be unchanged."""
+    import nbody3d_tpu.parallel.sharded as sh
+
+    n = 256
+    cfg = SimConfig(backend="jnp", block_target=32, block_source=32,
+                    strategy="ringsym")
+    s = random_state(5, n)
+    ref = jax.jit(make_sharded_step(cfg, n, n, mesh, "cpu"))(
+        shard_state(s, mesh, "x"), DT, G
+    )
+    monkeypatch.setattr(sh, "_MAX_UNROLL", 1)
+    out = jax.jit(sh.make_sharded_step(cfg, n, n, mesh, "cpu"))(
+        shard_state(s, mesh, "x"), DT, G
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.accel), np.asarray(ref.accel), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_ringsym_source_chunked_pair_hops(mesh, monkeypatch):
+    """When a shard exceeds the sym VMEM cap, pair hops split their source
+    side into chunks; physics unchanged."""
+    import nbody3d_tpu.parallel.sharded as sh
+
+    n = 512  # shard = 64
+    cfg = SimConfig(backend="pallas", force_mode="sym",
+                    block_target=16, block_source=16, strategy="ringsym")
+    s = random_state(6, n)
+    ref = make_step_fn(SimConfig(backend="jnp"), n, n, "cpu")(s, DT, G)
+    monkeypatch.setattr(sh, "SYM_MAX_N", 32)  # force 2 source chunks per hop
+    step = sh.make_sharded_step(cfg, n, n, mesh, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh, "x"), DT, G)
+    np.testing.assert_allclose(
+        np.asarray(out.accel), np.asarray(ref.accel), rtol=1e-4, atol=1e-6
+    )

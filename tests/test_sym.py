@@ -339,9 +339,8 @@ def test_sym_huge_n_macro_tiles(rng, monkeypatch):
     pm = galaxy_like(rng, n)
     vel = np.zeros((n, 4), np.float32)
     s = init_state(pm, vel, n_pad=n)
-    # force the macro branch at test scale: 4 chunks of 128
+    # force the macro branch at test scale (M=4 floor -> chunks of 128)
     monkeypatch.setattr(step_mod, "MACRO_MIN_N", 256)
-    monkeypatch.setattr(step_mod, "SYM_MAX_N", 128)
     out = step_mod.make_step_fn(cfg, n, n, platform="cpu")(s, 1e-4, G)
     ref = step_mod.make_step_fn(SimConfig(backend="jnp"), n, n, platform="cpu")(
         s, 1e-4, G

@@ -540,45 +540,67 @@ def sym_operands(
     return s16, cent4
 
 
-def _sym_kernel(
-    srcT_ref, tgt_ref, s16j_ref, s16i_ref, cent_ref, out_tgt_ref, out_src_ref,
-    *, eps2, b, nt,
-):
-    """One unordered block pair per grid step (Newton's third law).
+def _sym_diag_kernel(srcT_ref, tgt_ref, s16_ref, cent_ref, out_ref, *, eps2, b):
+    """Diagonal blocks of the Newton-3 schedule: grid ``(nt,)``, one
+    ALWAYS-masked forward dot per block serving both directions of every
+    in-block pair (the index mask kills the self-pair — see
+    :func:`_accum_fast` on why fast paths must mask it).  Condition-free
+    by construction: ``pl.when``-predicated dots pipeline poorly on
+    Mosaic, which is why the sym schedule compiles as three separate
+    unconditional pallas calls instead of one round-robin grid
+    (measured 401 vs 311 G-int/s at N=256k; docs/DESIGN.md)."""
+    i = pl.program_id(0)
+    tgt = tgt_ref[...]
+    _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
+    inv3 = lax.rsqrt(d2 * (d2 * d2))
+    rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    w = jnp.where(rows == cols, 0.0, inv3)
+    part = jnp.dot(w, s16_ref[...], preferred_element_type=jnp.float32)
+    wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
+    cx = cent_ref[i, 0]
+    cy = cent_ref[i, 1]
+    cz = cent_ref[i, 2]
+    cw = jnp.concatenate(
+        [wsum * cx, wsum * cy, wsum * cz, jnp.zeros_like(wsum)], axis=1
+    )
+    out_ref[...] = jnp.concatenate([part[:, :12], cw], axis=1)
 
-    Grid ``(nt, nt//2 + 1)``; step ``(i, k)`` pairs target block ``i`` with
-    source block ``j = (i + k) % nt`` — the round-robin enumeration that
-    covers every unordered pair exactly once (``k = nt/2`` is halved via
-    the ``i < nt/2`` guard; ``k = 0`` is the diagonal).  The expensive
-    per-pair weight chain (d2, cube, rsqrt — the VPU budget, docs/DESIGN.md)
-    runs ONCE per unordered pair; two MXU dots over the SAME weight matrix
-    then deliver forces to both sides:
+
+def _sym_hops_kernel(
+    srcT_ref, tgt_ref, s16j_ref, s16i_ref, cent_ref, out_tgt_ref, out_src_ref,
+    *, eps2, b, nt, k0,
+):
+    """Off-diagonal hops of the Newton-3 schedule: step ``(i, k)`` pairs
+    target block ``i`` with source block ``j = (i + k0 + k) mod nt`` —
+    every step is active, so both dots run UNCONDITIONALLY (no ``pl.when``
+    around compute; see :func:`_sym_diag_kernel`).  The expensive per-pair
+    weight chain (d2, cube, rsqrt — the VPU budget) runs ONCE per
+    unordered pair; two MXU dots over the SAME weight matrix deliver both
+    sides:
 
       forward:  out_tgt[i] += inv3 @ s16[j]                      (B,B)@(B,16)
       reverse:  out_src[j] += dot_general(s16[i], inv3, contract dim0 x dim0)
 
     The reverse contraction runs in TN orientation over the weight
-    matrix's TARGET dim, producing (16, BS) directly in the accumulator's
+    matrix's TARGET dim, producing (16, B) directly in the accumulator's
     layout: a plain transposed formulation — ``dot(s16[i].T (16,B),
     inv3)`` — lowers to a low-precision accumulation path on v5e and cost
-    4x accuracy (measured 8.8e-3 vs the 2.1e-3 weight-noise floor; see
-    docs/DESIGN.md round-2 notes).  The (nt, 16, B) accumulator layout
-    keeps B on the lane dimension — a (nt, B, 16) layout pads its 16-wide
-    minor dim to 128 lanes and 8x the VMEM (blew the 128 MB budget at
-    N=256k).
+    4x accuracy (measured; docs/DESIGN.md).  The (nt, 16, B) accumulator
+    layout keeps B on the lane dimension — (nt, B, 16) pads its 16-wide
+    minor dim to 128 lanes and 8x the VMEM.  Input index maps are LINEAR
+    (``i + k0 + k`` over wrap-extended arrays): modular index maps defeat
+    Mosaic's prefetch pipelining (~10% measured).
 
     ``w_ij == w_ji`` holds *exactly* (shared bf16-rounded inv3), so the
     pair antisymmetry the reference gets from evaluating ``bodyAccel``
-    twice (``nbody3d.js:232-237``) is preserved by construction — better:
-    the reference's two evaluations could disagree, ours cannot.
-    ``out_src`` is a VMEM-resident (nt, 16, B) accumulator indexed
-    dynamically by ``j``; both sides carry the running ``c * sum(w*gm)``
-    correction in columns 12-14 so the epilogue can un-center.
+    twice (``nbody3d.js:232-237``) is preserved by construction; both
+    sides carry the running ``c * sum(w*gm)`` correction in columns 12-14
+    so the epilogue can un-center.
     """
     i = pl.program_id(0)
     k = pl.program_id(1)
-    j = lax.rem(i + k, nt)  # true block id (out_src accumulator index)
-    half = nt // 2
+    j = lax.rem(i + k0 + k, nt)  # true block id (out_src accumulator index)
 
     @pl.when(jnp.logical_and(i == 0, k == 0))
     def _():
@@ -592,59 +614,33 @@ def _sym_kernel(
     _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
     inv3 = lax.rsqrt(d2 * (d2 * d2))
 
-    # cent/source arrays are wrap-extended so the LINEAR index i + k reads
-    # block j without a modulus — modular BlockSpec index maps defeat
-    # Mosaic's prefetch pipelining and cost ~10% (measured, docs/DESIGN.md).
-    cjx = cent_ref[i + k, 0]
-    cjy = cent_ref[i + k, 1]
-    cjz = cent_ref[i + k, 2]
+    cjx = cent_ref[i + k0 + k, 0]
+    cjy = cent_ref[i + k0 + k, 1]
+    cjz = cent_ref[i + k0 + k, 2]
+    part = jnp.dot(inv3, s16j_ref[...], preferred_element_type=jnp.float32)
+    wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
+    cw = jnp.concatenate(
+        [wsum * cjx, wsum * cjy, wsum * cjz, jnp.zeros_like(wsum)], axis=1
+    )
+    out_tgt_ref[...] += jnp.concatenate([part[:, :12], cw], axis=1)
 
-    def with_cw(part, cx, cy, cz):
-        wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
-        cw = jnp.concatenate(
-            [wsum * cx, wsum * cy, wsum * cz, jnp.zeros_like(wsum)], axis=1
-        )
-        return jnp.concatenate([part[:, :12], cw], axis=1)
-
-    @pl.when(k == 0)
-    def _():
-        # Diagonal block: one masked forward dot serves both directions of
-        # every in-block pair; the index mask kills the self-pair (see
-        # _accum_fast on why fast paths must mask it).
-        rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
-        cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
-        w = jnp.where(rows == cols, 0.0, inv3)
-        part = jnp.dot(w, s16j_ref[...], preferred_element_type=jnp.float32)
-        out_tgt_ref[...] += with_cw(part, cjx, cjy, cjz)
-
-    if nt > 1:
-        active = jnp.logical_and(
-            k > 0, jnp.logical_or(k < half, i < half)
-        )
-
-        @pl.when(active)
-        def _():
-            part = jnp.dot(
-                inv3, s16j_ref[...], preferred_element_type=jnp.float32
-            )
-            out_tgt_ref[...] += with_cw(part, cjx, cjy, cjz)
-            part_r = lax.dot_general(
-                s16i_ref[...],
-                inv3,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # contract over targets -> (16, BS)
-            wsum_r = part_r[9:10, :] + part_r[10:11, :] + part_r[11:12, :]
-            cix = cent_ref[i, 0]
-            ciy = cent_ref[i, 1]
-            ciz = cent_ref[i, 2]
-            cw_r = jnp.concatenate(
-                [wsum_r * cix, wsum_r * ciy, wsum_r * ciz, jnp.zeros_like(wsum_r)],
-                axis=0,
-            )
-            out_src_ref[j] = out_src_ref[j] + jnp.concatenate(
-                [part_r[:12, :], cw_r], axis=0
-            )
+    part_r = lax.dot_general(
+        s16i_ref[...],
+        inv3,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # contract over targets -> (16, B)
+    wsum_r = part_r[9:10, :] + part_r[10:11, :] + part_r[11:12, :]
+    cix = cent_ref[i, 0]
+    ciy = cent_ref[i, 1]
+    ciz = cent_ref[i, 2]
+    cw_r = jnp.concatenate(
+        [wsum_r * cix, wsum_r * ciy, wsum_r * ciz, jnp.zeros_like(wsum_r)],
+        axis=0,
+    )
+    out_src_ref[j] = out_src_ref[j] + jnp.concatenate(
+        [part_r[:12, :], cw_r], axis=0
+    )
 
 
 def _combine16(a: jax.Array, pos_mass: jax.Array) -> jax.Array:
@@ -684,9 +680,15 @@ def accel_sym_pallas(
 ) -> jax.Array:
     """All-pairs accelerations via the symmetric (Newton-3) schedule.
 
-    Single-chip full-square only (targets are the sources); the multi-chip
-    ring keeps the rectangular :func:`accel_pallas`.  Requires ``N %
-    block == 0`` and an even (or 1) block count.  Returns ``(N, 4)``.
+    Compiles as up to three CONDITION-FREE pallas calls — diagonal blocks
+    (masked dot), the always-active middle hops ``k = 1..ceil(nt/2)-1``,
+    and (even nt) the shared half-hop whose grid covers exactly the
+    computing half — because ``pl.when``-predicated dots pipeline poorly
+    on Mosaic (one round-robin grid with predicated branches measured 311
+    vs this form's 401 G-int/s at N=256k).  Single-chip full-square only
+    (targets are the sources); the multi-chip ring keeps the rectangular
+    :func:`accel_pallas`.  Requires ``N % block == 0`` (any block count,
+    odd included).  Returns ``(N, 4)``.
     """
     if eps2 <= 0:
         raise ValueError("eps2 must be > 0 (softening also guards the self-pair)")
@@ -694,54 +696,86 @@ def accel_sym_pallas(
     if n % block != 0:
         raise ValueError(f"sym: N={n} must be divisible by block={block}")
     nt = n // block
-    if nt > 1 and nt % 2 != 0:
-        raise ValueError(
-            f"sym: block count {nt} must be even (round-robin pairing); "
-            f"pad N or halve the block"
-        )
+    half = nt // 2
     srcT = src_transposed(pos_mass, G)
     s16, cent = sym_operands(pos_mass, G, block, center=center)
-    nkk = nt // 2 + 1 if nt > 1 else 1
-    # Wrap-extend the source-side arrays by nkk blocks so the grid indexes
-    # them LINEARLY (j = i + k): modular index maps defeat Mosaic's
-    # prefetch pipelining (~10% measured).  Costs one O(N/2) copy per step.
-    ext = nkk * block
-    srcT_e = jnp.concatenate([srcT, srcT[:, :ext]], axis=1)
-    s16_e = jnp.concatenate([s16, s16[:ext]], axis=0)
-    cent_e = jnp.concatenate([cent, cent[:nkk]], axis=0)
-    kernel = functools.partial(_sym_kernel, eps2=float(eps2), b=block, nt=nt)
-    out_tgt, out_src = pl.pallas_call(
-        kernel,
-        grid=(nt, nkk),
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
+
+    # ---- call A: diagonal blocks (masked, both directions in one dot)
+    acc16 = pl.pallas_call(
+        functools.partial(_sym_diag_kernel, eps2=float(eps2), b=block),
+        grid=(nt,),
         in_specs=[
-            pl.BlockSpec((4, block), lambda i, k: (0, i + k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 16), lambda i, k: (i + k, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # centroids (extended)
+            pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nt, 16, block), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n, 16), jnp.float32),
-            jax.ShapeDtypeStruct((nt, 16, block), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=16 * n * (n // 2 + block),
-            bytes_accessed=nt * (nkk + 1) * block * 16 * 4,
-            transcendentals=n * (n // 2 + block),
-        ),
+        cost_estimate=_cost(n, block, nt),
         interpret=interpret,
-    )(srcT_e, pos_mass, s16_e, s16, cent_e)
-    if raw:  # debug: the two uncombined limb accumulators
-        return out_tgt, out_src
-    return sym_combine(out_tgt, out_src, pos_mass)
+    )(srcT, pos_mass, s16, cent)
+
+    if nt > 1:
+        # Wrap-extend the source-side arrays so the hop grids index them
+        # linearly (j = i + k0 + k, no modulus).
+        ext = (half + 1) * block
+        srcT_e = jnp.concatenate([srcT, srcT[:, :ext]], axis=1)
+        s16_e = jnp.concatenate([s16, s16[:ext]], axis=0)
+        cent_e = jnp.concatenate([cent, cent[: half + 1]], axis=0)
+
+        def hops_call(k0, nk, grid_i):
+            kernel = functools.partial(
+                _sym_hops_kernel, eps2=float(eps2), b=block, nt=nt, k0=k0
+            )
+            return pl.pallas_call(
+                kernel,
+                grid=(grid_i, nk),
+                in_specs=[
+                    pl.BlockSpec((4, block), lambda i, k: (0, i + k0 + k), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block, 4), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block, 16), lambda i, k: (i + k0 + k, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nt, 16, block), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((grid_i * block, 16), jnp.float32),
+                    jax.ShapeDtypeStruct((nt, 16, block), jnp.float32),
+                ],
+                compiler_params=cparams,
+                cost_estimate=_cost(grid_i * block, nk * block, grid_i),
+                interpret=interpret,
+            )(srcT_e, pos_mass, s16_e, s16, cent_e)
+
+        # ---- call B: middle hops — every (i, k) step is a real pair.
+        # Even nt: k = 1..half-1 (the half-distance is shared, handled in C);
+        # odd nt: k = 1..half covers every remaining pair exactly once.
+        nk_b = half - 1 if nt % 2 == 0 else half
+        if nk_b > 0:
+            t_b, s_b = hops_call(1, nk_b, nt)
+            acc16 = acc16 + t_b + jnp.transpose(s_b, (0, 2, 1)).reshape(n, 16)
+        # ---- call C (even nt): the shared half-hop, computed only by the
+        # first half of the rows — the grid covers exactly those, so no
+        # predication is needed.
+        if nt % 2 == 0:
+            t_c, s_c = hops_call(half, 1, half)
+            acc16 = acc16.at[: half * block].add(t_c)
+            acc16 = acc16 + jnp.transpose(s_c, (0, 2, 1)).reshape(n, 16)
+
+    if raw:  # debug: the raw limb accumulator
+        return acc16
+    return _combine16(acc16, pos_mass)
 
 
 def _pair_sym_kernel(

@@ -48,10 +48,10 @@ PAD_GRANULE = 2048
 # per-shard N/D is small.
 SYM_MAX_N = 768 * 1024
 
-# Macro-tiling needs chunks big enough to amortize per-call grid startup:
-# below this total, a single round-robin sym kernel wins (measured at 40k:
-# single 230 vs 4x10k-chunk 210 G-int/s; at 256k macro wins 365 vs 310).
-MACRO_MIN_N = 128 * 1024
+# Since the condition-free 3-call sym form, the direct schedule wins at
+# every size that fits the VMEM cap (256k: direct 400 vs best macro 391
+# G-int/s; 40k: 256); macro-tiling now exists ONLY to honor SYM_MAX_N.
+MACRO_MIN_N = SYM_MAX_N
 
 
 def fit_block(n: int, want: int, floor: int = 8) -> int:
@@ -67,15 +67,11 @@ def fit_block(n: int, want: int, floor: int = 8) -> int:
 
 
 def fit_sym_block(n: int, want: int, floor: int = 8) -> int:
-    """Like :func:`fit_block`, but the symmetric schedule's round-robin
-    pairing additionally needs an even block count (or a single block)."""
-    b = fit_block(n, want, floor)
-    while b > floor and n // b > 1 and (n // b) % 2 != 0:
-        b //= 2
-    nt = n // b
-    if nt > 1 and nt % 2 != 0:
-        raise ValueError(f"cannot fit an even sym block count into n={n}")
-    return b
+    """Block fitting for the symmetric schedule.  Since the 3-call
+    condition-free form, any block count works (odd included — the
+    half-hop call simply doesn't exist then), so this is plain
+    :func:`fit_block`; kept as a named alias for the sym call sites."""
+    return fit_block(n, want, floor)
 
 
 def resolve_backend(config: SimConfig, platform: str | None = None) -> tuple[str, bool]:
@@ -93,11 +89,12 @@ def resolve_backend(config: SimConfig, platform: str | None = None) -> tuple[str
 
 def make_sym_accel_fn(config: SimConfig, n_pad: int, interpret: bool):
     """Single-set Newton-3 accelerations ``accel(pos_mass, G) -> (N,4)``:
-    one round-robin sym kernel below MACRO_MIN_N, otherwise the macro-tiled
-    composition (sym on diagonal chunks + pair kernel on unordered chunk
-    pairs).  Shared by the single-chip step and the Newton-3 ring's hop 0
-    (whose shard can exceed the VMEM cap on few-chip/huge-N runs)."""
-    if n_pad < MACRO_MIN_N:
+    the direct 3-call sym schedule up to the VMEM cap, otherwise the
+    macro-tiled composition (sym on diagonal chunks + pair kernel on
+    unordered chunk pairs).  Shared by the single-chip step and the
+    Newton-3 ring's hop 0 (whose shard can exceed the cap on
+    few-chip/huge-N runs)."""
+    if n_pad <= MACRO_MIN_N:
         b = fit_sym_block(n_pad, config.block_target)
 
         def accel(pos_mass, G):
@@ -107,11 +104,9 @@ def make_sym_accel_fn(config: SimConfig, n_pad: int, interpret: bool):
 
         return accel
 
-    # Chunk-size target swept on v5e: at N=2M, 256k chunks (M=8) edge
-    # out 512k ones (433 vs 426 G-int/s); at N=256k the M=4 floor wins
-    # (365; M=8 drops to 357 on per-call overheads).
-    SYM_CHUNK_TARGET = 256 * 1024
-    m_chunks = max(4, -(-n_pad // SYM_CHUNK_TARGET))
+    # Beyond the cap: as few (= as large) chunks as fit, since the 3-call
+    # diagonals now run at rectangle-class efficiency.
+    m_chunks = -(-n_pad // SYM_MAX_N)
     while n_pad % m_chunks != 0:
         m_chunks += 1
     chunk_n = n_pad // m_chunks

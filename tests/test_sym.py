@@ -77,16 +77,21 @@ def test_sym_deterministic(rng):
     np.testing.assert_array_equal(a1, a2)
 
 
-def test_sym_odd_block_count_rejected(rng):
+def test_sym_odd_block_count(rng):
+    """Odd block counts are fine since the 3-call form (no shared
+    half-hop): hop distances 1..(nt-1)/2 cover every pair exactly once."""
     pm = galaxy_like(rng, 384)  # 3 blocks of 128
-    with pytest.raises(ValueError, match="even"):
+    out = np.asarray(
         accel_sym_pallas(jnp.asarray(pm), G, eps2=EPS2, block=128, interpret=True)
+    )
+    oracle = np.asarray(accel_direct(jnp.asarray(pm), G, eps2=EPS2))
+    assert np.abs(out - oracle).max() / np.abs(oracle).max() < 2e-5
 
 
 def test_fit_sym_block():
     assert fit_sym_block(2048, 2048) == 2048  # nt=1 ok
     assert fit_sym_block(4096, 2048) == 2048  # nt=2
-    assert fit_sym_block(3 * 2048, 2048) == 1024  # nt=3 -> halve to nt=6
+    assert fit_sym_block(3 * 2048, 2048) == 2048  # odd nt fine (3-call form)
     assert fit_sym_block(262144, 2048) == 2048  # nt=128
 
 
@@ -339,8 +344,9 @@ def test_sym_huge_n_macro_tiles(rng, monkeypatch):
     pm = galaxy_like(rng, n)
     vel = np.zeros((n, 4), np.float32)
     s = init_state(pm, vel, n_pad=n)
-    # force the macro branch at test scale (M=4 floor -> chunks of 128)
+    # force the macro branch at test scale: cap at 128 -> 4 chunks
     monkeypatch.setattr(step_mod, "MACRO_MIN_N", 256)
+    monkeypatch.setattr(step_mod, "SYM_MAX_N", 128)
     out = step_mod.make_step_fn(cfg, n, n, platform="cpu")(s, 1e-4, G)
     ref = step_mod.make_step_fn(SimConfig(backend="jnp"), n, n, platform="cpu")(
         s, 1e-4, G

@@ -60,6 +60,7 @@ class Simulation:
             multiple *= mesh.size  # total devices (1-D ring or 2-D grid)
         self.n_pad = pad_count(self.n_real, multiple)
         self.state = init_state(pos_mass, vel, accel, n_pad=self.n_pad, step=step)
+        self._step_count = int(step)  # last value seen at a chunk boundary
         self.camera_target = (
             np.zeros(3) if camera_target is None else np.asarray(camera_target, dtype=np.float64)
         )
@@ -203,7 +204,16 @@ class Simulation:
     # ---------------------------------------------------------- inspection
     @property
     def step_count(self) -> int:
-        return int(jax.device_get(self.state.step))
+        try:
+            self._step_count = int(jax.device_get(self.state.step))
+        except RuntimeError:
+            # A scan chunk currently owns the donated state buffers (the
+            # viewer loop thread donates ``state`` into ``_run_chunk``), so
+            # the device array is transiently deleted.  Serve the last value
+            # observed at a chunk boundary instead of raising into e.g. the
+            # viewer's HTTP thread.
+            pass
+        return self._step_count
 
     def arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host copies of the real (unpadded) pos_mass, vel, accel."""

@@ -236,6 +236,22 @@ class LiveViewer:
                 pass
 
             def do_GET(self):
+                try:
+                    self._route()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                except Exception as e:  # noqa: BLE001 — serve 500, keep alive
+                    try:
+                        body = f"internal error: {e!r}".encode()
+                        self.send_response(500)
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    except OSError:
+                        pass
+
+            def _route(self):
                 url = urlparse(self.path)
                 if url.path == "/":
                     body = _PAGE.encode()

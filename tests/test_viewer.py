@@ -140,3 +140,15 @@ def test_export_endpoints(viewer, tmp_path):
         platform="cpu",
     )
     assert sim2.n_real == 64
+
+
+def test_step_count_survives_mid_donation_read():
+    """Regression: /stats from the HTTP thread can observe the sim state
+    while a scan chunk owns the donated buffers (deleted device arrays).
+    step_count must serve the cached chunk-boundary value, not raise."""
+    config = SimConfig(backend="jnp", block_target=32, block_source=32)
+    sim = Simulation.from_preset("uniform-sphere", config, n=64)
+    sim.run(2, chunk=2)
+    assert sim.step_count == 2
+    sim.state.step.delete()  # what donation does mid-chunk
+    assert sim.step_count == 2  # cached, no RuntimeError

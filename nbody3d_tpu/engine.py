@@ -46,6 +46,13 @@ class Simulation:
     ):
         self.config = config
         self.mesh = mesh
+        self._platform = platform
+        # (name, n, preset_kw) when built by from_preset — what regenerate()
+        # re-rolls (the reference's regenerate button re-runs main()).
+        self._preset: tuple | None = None
+        # Full camera pose parsed from a checkpoint, if loaded from one
+        # (the reference restores it on import, util.js:247-258).
+        self.loaded_camera = None
         self.n_real = int(np.asarray(pos_mass).shape[0])
         # Pad to the kernel granule (blocks adapt down to fit, see
         # ops.step.fit_block); sharding additionally needs granule-aligned
@@ -115,8 +122,32 @@ class Simulation:
             size_factor=config.size_factor,
             **preset_kw,
         )
-        return cls(
+        sim = cls(
             config, pos_mass, vel, camera_target=target, mesh=mesh, platform=platform
+        )
+        sim._preset = (name, n, dict(preset_kw))
+        return sim
+
+    def regenerate(self, seed: int | None = None) -> "Simulation":
+        """Build a fresh Simulation from the same preset with new randomness —
+        the reference's regenerate button (``util.js:69-75``: cancel the loop,
+        re-run ``main()``).  Returns the new sim; the caller swaps it in."""
+        if self._preset is None:
+            raise ValueError(
+                "regenerate requires a preset-built simulation "
+                "(Simulation.from_preset)"
+            )
+        name, n, kw = self._preset
+        if seed is None:
+            seed = int(np.random.SeedSequence().generate_state(1)[0]) & 0x7FFFFFFF
+        # The reference's main() reads the LIVE G/dt globals (slider state)
+        # at generation time — circular-orbit speeds use the current G
+        # (nbody3d.js:115) — so carry the runtime values, not the
+        # construction-time config.
+        dt_live = self._old_dt if self._old_dt is not None else self.dt
+        config = self.config.replace(seed=seed, G=self.G, dt=dt_live)
+        return Simulation.from_preset(
+            name, config, n=n, mesh=self.mesh, platform=self._platform, **kw
         )
 
     @property

@@ -168,6 +168,7 @@ def load_reference_json(path: str, config: SimConfig | None = None, *, mesh=None
         mesh=mesh,
         platform=platform,
     )
+    sim.loaded_camera = camera
     return sim
 
 
@@ -246,6 +247,7 @@ def load_orbax(path: str, config: SimConfig | None = None, *, mesh=None, platfor
     )
     sim.dt = config.dt
     sim.G = config.G
+    sim.loaded_camera = camera
     return sim
 
 
@@ -290,4 +292,5 @@ def load_npz(path: str, config: SimConfig | None = None, *, mesh=None, platform=
     )
     sim.dt = config.dt
     sim.G = config.G
+    sim.loaded_camera = camera
     return sim

@@ -13,10 +13,15 @@ Endpoints:
   GET  /stream   — multipart/x-mixed-replace MJPEG of live frames
   GET  /stats    — JSON HUD data (step, rates, energy, camera pose)
   GET  /control  — query-string controls: dt, logdt, G, logG, pause,
-                   orbit=dx,dy, pan=dx,dy, zoom=d, fov=d, reset
+                   orbit=dx,dy, pan=dx,dy, zoom=d, fov=d, reset,
+                   regenerate (fresh random ICs, ``util.js:69-75``)
   GET  /export.json | /export.npz — download the full simulation state
                    (the reference's export button, ``util.js:265``; the
                    .json form is its exact checkpoint schema)
+  POST /import.json | /import.npz — load a checkpoint into the running
+                   sim (the reference's import button, ``util.js:217-263``;
+                   any N — the sim is rebuilt — and the saved camera pose
+                   is restored)
 
 dt and G are traced runtime scalars in the step function, so slider moves
 never recompile — exactly the reference's rebuild-free uniform-block
@@ -52,8 +57,10 @@ img { width:100vw; height:100vh; object-fit:contain; display:block; }
   <label>G = 10^<span id="Gv">-4.0</span>
     <input id="G" type="range" min="-6" max="0" step="0.01" value="-4"></label>
   <button id="pause">pause</button> <button id="reset">reset cam</button>
+  <button id="regen">regenerate</button>
   <a href="/export.json" download="simulation_export.json">export .json</a>
   <a href="/export.npz" download="simulation_export.npz">.npz</a>
+  <label>import <input id="imp" type="file" accept=".json,.npz"></label>
   <div>drag: orbit &middot; shift-drag: pan &middot; wheel: zoom<br>
        arrows orbit &middot; WASD pan &middot; f/c zoom &middot; space reset</div>
 </div>
@@ -63,6 +70,13 @@ dt.oninput = () => { dtv.textContent = dt.value; send('logdt=' + dt.value); };
 G.oninput  = () => { Gv.textContent = G.value;  send('logG=' + G.value); };
 pause.onclick = () => send('pause=1');
 reset.onclick = () => send('reset=1');
+regen.onclick = () => send('regenerate=1');
+imp.onchange = async () => {
+  const f = imp.files[0];
+  if (!f) return;
+  const ext = f.name.endsWith('.npz') ? '.npz' : '.json';
+  await fetch('/import' + ext, {method: 'POST', body: await f.arrayBuffer()});
+};
 let drag = null;
 view.onmousedown = e => { drag = [e.clientX, e.clientY, e.shiftKey]; e.preventDefault(); };
 window.onmouseup = () => drag = null;
@@ -211,6 +225,52 @@ class LiveViewer:
             with open(path, "rb") as f:
                 return f.read()
 
+    def import_state(self, data: bytes, suffix: str) -> None:
+        """Load an uploaded checkpoint into the running viewer (the
+        reference's import button, ``util.js:217-263``).  Unlike the
+        reference — which uploads into the existing buffers and silently
+        corrupts on an N mismatch — this rebuilds the Simulation, so any
+        N works; the saved camera pose is restored (``util.js:247-258``)."""
+        import os
+        import tempfile
+
+        from nbody3d_tpu.engine import Simulation
+
+        from nbody3d_tpu.utils import checkpoint
+
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "import" + suffix)
+            with open(path, "wb") as f:
+                f.write(data)
+            with self._sim_lock:
+                old = self.sim
+                # Keep the running machine config (backend/blocks/strategy);
+                # restore the checkpoint's physics params (state, G, dt) —
+                # the reference's import semantics (util.js:259-262).
+                new = Simulation.load(
+                    path, old.config, mesh=old.mesh, platform=old._platform
+                )
+                saved = checkpoint.peek_config(path)  # None for .json
+                if saved is not None:
+                    new.dt, new.G = saved.dt, saved.G
+                new._preset = old._preset  # regenerate keeps working
+                self.sim = new
+        if new.loaded_camera is not None:
+            with self._lock:
+                self.camera = new.loaded_camera
+
+    def regenerate(self) -> None:
+        """Fresh random ICs from the sim's preset (the reference's
+        regenerate button, ``util.js:69-75``); camera re-targets the new
+        system's center of mass like a fresh run (``nbody3d.js:126``)."""
+        from nbody3d_tpu.utils.camera import Camera
+
+        with self._sim_lock:
+            self.sim = self.sim.regenerate()
+            target = self.sim.camera_target
+        with self._lock:
+            self.camera = Camera(target=target)
+
     def stats(self) -> dict:
         s = self.sim.stats
         return {
@@ -268,7 +328,10 @@ class LiveViewer:
                     self.end_headers()
                     self.wfile.write(body)
                 elif url.path == "/control":
-                    viewer.control(parse_qs(url.query))
+                    q = parse_qs(url.query)
+                    if q.pop("regenerate", None):
+                        viewer.regenerate()  # outside control()'s lock
+                    viewer.control(q)
                     self.send_response(204)
                     self.end_headers()
                 elif url.path in ("/export.json", "/export.npz"):
@@ -319,6 +382,32 @@ class LiveViewer:
                 else:
                     self.send_response(404)
                     self.end_headers()
+
+            def do_POST(self):
+                try:
+                    url = urlparse(self.path)
+                    if url.path in ("/import.json", "/import.npz"):
+                        n = int(self.headers.get("Content-Length", 0))
+                        data = self.rfile.read(n)
+                        suffix = ".json" if url.path.endswith(".json") else ".npz"
+                        viewer.import_state(data, suffix)
+                        self.send_response(204)
+                        self.end_headers()
+                    else:
+                        self.send_response(404)
+                        self.end_headers()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                except Exception as e:  # noqa: BLE001 — bad upload -> 400
+                    try:
+                        body = f"import failed: {e!r}".encode()
+                        self.send_response(400)
+                        self.send_header("Content-Type", "text/plain")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    except OSError:
+                        pass
 
         return ThreadingHTTPServer((host, port), Handler)
 

@@ -128,3 +128,33 @@ def test_engine_with_mesh():
     # arrays() gathers the sharded state
     pm, vel, acc = sim.arrays()
     assert pm.shape == (100, 4)
+
+
+def test_regenerate_carries_live_params_and_rerolls():
+    """Simulation.regenerate (the reference's regenerate button,
+    util.js:69-75): fresh randomness from the same preset, but with the
+    LIVE G/dt — the reference's main() reads the current slider globals
+    at generation time (nbody3d.js:115 orbital speeds)."""
+    from nbody3d_tpu.config import SimConfig
+    from nbody3d_tpu.engine import Simulation
+
+    config = SimConfig(backend="jnp", block_target=32, block_source=32)
+    sim = Simulation.from_preset("uniform-sphere", config, n=64)
+    sim.G = 1e-2  # live slider move
+    sim.dt = 2e-4
+    new = sim.regenerate()
+    assert new.n_real == 64
+    assert new.G == 1e-2 and new.config.G == 1e-2
+    assert new.dt == 2e-4
+    assert not np.allclose(new.arrays()[0], sim.arrays()[0])
+    assert new.step_count == 0
+    # deterministic for an explicit seed
+    a = sim.regenerate(seed=7).arrays()[0]
+    b = sim.regenerate(seed=7).arrays()[0]
+    assert np.array_equal(a, b)
+    # not preset-built -> error
+    import pytest as _pytest
+
+    bare = Simulation(config, *sim.arrays()[:2])
+    with _pytest.raises(ValueError):
+        bare.regenerate()

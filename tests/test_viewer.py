@@ -152,3 +152,66 @@ def test_step_count_survives_mid_donation_read():
     assert sim.step_count == 2
     sim.state.step.delete()  # what donation does mid-chunk
     assert sim.step_count == 2  # cached, no RuntimeError
+
+
+def _post(port, path, data, retries=5):
+    last = None
+    for _ in range(retries):
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("POST", path, body=data)
+            resp = conn.getresponse()
+            body = resp.read()
+            status = resp.status
+            conn.close()
+            return status, body
+        except (http.client.RemoteDisconnected, ConnectionError, OSError) as e:
+            last = e
+            time.sleep(0.2)
+    raise last
+
+
+def test_live_import_and_regenerate(viewer):
+    """The reference's import (util.js:217-263) and regenerate
+    (util.js:69-75) buttons, served: POST /import.json swaps in the
+    uploaded checkpoint (any N, camera restored), /control?regenerate=1
+    re-rolls the preset's ICs."""
+    v, port = viewer
+
+    # Export the current state, mutate G + camera, re-import: the live sim
+    # must pick up the file's G and camera pose (reference semantics).
+    _, _, body = _get(port, "/export.json")
+    data = json.loads(body)
+    data["G"] = "-2.00"  # log-slider string, util.js:200
+    data["camera"]["radius"] = 9.0
+    status, pbody = _post(port, "/import.json", json.dumps(data).encode())
+    assert status == 204, pbody
+    assert np.isclose(v.sim.G, 1e-2)
+    assert np.isclose(v.camera.radius, 9.0)
+    assert v.sim.n_real == 64
+
+    # Import with a DIFFERENT N (the reference would corrupt; we rebuild).
+    n4 = len(data["bodies"]) // 4
+    for key in ("bodies", "vel", "accel"):
+        data[key] = data[key][: (n4 // 2) * 4]
+    if "nBodies" in data:
+        data["nBodies"] = n4 // 2
+    status, pbody = _post(port, "/import.json", json.dumps(data).encode())
+    assert status == 204, pbody
+    assert v.sim.n_real == 32
+
+    # Garbage upload -> 400, server stays alive.
+    assert _post(port, "/import.json", b"{not json")[0] == 400
+    assert v.sim.n_real == 32
+
+    # Regenerate: fresh ICs from the preset (uniform-sphere, n=64).
+    # Direct state reads need the sim lock (the loop thread donates state
+    # into scan chunks; HTTP endpoints take it internally).
+    with v._sim_lock:
+        p0 = v.sim.arrays()[0].copy()
+    status, _, _ = _get(port, "/control?regenerate=1")
+    assert status == 204
+    assert v.sim.n_real == 64
+    with v._sim_lock:
+        p1 = v.sim.arrays()[0].copy()
+    assert p1.shape != p0.shape or not np.allclose(p1, p0)  # new randomness

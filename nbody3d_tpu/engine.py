@@ -128,16 +128,26 @@ class Simulation:
         sim._preset = (name, n, dict(preset_kw))
         return sim
 
-    def regenerate(self, seed: int | None = None) -> "Simulation":
+    def regenerate(self, seed: int | None = None, **settings) -> "Simulation":
         """Build a fresh Simulation from the same preset with new randomness —
         the reference's regenerate button (``util.js:69-75``: cancel the loop,
-        re-run ``main()``).  Returns the new sim; the caller swaps it in."""
+        re-run ``main()``).  Returns the new sim; the caller swaps it in.
+
+        ``settings`` are the reference's galaxy settings panel
+        (``index.html:68-75``): ``num_galaxies``, ``min_bodies``,
+        ``max_bodies``.  The reference's ``main()`` always reads the panel,
+        so passing any of them regenerates as a reference-shaped random
+        galaxy run (the ``reference-random`` preset) whatever the current
+        preset is."""
         if self._preset is None:
             raise ValueError(
                 "regenerate requires a preset-built simulation "
                 "(Simulation.from_preset)"
             )
         name, n, kw = self._preset
+        if settings:
+            base = kw if name == "reference-random" else {}
+            name, n, kw = "reference-random", None, {**base, **settings}
         if seed is None:
             seed = int(np.random.SeedSequence().generate_state(1)[0]) & 0x7FFFFFFF
         # The reference's main() reads the LIVE G/dt globals (slider state)

@@ -57,6 +57,9 @@ img { width:100vw; height:100vh; object-fit:contain; display:block; }
   <label>G = 10^<span id="Gv">-4.0</span>
     <input id="G" type="range" min="-6" max="0" step="0.01" value="-4"></label>
   <button id="pause">pause</button> <button id="reset">reset cam</button>
+  <label>galaxies <input id="ngal" type="number" min="1" max="10" value="2" style="width:3em"></label>
+  <label>bodies/galaxy <input id="minb" type="number" min="0" max="100000" value="20000" style="width:6em">
+    &ndash; <input id="maxb" type="number" min="0" max="100000" value="20000" style="width:6em"></label>
   <button id="regen">regenerate</button>
   <a href="/export.json" download="simulation_export.json">export .json</a>
   <a href="/export.npz" download="simulation_export.npz">.npz</a>
@@ -70,7 +73,10 @@ dt.oninput = () => { dtv.textContent = dt.value; send('logdt=' + dt.value); };
 G.oninput  = () => { Gv.textContent = G.value;  send('logG=' + G.value); };
 pause.onclick = () => send('pause=1');
 reset.onclick = () => send('reset=1');
-regen.onclick = () => send('regenerate=1');
+let galDirty = false;  // only send panel values the user actually edited
+ngal.oninput = minb.oninput = maxb.oninput = () => galDirty = true;
+regen.onclick = () => send('regenerate=1' + (galDirty
+  ? `&galaxies=${ngal.value}&min_bodies=${minb.value}&max_bodies=${maxb.value}` : ''));
 imp.onchange = async () => {
   const f = imp.files[0];
   if (!f) return;
@@ -259,14 +265,15 @@ class LiveViewer:
             with self._lock:
                 self.camera = new.loaded_camera
 
-    def regenerate(self) -> None:
+    def regenerate(self, **settings) -> None:
         """Fresh random ICs from the sim's preset (the reference's
         regenerate button, ``util.js:69-75``); camera re-targets the new
-        system's center of mass like a fresh run (``nbody3d.js:126``)."""
+        system's center of mass like a fresh run (``nbody3d.js:126``).
+        ``settings`` = the galaxy settings panel (``index.html:68-75``)."""
         from nbody3d_tpu.utils.camera import Camera
 
         with self._sim_lock:
-            self.sim = self.sim.regenerate()
+            self.sim = self.sim.regenerate(**settings)
             target = self.sim.camera_target
         with self._lock:
             self.camera = Camera(target=target)
@@ -330,7 +337,19 @@ class LiveViewer:
                 elif url.path == "/control":
                     q = parse_qs(url.query)
                     if q.pop("regenerate", None):
-                        viewer.regenerate()  # outside control()'s lock
+                        # galaxy settings panel values ride the regenerate
+                        # request (the reference's main() reads the panel,
+                        # index.html:68-75)
+                        settings = {
+                            name: int(q.pop(key)[0])
+                            for key, name in (
+                                ("galaxies", "num_galaxies"),
+                                ("min_bodies", "min_bodies"),
+                                ("max_bodies", "max_bodies"),
+                            )
+                            if key in q
+                        }
+                        viewer.regenerate(**settings)  # outside control()'s lock
                     viewer.control(q)
                     self.send_response(204)
                     self.end_headers()

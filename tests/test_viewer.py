@@ -215,3 +215,20 @@ def test_live_import_and_regenerate(viewer):
     with v._sim_lock:
         p1 = v.sim.arrays()[0].copy()
     assert p1.shape != p0.shape or not np.allclose(p1, p0)  # new randomness
+
+
+def test_regenerate_with_galaxy_settings(viewer):
+    """The reference's galaxy settings panel (index.html:68-75) rides the
+    regenerate request: main() reads numGalaxies/min/maxBodies at
+    generation time, so any preset regenerates as a reference-random run
+    when the panel values are supplied."""
+    v, port = viewer
+    status, _, _ = _get(
+        port, "/control?regenerate=1&galaxies=3&min_bodies=30&max_bodies=30"
+    )
+    assert status == 204
+    assert v.sim.n_real == 3 * 31  # 3 galaxies x (30 disk + 1 central)
+    assert v.sim._preset[0] == "reference-random"
+    # a plain regenerate keeps the new settings (panel state persists)
+    _get(port, "/control?regenerate=1")
+    assert v.sim.n_real == 3 * 31

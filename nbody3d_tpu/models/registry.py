@@ -40,6 +40,12 @@ def _reference_random(
     seed: int, G: float, n: int | None, size_factor: float, *, num_galaxies=2, min_bodies=20000, max_bodies=20000
 ) -> MakerResult:
     rng = np.random.default_rng(seed)
+    if n is not None:
+        # An explicit total body count overrides the per-galaxy bounds
+        # (the reference has no N control — index.html:68-75 exposes only
+        # the per-galaxy bounds — but our --n must not be silently ignored).
+        per = max(n // num_galaxies - 1, 0)
+        min_bodies = max_bodies = per
     configs = random_galaxy_configs(num_galaxies, min_bodies, max_bodies, rng)
     return generate_galaxies(configs, G=G, size_factor=size_factor, rng=rng)
 

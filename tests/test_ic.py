@@ -161,3 +161,16 @@ def test_preset_registry():
     assert pos_mass.shape == (256, 4)
     pos_mass, _, _ = make_preset("collision", n=102, seed=3)
     assert pos_mass.shape == (102, 4)
+
+
+def test_reference_random_honors_n():
+    """--n must not be silently ignored: an explicit total splits across
+    galaxies (num_galaxies x (per + 1 central))."""
+    from nbody3d_tpu.models.registry import make_preset
+
+    pos_mass, vel, _ = make_preset("reference-random", seed=0, G=1e-4, n=4098)
+    assert pos_mass.shape[0] == 2 * (4098 // 2 - 1 + 1)  # 4098
+    pos_mass, _, _ = make_preset(
+        "reference-random", seed=0, G=1e-4, n=99, num_galaxies=3
+    )
+    assert pos_mass.shape[0] == 3 * (99 // 3 - 1 + 1)  # 99

@@ -540,7 +540,7 @@ def sym_operands(
     return s16, cent4
 
 
-def _sym_diag_kernel(srcT_ref, tgt_ref, s16_ref, cent_ref, out_ref, *, eps2, b):
+def _sym_diag_kernel(mask_ref, srcT_ref, tgt_ref, s16_ref, cent_ref, out_ref, *, eps2, b):
     """Diagonal blocks of the Newton-3 schedule: grid ``(nt,)``, one
     ALWAYS-masked forward dot per block serving both directions of every
     in-block pair (the index mask kills the self-pair — see
@@ -548,14 +548,18 @@ def _sym_diag_kernel(srcT_ref, tgt_ref, s16_ref, cent_ref, out_ref, *, eps2, b):
     by construction: ``pl.when``-predicated dots pipeline poorly on
     Mosaic, which is why the sym schedule compiles as three separate
     unconditional pallas calls instead of one round-robin grid
-    (measured 401 vs 311 G-int/s at N=256k; docs/DESIGN.md)."""
+    (measured 401 vs 311 G-int/s at N=256k; docs/DESIGN.md).
+
+    The self-pair mask arrives as a VMEM-resident ``(b, b)`` ones-minus-eye
+    operand (constant index map) and is applied as one multiply: building
+    it in-kernel from two ``broadcasted_iota`` + compare + select measured
+    56% slower for the whole call (4.51 vs 2.89/3.01 ms at N=256k,
+    benchmarks/sym_profile.py)."""
     i = pl.program_id(0)
     tgt = tgt_ref[...]
     _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
     inv3 = lax.rsqrt(d2 * (d2 * d2))
-    rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
-    cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
-    w = jnp.where(rows == cols, 0.0, inv3)
+    w = inv3 * mask_ref[...]
     part = jnp.dot(w, s16_ref[...], preferred_element_type=jnp.float32)
     wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
     cx = cent_ref[i, 0]
@@ -645,12 +649,61 @@ def _sym_hops_kernel(
 
 def _combine16(a: jax.Array, pos_mass: jax.Array) -> jax.Array:
     """(N,16) limb accumulator -> (N,4) accelerations: ``a = sum(position
-    limbs) + c*W correction - x * sum(gm limbs)``."""
+    limbs) + c*W correction - x * sum(gm limbs)``.
+
+    Pure-jnp reference semantics.  The hot paths use
+    :func:`combine16_pallas` instead: when THIS version is fused into the
+    accumulator add/transpose chain of the composed sym step, its fifteen
+    single-column slices of the (N, 16) operand de-vectorize the fusion
+    and cost ~17 ms at N=256k — 10% of the whole step — while an aligned
+    4-column fold of the same data is free (benchmarks/sym_profile.py).
+    Inside a Pallas kernel the same column slices are cheap lane shuffles.
+    """
     s = a[:, 9] + a[:, 10] + a[:, 11]
     ax = a[:, 0] + a[:, 1] + a[:, 2] + a[:, 12] - pos_mass[:, 0] * s
     ay = a[:, 3] + a[:, 4] + a[:, 5] + a[:, 13] - pos_mass[:, 1] * s
     az = a[:, 6] + a[:, 7] + a[:, 8] + a[:, 14] - pos_mass[:, 2] * s
     return jnp.stack([ax, ay, az, jnp.zeros_like(ax)], axis=1)
+
+
+def _combine16_kernel(acc_ref, pm_ref, out_ref):
+    """Pallas elementwise epilogue: same algebra and op order as
+    :func:`_combine16`, with the column shuffles done in VMEM."""
+    a = acc_ref[...]
+    pm = pm_ref[...]
+    s = a[:, 9:10] + a[:, 10:11] + a[:, 11:12]
+    ax = a[:, 0:1] + a[:, 1:2] + a[:, 2:3] + a[:, 12:13] - pm[:, 0:1] * s
+    ay = a[:, 3:4] + a[:, 4:5] + a[:, 5:6] + a[:, 13:14] - pm[:, 1:2] * s
+    az = a[:, 6:7] + a[:, 7:8] + a[:, 8:9] + a[:, 14:15] - pm[:, 2:3] * s
+    out_ref[...] = jnp.concatenate([ax, ay, az, jnp.zeros_like(s)], axis=1)
+
+
+def combine16_pallas(
+    acc16: jax.Array,
+    pos_mass: jax.Array,
+    *,
+    block: int = DEFAULT_BLOCK_TARGET,
+    interpret: bool = False,
+) -> jax.Array:
+    """(N,16) limb accumulator + (N,4) pos_mass -> (N,4) accelerations, as
+    one O(N) Pallas pass (see :func:`_combine16` for why not plain XLA)."""
+    n = acc16.shape[0]
+    b = block if n % block == 0 else n
+    nt = n // b
+    return pl.pallas_call(
+        _combine16_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(acc16, pos_mass)
 
 
 def sym_combine(
@@ -705,10 +758,12 @@ def accel_sym_pallas(
     )
 
     # ---- call A: diagonal blocks (masked, both directions in one dot)
+    mask = 1.0 - jnp.eye(block, dtype=jnp.float32)  # VMEM-resident, see kernel
     acc16 = pl.pallas_call(
         functools.partial(_sym_diag_kernel, eps2=float(eps2), b=block),
         grid=(nt,),
         in_specs=[
+            pl.BlockSpec((block, block), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -721,7 +776,7 @@ def accel_sym_pallas(
         ),
         cost_estimate=_cost(n, block, nt),
         interpret=interpret,
-    )(srcT, pos_mass, s16, cent)
+    )(mask, srcT, pos_mass, s16, cent)
 
     if nt > 1:
         # Wrap-extend the source-side arrays so the hop grids index them
@@ -775,7 +830,7 @@ def accel_sym_pallas(
 
     if raw:  # debug: the raw limb accumulator
         return acc16
-    return _combine16(acc16, pos_mass)
+    return combine16_pallas(acc16, pos_mass, block=block, interpret=interpret)
 
 
 def _pair_sym_kernel(
@@ -903,9 +958,12 @@ def accel_pair_sym_pallas(
         ),
         interpret=interpret,
     )(srcT, tgt_pos_mass, s16s, s16t, cents, centt)
-    acc_t = _combine16(out_tgt, tgt_pos_mass)
-    acc_s = _combine16(
-        jnp.transpose(out_src, (0, 2, 1)).reshape(n_s, 16), src_pos_mass
+    acc_t = combine16_pallas(out_tgt, tgt_pos_mass, block=block, interpret=interpret)
+    acc_s = combine16_pallas(
+        jnp.transpose(out_src, (0, 2, 1)).reshape(n_s, 16),
+        src_pos_mass,
+        block=block,
+        interpret=interpret,
     )
     return acc_t, acc_s
 

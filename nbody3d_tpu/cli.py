@@ -56,6 +56,20 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "sym = the symmetric Newton-3 headline schedule",
     )
     p.add_argument(
+        "--method",
+        default=None,
+        choices=["direct", "pm"],
+        help="force algorithm: direct = exact O(N^2) all-pairs (the "
+        "reference's, nbody3d.js:218-294); pm = particle-mesh FFT solver "
+        "(O(N + M^3 log M), grid-smoothed short range — ops/pm.py)",
+    )
+    p.add_argument(
+        "--pm-grid",
+        type=int,
+        default=None,
+        help="PM mesh cells per axis (default 128)",
+    )
+    p.add_argument(
         "--morton-every",
         type=int,
         default=None,
@@ -93,6 +107,8 @@ def _config_overrides(args) -> dict:
         ("seed", args.seed),
         ("backend", args.backend),
         ("force_mode", args.force_mode),
+        ("method", args.method),
+        ("pm_grid", args.pm_grid),
         ("morton_every", args.morton_every),
         ("integrator", args.integrator),
         ("block_target", args.block_target),

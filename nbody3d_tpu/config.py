@@ -57,6 +57,14 @@ class SimConfig:
     eps2: float = DEFAULT_EPS2
     integrator: str = "verlet"  # "verlet" (nbody3d.js:280-283) | "euler" (:285-287)
 
+    # Force algorithm.  "direct" is the reference's exact O(N^2) all-pairs
+    # sum (nbody3d.js:218-294) via the kernels selected by backend /
+    # force_mode below.  "pm" is the particle-mesh FFT solver
+    # (ops/pm.py) — O(N + M^3 log M), grid-smoothed below ~3 cells, a
+    # beyond-reference capability for very large diffuse systems.
+    method: str = "direct"
+    pm_grid: int = 128  # PM mesh cells per axis (M); memory ~ 24*(2M)^3 B
+
     # Kernel selection / shape.  Blocks tuned on v5e at N=256k
     # (benchmarks/fast_tune.py): 2048x2048 is within 1% of the best
     # measured for both modes; throughput plateaus beyond.

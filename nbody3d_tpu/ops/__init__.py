@@ -11,6 +11,8 @@
   SURVEY §4).
 - :mod:`nbody3d_tpu.ops.morton` — Z-order body reordering (keeps kernel
   blocks spatially compact for the centered-limb MXU paths).
+- :mod:`nbody3d_tpu.ops.pm` — particle-mesh FFT solver (O(N + M³ log M)
+  approximate far-field gravity; beyond-reference capability).
 """
 
-from nbody3d_tpu.ops import diagnostics, force_jnp, integrate, morton  # noqa: F401
+from nbody3d_tpu.ops import diagnostics, force_jnp, integrate, morton, pm  # noqa: F401

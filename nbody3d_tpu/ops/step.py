@@ -148,7 +148,19 @@ def make_step_fn(
 
     force_mode = config.force_mode
 
-    if backend == "pallas" and force_mode == "sym":
+    if config.method == "pm":
+        # Particle-mesh FFT solver (ops/pm.py) — O(N + M^3 log M) grid
+        # gravity, backend-independent (XLA sort/FFT/gather, no Pallas).
+        from nbody3d_tpu.ops.pm import accel_pm
+
+        def step(state: SimState, dt, G) -> SimState:
+            acc = accel_pm(
+                state.pos_mass, G,
+                grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
+            )
+            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+
+    elif backend == "pallas" and force_mode == "sym":
         # Newton-3 schedule (round-robin below MACRO_MIN_N, macro-tiled
         # above — see make_sym_accel_fn); the headline single-chip mode.
         # Measured at 256k: macro M=4 365 G-int/s vs single round-robin

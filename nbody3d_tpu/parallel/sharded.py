@@ -88,6 +88,10 @@ def make_sharded_step(
     :func:`make_ringsym_step`), "gather" (all_gather sources), "2d" (grid
     force decomposition over a 2-axis mesh, :func:`make_grid2d_step`).
     """
+    if config.method == "pm":
+        # The PM grid replaces pairwise exchange entirely: wire cost is one
+        # psum of the mass grid, whatever the strategy says.
+        return make_pm_sharded_step(config, n_pad, n_real, mesh, platform)
     if config.strategy == "2d":
         return make_grid2d_step(config, n_pad, n_real, mesh, platform)
     if config.strategy == "ringsym" or (
@@ -477,6 +481,91 @@ def make_grid2d_step(
         return new_pos, new_vel, new_acc, step + 1
 
     spec = P(axes, None)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(), P(), P()),
+        out_specs=(spec, spec, spec, P()),
+        check_vma=False,
+    )
+
+    def step(state: SimState, dt, G) -> SimState:
+        p, v, a, s = sharded(
+            state.pos_mass,
+            state.vel,
+            state.accel,
+            state.step,
+            jnp.float32(dt),
+            jnp.float32(G),
+        )
+        return SimState(p, v, a, s)
+
+    return step
+
+
+def make_pm_sharded_step(
+    config: SimConfig,
+    n_pad: int,
+    n_real: int,
+    mesh: jax.sharding.Mesh,
+    platform: str | None = None,
+) -> Callable[[SimState, jax.Array, jax.Array], SimState]:
+    """Sharded particle-mesh step (``config.method == "pm"``).
+
+    Each chip CIC-deposits its resident body shard onto the full
+    ``(M, M, M)`` mass grid, the grids reduce with one ``psum`` over the
+    mesh (4·M³ bytes of ICI — independent of N), every chip solves the
+    identical FFT Poisson problem (replicated compute, no distributed
+    FFT needed at these grid sizes), and gathers forces for its own shard.
+    The box is the global bounding cube via ``pmin``/``pmax`` of per-shard
+    masked bounds, so all chips agree bit-for-bit on the grid placement.
+    Works on any mesh shape; bodies shard over the flattened axes like the
+    2-D grid strategy.
+    """
+    from nbody3d_tpu.ops import pm as pm_ops
+
+    axes = tuple(mesh.axis_names)
+    axis = axes if len(axes) > 1 else axes[0]
+    d = 1
+    for a in axes:
+        d *= mesh.shape[a]
+    if n_pad % d != 0:
+        raise ValueError(f"n_pad={n_pad} not divisible by mesh size {d}")
+    shard = n_pad // d
+    grid = config.pm_grid
+    eps2 = float(config.eps2)
+
+    def local_step(pos_mass, vel, accel, step, dt, G):
+        my = jnp.int32(0)
+        for a in axes:  # flattened shard index (row-major over mesh axes)
+            my = my * mesh.shape[a] + lax.axis_index(a)
+        pos = pos_mass[:, :3]
+        rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
+        validf = rows < n_real
+        # Global bounding box over REAL bodies only (padding sits at the
+        # origin with mass 0 and must not shape the grid).
+        big = jnp.float32(3.0e38)
+        lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
+        hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
+        lo_w = lax.pmin(lo_l, axis)
+        hi_w = lax.pmax(hi_l, axis)
+        lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
+
+        rho = pm_ops.cic_deposit(pos, pos_mass[:, 3], lo, h, grid)
+        rho = lax.psum(rho, axis)
+        phi = pm_ops.solve_potential(rho, h, eps2)
+        grids = pm_ops.force_grids(phi, h)
+        i0, f = pm_ops._cic_cells(pos, lo, h, grid)
+        acc3 = pm_ops.cic_gather(grids, i0, f, grid) * jnp.float32(G)
+        acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)
+
+        valid = validf if n_real < n_pad else None
+        new_pos, new_vel, new_acc = apply_integrator(
+            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        )
+        return new_pos, new_vel, new_acc, step + 1
+
+    spec = P(axis, None)
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,

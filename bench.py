@@ -46,7 +46,10 @@ def main() -> int:
     mode = os.environ.get("NBODY_BENCH_MODE", "sym")
     if platform == "tpu":
         n = 262144
-        chunk, warm_chunks, timed_chunks = 5, 2, 6
+        # 20-step chunks: each chunk dispatch costs a ~30 ms relay round
+        # trip (host<->device latency, not chip time); at 5-step chunks
+        # that artifact alone was ~6 ms/step (~4% of the headline).
+        chunk, warm_chunks, timed_chunks = 20, 1, 6
         config = SimConfig(backend="pallas", force_mode=mode, morton_every=64)
     else:
         n = 4096

@@ -58,16 +58,24 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument(
         "--method",
         default=None,
-        choices=["direct", "pm"],
+        choices=["direct", "pm", "p3m"],
         help="force algorithm: direct = exact O(N^2) all-pairs (the "
         "reference's, nbody3d.js:218-294); pm = particle-mesh FFT solver "
-        "(O(N + M^3 log M), grid-smoothed short range — ops/pm.py)",
+        "(O(N + M^3 log M), grid-smoothed short range — ops/pm.py); "
+        "p3m = PM + exact short-range correction (~1e-3 force accuracy "
+        "vs direct at near-PM cost — ops/p3m.py)",
     )
     p.add_argument(
         "--pm-grid",
         type=int,
         default=None,
-        help="PM mesh cells per axis (default 128)",
+        help="PM/P3M mesh cells per axis (default 128)",
+    )
+    p.add_argument(
+        "--p3m-nbr-k",
+        type=int,
+        default=None,
+        help="P3M short-range neighbor-tile budget (default 32)",
     )
     p.add_argument(
         "--morton-every",
@@ -109,6 +117,7 @@ def _config_overrides(args) -> dict:
         ("force_mode", args.force_mode),
         ("method", args.method),
         ("pm_grid", args.pm_grid),
+        ("p3m_nbr_k", args.p3m_nbr_k),
         ("morton_every", args.morton_every),
         ("integrator", args.integrator),
         ("block_target", args.block_target),

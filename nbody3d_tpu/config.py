@@ -61,9 +61,17 @@ class SimConfig:
     # sum (nbody3d.js:218-294) via the kernels selected by backend /
     # force_mode below.  "pm" is the particle-mesh FFT solver
     # (ops/pm.py) — O(N + M^3 log M), grid-smoothed below ~3 cells, a
-    # beyond-reference capability for very large diffuse systems.
+    # beyond-reference capability for very large diffuse systems.  "p3m"
+    # adds PM's erf-split short-range correction (ops/p3m.py): ~1e-3
+    # force accuracy vs direct everywhere, including clustered cores, at
+    # near-PM cost.
     method: str = "direct"
-    pm_grid: int = 128  # PM mesh cells per axis (M); memory ~ 24*(2M)^3 B
+    pm_grid: int = 128  # PM/P3M mesh cells per axis (M); memory ~ 24*(2M)^3 B
+    # P3M split/short-range knobs (ops/p3m.py defaults; 0 = auto tiles).
+    p3m_sigma_cells: float = 1.5
+    p3m_rcut_sigmas: float = 4.5
+    p3m_nbr_k: int = 32
+    p3m_block: int = 0
 
     # Kernel selection / shape.  Blocks tuned on v5e at N=256k
     # (benchmarks/fast_tune.py): 2048x2048 is within 1% of the best

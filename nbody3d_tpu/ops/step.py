@@ -160,6 +160,21 @@ def make_step_fn(
             )
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
+    elif config.method == "p3m":
+        # PM far field + exact short-range correction (ops/p3m.py):
+        # ~1e-3 force accuracy vs direct at near-PM cost.
+        from nbody3d_tpu.ops.p3m import accel_p3m
+
+        def step(state: SimState, dt, G) -> SimState:
+            acc = accel_p3m(
+                state.pos_mass, G,
+                grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
+                sigma_cells=config.p3m_sigma_cells,
+                rcut_sigmas=config.p3m_rcut_sigmas,
+                block=config.p3m_block, nbr_k=config.p3m_nbr_k,
+            )
+            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+
     elif backend == "pallas" and force_mode == "sym":
         # Newton-3 schedule (round-robin below MACRO_MIN_N, macro-tiled
         # above — see make_sym_accel_fn); the headline single-chip mode.

@@ -92,6 +92,8 @@ def make_sharded_step(
         # The PM grid replaces pairwise exchange entirely: wire cost is one
         # psum of the mass grid, whatever the strategy says.
         return make_pm_sharded_step(config, n_pad, n_real, mesh, platform)
+    if config.method == "p3m":
+        return make_p3m_sharded_step(config, n_pad, n_real, mesh, platform)
     if config.strategy == "2d":
         return make_grid2d_step(config, n_pad, n_real, mesh, platform)
     if config.strategy == "ringsym" or (
@@ -557,6 +559,119 @@ def make_pm_sharded_step(
         grids = pm_ops.force_grids(phi, h)
         i0, f = pm_ops._cic_cells(pos, lo, h, grid)
         acc3 = pm_ops.cic_gather(grids, i0, f, grid) * jnp.float32(G)
+        acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)
+
+        valid = validf if n_real < n_pad else None
+        new_pos, new_vel, new_acc = apply_integrator(
+            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        )
+        return new_pos, new_vel, new_acc, step + 1
+
+    spec = P(axis, None)
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, P(), P(), P()),
+        out_specs=(spec, spec, spec, P()),
+        check_vma=False,
+    )
+
+    def step(state: SimState, dt, G) -> SimState:
+        p, v, a, s = sharded(
+            state.pos_mass,
+            state.vel,
+            state.accel,
+            state.step,
+            jnp.float32(dt),
+            jnp.float32(G),
+        )
+        return SimState(p, v, a, s)
+
+    return step
+
+
+def make_p3m_sharded_step(
+    config: SimConfig,
+    n_pad: int,
+    n_real: int,
+    mesh: jax.sharding.Mesh,
+    platform: str | None = None,
+) -> Callable[[SimState, jax.Array, jax.Array], SimState]:
+    """Sharded P3M step (``config.method == "p3m"``, ops/p3m.py).
+
+    Long range is the PM pattern: shard-local TSC deposit, one grid
+    ``psum`` (4·M³ bytes of ICI, independent of N), replicated FFT solve,
+    local gather.  Short range is SPMD over SORTED tiles: every chip
+    all-gathers positions (16N bytes), computes the identical global
+    Morton order and tile AABBs (replicated, deterministic), corrects its
+    own contiguous ``nb/D`` tile range, and one all-gather of the sorted
+    corrections (12N bytes) lets each chip inverse-permute its resident
+    rows' values back out.  Per-chip compute is the balanced 1/D share of
+    both the mesh deposit/gather and the short-range pair work.
+    """
+    from nbody3d_tpu.ops import p3m as p3m_ops
+    from nbody3d_tpu.ops import pm as pm_ops
+    from nbody3d_tpu.ops.morton import morton_keys
+
+    axes = tuple(mesh.axis_names)
+    axis = axes if len(axes) > 1 else axes[0]
+    d = 1
+    for a in axes:
+        d *= mesh.shape[a]
+    if n_pad % d != 0:
+        raise ValueError(f"n_pad={n_pad} not divisible by mesh size {d}")
+    shard = n_pad // d
+    grid = config.pm_grid
+    eps2 = float(config.eps2)
+    # Tiles must divide evenly into per-chip ranges: cap the tile size at
+    # the shard and shrink until it divides it (then nb = d * shard/block).
+    block = fit_block(shard, p3m_ops.p3m_block(n_pad, config.p3m_block))
+    nb = n_pad // block
+    tiles_per = nb // d
+    nbr_k = min(config.p3m_nbr_k, nb)
+    sigma_cells = float(config.p3m_sigma_cells)
+    rcut_sigmas = float(config.p3m_rcut_sigmas)
+
+    def local_step(pos_mass, vel, accel, step, dt, G):
+        my = jnp.int32(0)
+        for a in axes:  # flattened shard index (row-major over mesh axes)
+            my = my * mesh.shape[a] + lax.axis_index(a)
+        pos = pos_mass[:, :3]
+        rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
+        validf = rows < n_real
+        big = jnp.float32(3.0e38)
+        lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
+        hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
+        lo_w = lax.pmin(lo_l, axis)
+        hi_w = lax.pmax(hi_l, axis)
+        lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
+        sigma = sigma_cells * h
+        rcut = rcut_sigmas * sigma
+
+        # Long range (PM pattern, TSC order).
+        rho = p3m_ops.tsc_deposit(pos, pos_mass[:, 3], lo, h, grid)
+        rho = lax.psum(rho, axis)
+        grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
+        c, w = p3m_ops._tsc_cells(pos, lo, h, grid)
+        acc3 = p3m_ops.tsc_gather(grids, c, w, grid)
+
+        # Short range over this chip's sorted-tile slice.
+        full = lax.all_gather(pos_mass, axis, axis=0, tiled=True)
+        keys = morton_keys(full, n_real)
+        order = jnp.argsort(keys, stable=True)
+        ps = full[order]
+        lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
+        lo_t = lax.dynamic_slice_in_dim(lo_b, my * tiles_per, tiles_per)
+        hi_t = lax.dynamic_slice_in_dim(hi_b, my * tiles_per, tiles_per)
+        d2 = p3m_ops._aabb_dist2(lo_t, hi_t, lo_b, hi_b)
+        _, nbr_idx = lax.top_k(-d2, nbr_k)
+        acc_s_mine = p3m_ops._short_range_tiles(
+            ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block
+        )
+        acc_s_full = lax.all_gather(acc_s_mine, axis, axis=0, tiled=True)
+        inv = jnp.argsort(order)
+        inv_mine = lax.dynamic_slice_in_dim(inv, my * shard, shard)
+        acc3 = (acc3 + acc_s_full[inv_mine]) * jnp.float32(G)
         acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)
 
         valid = validf if n_real < n_pad else None

@@ -72,6 +72,9 @@ class SimConfig:
     p3m_rcut_sigmas: float = 4.5
     p3m_nbr_k: int = 32
     p3m_block: int = 0
+    # The heavy_k most massive bodies bypass the mesh with exact O(K*N)
+    # direct pairs (mass-hierarchy split, ops/p3m.py::heavy_split).
+    p3m_heavy_k: int = 16
 
     # Kernel selection / shape.  Blocks tuned on v5e at N=256k
     # (benchmarks/fast_tune.py): 2048x2048 is within 1% of the best

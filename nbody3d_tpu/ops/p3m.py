@@ -53,13 +53,53 @@ from nbody3d_tpu.ops.morton import morton_keys
 from nbody3d_tpu.ops.pm import (
     _box,
     _cic_cells,
-    _segment_sum_sorted,
     cic_deposit,
     cic_gather,
+    deposit_cols,
 )
 
 _SQRT2 = 1.4142135623730951
 _TWO_OVER_SQRT_PI = 1.1283791670955126
+
+DEFAULT_HEAVY_K = 16
+
+
+def heavy_split(pos_mass: jax.Array, heavy_k: int):
+    """Mass-hierarchy split: indices of the ``heavy_k`` most massive
+    bodies and the mass vector with those entries zeroed.
+
+    Why this exists: the galaxy presets put 1e7 central bodies
+    (``nbody3d.js:62``) next to 10..50-mass disk bodies.  A point mass 6
+    orders above the rest sets the mesh's spectral peak, and the f32 FFT
+    convolution's rounding noise (~eps * peak, spatially white) then
+    swamps the long-range forces of mid-disk bodies — measured 0.25
+    median relative force error at grid=128, wandering with compilation
+    order.  Excluding the few heavy bodies from the mesh (they get exact
+    O(K*N) direct pairs instead, see :func:`heavy_direct`) collapses the
+    deposit's dynamic range and restores the ~1e-3 contract at every
+    grid size.  Mass-0 padding rows can never enter the top-k while any
+    real body has positive mass; extra slots (heavy_k > #truly-heavy)
+    just move ordinary bodies to the exact path — harmless."""
+    m = pos_mass[:, 3]
+    _, hidx = lax.top_k(m, heavy_k)
+    return hidx, m.at[hidx].set(0.0)
+
+
+def heavy_direct(pos_mass: jax.Array, hidx: jax.Array, eps2: float):
+    """Exact softened pair interactions between the heavy set and ALL
+    bodies (per unit G): returns ``(a_from_heavy (N,3), a_on_heavy
+    (K,3))``.  Both directions come from the same pair evaluations, so
+    the block is antisymmetric to f32 rounding (momentum-safe); the
+    r2 > 0 guard is the reference's self-pair index mask
+    (``nbody3d.js:265``)."""
+    hp = pos_mass[hidx]  # (K, 4)
+    d = hp[None, :, :3] - pos_mass[:, None, :3]  # (N, K, 3), toward heavy
+    r2 = jnp.sum(d * d, axis=-1)
+    inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
+    w = inv_s * inv_s * inv_s * (r2 > 0)
+    a_from_heavy = jnp.einsum("nk,nkc->nc", w * hp[None, :, 3], d)
+    a_on_heavy = -jnp.einsum("nk,nkc->kc", w * pos_mass[:, 3][:, None], d)
+    return a_from_heavy, a_on_heavy
 
 # Defaults tuned in tests/test_p3m.py: sigma = 1.5 cells keeps the
 # long-range force resolvable by the TSC+deconvolution mesh (median force
@@ -106,26 +146,25 @@ def _tsc_cells(pos: jax.Array, lo: jax.Array, h: jax.Array, grid: int):
 def tsc_deposit(
     pos: jax.Array, mass: jax.Array, lo: jax.Array, h: jax.Array, grid: int
 ) -> jax.Array:
-    """Order-3 B-spline mass deposit → ``(grid, grid, grid)`` (same
-    sort + segmented-scan scatter-free pattern as :func:`pm.cic_deposit`,
-    27 contributions per body)."""
+    """Order-3 B-spline mass deposit → ``(grid, grid, grid)``.
+
+    Scatter-free via :func:`pm.deposit_cols`: one sort of the N base cell
+    ids (a naive 27N contribution ``lax.sort`` was 62% of the whole P3M
+    step at 2M bodies), one vectorized (27, N) segmented scan, 27 dense
+    rolls (base cells are clipped to [1, grid-2], so no roll ever wraps
+    real mass)."""
     c, w = _tsc_cells(pos, lo, h, grid)
-    ids27, w27 = [], []
+    cid = (c[:, 0] * grid + c[:, 1]) * grid + c[:, 2]
+    cols = []
+    offsets = []
     for dx in (-1, 0, 1):
-        wx = w[dx + 1, :, 0]
         for dy in (-1, 0, 1):
-            wy = w[dy + 1, :, 1]
             for dz in (-1, 0, 1):
-                wz = w[dz + 1, :, 2]
-                ids27.append(
-                    ((c[:, 0] + dx) * grid + (c[:, 1] + dy)) * grid
-                    + (c[:, 2] + dz)
+                cols.append(
+                    mass * w[dx + 1, :, 0] * w[dy + 1, :, 1] * w[dz + 1, :, 2]
                 )
-                w27.append(mass * wx * wy * wz)
-    rho = _segment_sum_sorted(
-        jnp.concatenate(ids27), jnp.concatenate(w27), grid**3
-    )
-    return rho.reshape(grid, grid, grid)
+                offsets.append((dx, dy, dz))
+    return deposit_cols(cid, cols, offsets, grid)
 
 
 def tsc_gather(
@@ -133,19 +172,40 @@ def tsc_gather(
 ) -> jax.Array:
     """Order-3 B-spline interpolation of ``(3, M³)`` grids → ``(N, 3)``.
     Same assignment function as the deposit (momentum conservation needs
-    the pair to match, as with CIC)."""
+    the pair to match, as with CIC).
+
+    Laid out as one wide row-gather per component: the 27 stencil reads
+    become a rolled ``(M³, 27)`` neighbor table (27 cheap dense rolls)
+    plus a single ``take`` of 27-wide rows — measured 380 -> 267 ms at 2M
+    bodies vs 27 separate scalar gathers, which each pay a full lane-tile
+    of HBM traffic per element."""
     base = (c[:, 0] * grid + c[:, 1]) * grid + c[:, 2]
-    acc = jnp.zeros((c.shape[0], 3), jnp.float32)
-    for dx in (-1, 0, 1):
-        wx = w[dx + 1, :, 0]
-        for dy in (-1, 0, 1):
-            wy = w[dy + 1, :, 1]
-            for dz in (-1, 0, 1):
-                wz = w[dz + 1, :, 2]
-                idx = base + (dx * grid + dy) * grid + dz
-                vals = jnp.take(grids, idx, axis=1)  # (3, N)
-                acc = acc + vals.T * (wx * wy * wz)[:, None]
-    return acc
+    offs = [
+        (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ]
+    wcols = jnp.stack(
+        [
+            w[dx + 1, :, 0] * w[dy + 1, :, 1] * w[dz + 1, :, 2]
+            for (dx, dy, dz) in offs
+        ],
+        axis=1,
+    )  # (N, 27)
+    base, wcols = lax.optimization_barrier((base, wcols))
+    out = []
+    for comp in range(3):
+        gg = grids[comp].reshape(grid, grid, grid)
+        table = jnp.stack(
+            [
+                jnp.roll(gg, (-dx, -dy, -dz), (0, 1, 2)).reshape(-1)
+                for (dx, dy, dz) in offs
+            ],
+            axis=1,
+        )  # (M³, 27); rows at clipped-out border cells are never read
+        table = lax.optimization_barrier(table)
+        vals = jnp.take(table, base, axis=0)  # (N, 27)
+        out.append(jnp.sum(vals * wcols, axis=1))
+    return jnp.stack(out, axis=1)
 
 
 def solve_accel_long(
@@ -306,14 +366,21 @@ def _short_range_tiles(
         w = jnp.where((r2 > 0) & (r2 < rcut2), w, 0.0)
         return jnp.sum(w[:, :, None] * d, axis=1)  # (B, 3)
 
-    return lax.map(one, jnp.arange(ntiles)).reshape(ntiles * block, 3)
+    # Batching amortizes the XLA while-loop per-iteration overhead (~8k
+    # sequential tiny steps at 2M bodies otherwise) while bounding the
+    # in-flight pair temporaries to batch*(B, K*B) ~ a few hundred MB.
+    k = nbr_idx.shape[1]
+    batch = max(1, min(ntiles, (1 << 25) // (block * k * block)))
+    return lax.map(one, jnp.arange(ntiles), batch_size=batch).reshape(
+        ntiles * block, 3
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "grid", "eps2", "n_real", "sigma_cells", "rcut_sigmas", "block",
-        "nbr_k", "order",
+        "nbr_k", "order", "heavy_k",
     ),
 )
 def accel_p3m(
@@ -328,11 +395,14 @@ def accel_p3m(
     block: int = 0,
     nbr_k: int = DEFAULT_NBR_K,
     order: int = 3,
+    heavy_k: int = DEFAULT_HEAVY_K,
 ) -> jax.Array:
     """P3M accelerations ``(N, 4)`` (w lane zero): PM far field + exact
-    short-range correction, matching the direct solver to ~1e-3 everywhere
-    including clustered cores (contract in ``tests/test_p3m.py``).
-    ``block=0`` auto-sizes the short-range tiles (:func:`p3m_block`)."""
+    short-range correction + exact direct pairs for the ``heavy_k`` most
+    massive bodies (:func:`heavy_split`), matching the direct solver to
+    ~1e-3 everywhere including clustered cores (contract in
+    ``tests/test_p3m.py``).  ``block=0`` auto-sizes the short-range
+    tiles (:func:`p3m_block`)."""
     n = pos_mass.shape[0]
     if n_real is None:
         n_real = n
@@ -340,21 +410,27 @@ def accel_p3m(
     if n % block != 0:
         raise ValueError(f"block {block} must divide padded N {n}")
     nbr_k = min(nbr_k, n // block)
+    heavy_k = min(heavy_k, n)
 
     pos = pos_mass[:, :3]
     lo, h = _box(pos[:n_real], grid)
     sigma = sigma_cells * h
     rcut = rcut_sigmas * sigma
 
+    # Mass-hierarchy split: the mesh and the short-range correction see
+    # only the light bodies (heavy_split docstring has the f32 rationale).
+    hidx, mass_mesh = heavy_split(pos_mass, heavy_k)
+    pm_mesh = jnp.concatenate([pos, mass_mesh[:, None]], axis=1)
+
     # Long range: the PM pipeline with the erf-smoothed gradient kernels
     # (see solve_accel_long) at the requested assignment order.
     if order == 3:
-        rho = tsc_deposit(pos, pos_mass[:, 3], lo, h, grid)
+        rho = tsc_deposit(pos, mass_mesh, lo, h, grid)
         grids = solve_accel_long(rho, h, float(eps2), sigma, order=3)
         c, w = _tsc_cells(pos, lo, h, grid)
         acc = tsc_gather(grids, c, w, grid)
     else:
-        rho = cic_deposit(pos, pos_mass[:, 3], lo, h, grid)
+        rho = cic_deposit(pos, mass_mesh, lo, h, grid)
         grids = solve_accel_long(rho, h, float(eps2), sigma, order=2)
         i0, f = _cic_cells(pos, lo, h, grid)
         acc = cic_gather(grids, i0, f, grid)
@@ -364,14 +440,22 @@ def accel_p3m(
     keys = morton_keys(pos_mass, n_real)
     order = jnp.argsort(keys, stable=True)
     inv = jnp.argsort(order)
-    ps = pos_mass[order]
+    ps = pm_mesh[order]
     lo_b, hi_b = _sorted_aabbs(ps, n_real, block)
     d2 = _aabb_dist2(lo_b, hi_b)
     _, nbr_idx = lax.top_k(-d2, nbr_k)
     acc_s = _short_range_tiles(
         ps, nbr_idx, 0, n // block, float(eps2), sigma, rcut, block
     )
-    acc = (acc + acc_s[inv]) * jnp.float32(G)
+    acc = acc + acc_s[inv]
+
+    # Exact heavy pairs: heavy sources act on everyone; heavy rows'
+    # mesh+short value (light sources only) is replaced by their
+    # fully-direct total from the same antisymmetric pair block.
+    a_from_heavy, a_on_heavy = heavy_direct(pos_mass, hidx, float(eps2))
+    acc = (acc + a_from_heavy).at[hidx].set(a_on_heavy)
+
+    acc = acc * jnp.float32(G)
     return jnp.concatenate([acc, jnp.zeros((n, 1), jnp.float32)], axis=1)
 
 

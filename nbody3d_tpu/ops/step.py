@@ -172,6 +172,7 @@ def make_step_fn(
                 sigma_cells=config.p3m_sigma_cells,
                 rcut_sigmas=config.p3m_rcut_sigmas,
                 block=config.p3m_block, nbr_k=config.p3m_nbr_k,
+                heavy_k=config.p3m_heavy_k,
             )
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 

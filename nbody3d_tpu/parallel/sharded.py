@@ -629,6 +629,7 @@ def make_p3m_sharded_step(
     nb = n_pad // block
     tiles_per = nb // d
     nbr_k = min(config.p3m_nbr_k, nb)
+    heavy_k = min(config.p3m_heavy_k, n_pad)
     sigma_cells = float(config.p3m_sigma_cells)
     rcut_sigmas = float(config.p3m_rcut_sigmas)
 
@@ -648,18 +649,27 @@ def make_p3m_sharded_step(
         sigma = sigma_cells * h
         rcut = rcut_sigmas * sigma
 
-        # Long range (PM pattern, TSC order).
-        rho = p3m_ops.tsc_deposit(pos, pos_mass[:, 3], lo, h, grid)
+        # Mass-hierarchy split (p3m_ops.heavy_split): replicated and
+        # deterministic — every chip derives the same heavy set from the
+        # same gathered array.
+        full = lax.all_gather(pos_mass, axis, axis=0, tiled=True)
+        hidx, mass_mesh = p3m_ops.heavy_split(full, heavy_k)
+        full_mesh = jnp.concatenate(
+            [full[:, :3], mass_mesh[:, None]], axis=1
+        )
+        mass_mesh_mine = lax.dynamic_slice_in_dim(mass_mesh, my * shard, shard)
+
+        # Long range (PM pattern, TSC order) over the light bodies.
+        rho = p3m_ops.tsc_deposit(pos, mass_mesh_mine, lo, h, grid)
         rho = lax.psum(rho, axis)
         grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
         c, w = p3m_ops._tsc_cells(pos, lo, h, grid)
         acc3 = p3m_ops.tsc_gather(grids, c, w, grid)
 
-        # Short range over this chip's sorted-tile slice.
-        full = lax.all_gather(pos_mass, axis, axis=0, tiled=True)
+        # Short range over this chip's sorted-tile slice (light sources).
         keys = morton_keys(full, n_real)
         order = jnp.argsort(keys, stable=True)
-        ps = full[order]
+        ps = full_mesh[order]
         lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
         lo_t = lax.dynamic_slice_in_dim(lo_b, my * tiles_per, tiles_per)
         hi_t = lax.dynamic_slice_in_dim(hi_b, my * tiles_per, tiles_per)
@@ -671,7 +681,29 @@ def make_p3m_sharded_step(
         acc_s_full = lax.all_gather(acc_s_mine, axis, axis=0, tiled=True)
         inv = jnp.argsort(order)
         inv_mine = lax.dynamic_slice_in_dim(inv, my * shard, shard)
-        acc3 = (acc3 + acc_s_full[inv_mine]) * jnp.float32(G)
+        acc3 = acc3 + acc_s_full[inv_mine]
+
+        # Exact heavy pairs: local targets vs the replicated heavy set;
+        # the force ON each heavy body reduces over all chips' residents
+        # with one psum, then heavy rows owned here are overwritten.
+        hp = full[hidx]  # (K, 4)
+        dvec = hp[None, :, :3] - pos[:, None, :]  # (shard, K, 3)
+        r2 = jnp.sum(dvec * dvec, axis=-1)
+        inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
+        wgt = inv_s * inv_s * inv_s * (r2 > 0)
+        a_from_heavy = jnp.einsum("nk,nkc->nc", wgt * hp[None, :, 3], dvec)
+        a_on_heavy = lax.psum(
+            -jnp.einsum("nk,nkc->kc", wgt * pos_mass[:, 3][:, None], dvec),
+            axis,
+        )
+        rows1 = rows[:, 0]  # (shard,) global row ids
+        match = rows1[:, None] == hidx[None, :]  # (shard, K)
+        repl = jnp.einsum("rk,kc->rc", match.astype(jnp.float32), a_on_heavy)
+        acc3 = jnp.where(
+            jnp.any(match, axis=1)[:, None], repl, acc3 + a_from_heavy
+        )
+
+        acc3 = acc3 * jnp.float32(G)
         acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)
 
         valid = validf if n_real < n_pad else None

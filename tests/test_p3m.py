@@ -82,6 +82,30 @@ class TestAccuracy:
         rel = _rel_err(got[heavy], ref[heavy])
         assert rel.max() < 3e-2, rel
 
+    def test_fine_grid_vs_direct(self, clustered):
+        """Regression test for the f32 FFT noise-floor cliff: at fine
+        grids the mesh's spectral peak is set by the 1e7 central bodies
+        while per-body long-range forces shrink, so WITHOUT the
+        mass-hierarchy split (heavy_k) the spatially-white FFT rounding
+        noise swamps mid-disk bodies (median error was 0.25 at grid=128,
+        varying with compilation order).  With the split the contract
+        holds at every grid size."""
+        pm, _, n = clustered
+        ref = np.asarray(accel_direct(pm, G, eps2=EPS2))[:n]
+        got = np.asarray(
+            accel_p3m(pm, G, grid=128, eps2=EPS2, n_real=n, nbr_k=32)
+        )[:n]
+        rel = _rel_err(got, ref)
+        assert np.median(rel) < 2e-3, np.median(rel)
+        assert np.percentile(rel, 99) < 1e-2, np.percentile(rel, 99)
+
+    # NOTE: there is deliberately no converse test asserting heavy_k=0
+    # FAILS at grid=128 — without the split the error depends on XLA's
+    # fusion choices for the f32 FFT chain (measured 0.245 in one
+    # process and 4.6e-4 in another, same code and input), so the
+    # failure mode itself is too compilation-sensitive to assert.  That
+    # run-to-run fragility is exactly why the split defaults ON.
+
     def test_uniform_sphere_vs_direct(self):
         """Diffuse (PM-friendly) regime still meets the bound."""
         pos_mass, _, _ = make_preset("uniform-sphere", seed=1, G=G, n=2048)

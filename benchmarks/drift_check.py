@@ -12,7 +12,11 @@ A pair-symmetric force conserves P and L to float reduction order; the
 fast/sym MXU paths achieve this via the shared-weight schedule + self-pair
 index mask + block-centered limb operands (Morton-ordered every 64 steps).
 
-Usage: python benchmarks/drift_check.py [exact|fast|sym|jnp] [n] [steps]
+``pm`` / ``p3m`` run the grid solvers through the same gate (PM is
+expected to hold energy but not to pair-level precision; P3M's heavy
+split + matched deposit/gather should sit close to the direct modes).
+
+Usage: python benchmarks/drift_check.py [exact|fast|sym|jnp|pm|p3m] [n] [steps]
 """
 
 from __future__ import annotations
@@ -42,6 +46,12 @@ def main() -> int:
 
     if mode == "jnp":
         config = SimConfig(backend="jnp")
+    elif mode in ("pm", "p3m"):
+        # grid=64 suits N=16k (the default 128 is mesh-fixed-cost bound
+        # at this body count: ~250 ms/step vs 21); deliberately a HARD
+        # config for P3M — at grid=64 every tile overflows the neighbor
+        # budget on the Plummer core, exercising the mutual-k truncation.
+        config = SimConfig(method=mode, pm_grid=64)
     else:
         config = SimConfig(backend="pallas", force_mode=mode, morton_every=64)
     sim = Simulation.from_preset("plummer", config, n=n)

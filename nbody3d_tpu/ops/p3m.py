@@ -338,6 +338,38 @@ def _aabb_dist2(
     return jnp.sum(gap * gap, axis=-1)
 
 
+def _sym_jitter(nt: int, ns: int, row0: jax.Array | int, h: jax.Array) -> jax.Array:
+    """Symmetric pseudo-random tie-break for tile distances: a (nt, ns)
+    jitter with ``u(i, j) == u(j, i)`` and distinct values at tied gaps
+    (dense cores put many tiles at exactly gap 0).  Scaled to ~1e-6 cell
+    sizes — far below any physical separation that matters, but far
+    above f32 noise in the exactly-symmetric AABB distances."""
+    i = row0 + lax.broadcasted_iota(jnp.int32, (nt, ns), 0)
+    j = lax.broadcasted_iota(jnp.int32, (nt, ns), 1)
+    a = jnp.minimum(i, j)
+    b = jnp.maximum(i, j)
+    u = ((a * jnp.int32(1540483477) + b * jnp.int32(40503)) & 0xFFFF).astype(
+        jnp.float32
+    ) / 65536.0
+    return u * (jnp.float32(1e-6) * h * h)
+
+
+def mutual_neighbor_mask(
+    neg_d2s: jax.Array, nbr_idx: jax.Array, kth_all: jax.Array
+) -> jax.Array:
+    """(nt, k) float mask keeping pair (i, j) iff ``d2s(i,j) <=
+    min(kth(i), kth(j))`` — with the symmetric jitter making d2s values
+    unique, this is exactly "j in i's top-k AND i in j's top-k", so the
+    computed pair set is symmetric and the short-range sum stays
+    antisymmetric (momentum) even when dense cores overflow the
+    neighbor budget.  One-sided truncation instead kicked total momentum
+    by ~3e-3 per step on an overflowing Plummer core (measured).
+    ``neg_d2s``/``nbr_idx`` are the top_k outputs (values are -d2s);
+    ``kth_all`` is every tile's k-th smallest d2s."""
+    vals = -neg_d2s  # (nt, k) d2s of the listed tiles, ascending
+    return (vals <= kth_all[nbr_idx]).astype(jnp.float32)
+
+
 def _short_range_tiles(
     ps: jax.Array,
     nbr_idx: jax.Array,
@@ -347,12 +379,15 @@ def _short_range_tiles(
     sigma: jax.Array,
     rcut: jax.Array,
     block: int,
+    nbr_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Masked block-sparse short-range accelerations (per unit G) for the
     ``ntiles`` target tiles starting at ``tile0`` (traced — the sharded
     step passes its chip's tile offset), in sorted order: for each target
     tile, a dense (block, k*block) pair kernel over its gathered neighbor
-    tiles.  ``nbr_idx`` is ``(ntiles, k)`` global tile ids."""
+    tiles.  ``nbr_idx`` is ``(ntiles, k)`` global tile ids; ``nbr_mask``
+    (optional, (ntiles, k)) zeroes non-mutual tiles
+    (:func:`mutual_neighbor_mask`)."""
     nb = ps.shape[0] // block
     blocks = ps.reshape(nb, block, 4)
     rcut2 = rcut * rcut
@@ -360,9 +395,12 @@ def _short_range_tiles(
     def one(i):
         tgt = blocks[tile0 + i]  # (B, 4)
         src = blocks[nbr_idx[i]].reshape(-1, 4)  # (K*B, 4)
+        m_src = src[:, 3]
+        if nbr_mask is not None:
+            m_src = m_src * jnp.repeat(nbr_mask[i], block)
         d = src[None, :, :3] - tgt[:, None, :3]  # (B, KB, 3)
         r2 = jnp.sum(d * d, axis=-1)
-        w = k_short(r2, eps2, sigma) * src[None, :, 3]
+        w = k_short(r2, eps2, sigma) * m_src[None, :]
         w = jnp.where((r2 > 0) & (r2 < rcut2), w, 0.0)
         return jnp.sum(w[:, :, None] * d, axis=1)  # (B, 3)
 
@@ -435,6 +473,18 @@ def accel_p3m(
         i0, f = _cic_cells(pos, lo, h, grid)
         acc = cic_gather(grids, i0, f, grid)
 
+    # Project out the mesh's spurious net force.  The exact light-light
+    # interaction is translation-invariant (zero net force); subtracting
+    # the mass-weighted mean acceleration is a uniform frame correction
+    # at the FFT-noise scale (~1e-5 relative) that zeroes the mesh's
+    # net momentum kick exactly.  (The dominant momentum leak was the
+    # asymmetric neighbor truncation — see mutual_neighbor_mask — but
+    # this projection closes the residual FFT term for free.)
+    # mass_mesh is exactly "mass of the rows that keep the mesh value":
+    # heavy rows (overwritten below) and padding rows carry zero.
+    msum = jnp.maximum(jnp.sum(mass_mesh), jnp.float32(1e-30))
+    acc = acc - jnp.sum(mass_mesh[:, None] * acc, axis=0)[None, :] / msum
+
     # Short range: Morton-sort -> nearest-tile selection -> masked dense
     # correction -> inverse permutation (gather, never scatter: TPU).
     keys = morton_keys(pos_mass, n_real)
@@ -442,10 +492,13 @@ def accel_p3m(
     inv = jnp.argsort(order)
     ps = pm_mesh[order]
     lo_b, hi_b = _sorted_aabbs(ps, n_real, block)
-    d2 = _aabb_dist2(lo_b, hi_b)
-    _, nbr_idx = lax.top_k(-d2, nbr_k)
+    nb = n // block
+    d2 = _aabb_dist2(lo_b, hi_b) + _sym_jitter(nb, nb, 0, h)
+    neg, nbr_idx = lax.top_k(-d2, nbr_k)
+    nbr_mask = mutual_neighbor_mask(neg, nbr_idx, -neg[:, -1])
     acc_s = _short_range_tiles(
-        ps, nbr_idx, 0, n // block, float(eps2), sigma, rcut, block
+        ps, nbr_idx, 0, nb, float(eps2), sigma, rcut, block,
+        nbr_mask=nbr_mask,
     )
     acc = acc + acc_s[inv]
 

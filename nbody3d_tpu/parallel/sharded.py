@@ -665,6 +665,16 @@ def make_p3m_sharded_step(
         grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
         c, w = p3m_ops._tsc_cells(pos, lo, h, grid)
         acc3 = p3m_ops.tsc_gather(grids, c, w, grid)
+        # Net-force projection (see accel_p3m): momentum-restoring frame
+        # correction for the deconv-amplified FFT noise; reductions span
+        # the mesh via psum.
+        msum = jnp.maximum(
+            lax.psum(jnp.sum(mass_mesh_mine), axis), jnp.float32(1e-30)
+        )
+        wsum = lax.psum(
+            jnp.sum(mass_mesh_mine[:, None] * acc3, axis=0), axis
+        )
+        acc3 = acc3 - wsum[None, :] / msum
 
         # Short range over this chip's sorted-tile slice (light sources).
         keys = morton_keys(full, n_real)
@@ -674,9 +684,14 @@ def make_p3m_sharded_step(
         lo_t = lax.dynamic_slice_in_dim(lo_b, my * tiles_per, tiles_per)
         hi_t = lax.dynamic_slice_in_dim(hi_b, my * tiles_per, tiles_per)
         d2 = p3m_ops._aabb_dist2(lo_t, hi_t, lo_b, hi_b)
-        _, nbr_idx = lax.top_k(-d2, nbr_k)
+        d2 = d2 + p3m_ops._sym_jitter(tiles_per, nb, my * tiles_per, h)
+        neg, nbr_idx = lax.top_k(-d2, nbr_k)
+        # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
+        kth_all = lax.all_gather(-neg[:, -1], axis, axis=0, tiled=True)
+        nbr_mask = p3m_ops.mutual_neighbor_mask(neg, nbr_idx, kth_all)
         acc_s_mine = p3m_ops._short_range_tiles(
-            ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block
+            ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,
+            nbr_mask=nbr_mask,
         )
         acc_s_full = lax.all_gather(acc_s_mine, axis, axis=0, tiled=True)
         inv = jnp.argsort(order)

@@ -145,6 +145,25 @@ class TestConservation:
         scale = np.abs(m * acc[:, :3]).sum(axis=0)
         assert np.all(ptot < 1e-4 * scale), (ptot, scale)
 
+    def test_momentum_under_overflow(self):
+        """Momentum must stay at f32 reduction order even when EVERY tile
+        overflows the neighbor budget: the mutual-k mask drops truncated
+        pairs symmetrically (one-sided truncation kicked ~3e-3 per step
+        on this exact config — ops/p3m.py::mutual_neighbor_mask)."""
+        pos_mass, _, _ = make_preset("plummer", seed=0, G=G, n=4096)
+        pm = jnp.asarray(np.asarray(pos_mass))
+        ov = int(
+            p3m_neighbor_overflow(pm, grid=64, block=128, nbr_k=4)
+        )
+        assert ov > 0  # the budget is deliberately starved
+        acc = np.asarray(
+            accel_p3m(pm, G, grid=64, eps2=EPS2, block=128, nbr_k=4)
+        )[:, :3]
+        m = np.asarray(pm[:, 3:4])
+        ptot = np.abs((m * acc).sum(axis=0))
+        scale = np.abs(m * acc).sum(axis=0)
+        assert np.all(ptot < 1e-6 * scale), (ptot, scale)
+
     def test_padding_inert(self, clustered):
         """Padding rows (mass 0) must not change real bodies' forces."""
         pm, _, n = clustered

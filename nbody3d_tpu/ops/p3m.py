@@ -248,14 +248,19 @@ def solve_accel_long(
         + d[None, :, None] ** 2
         + d[None, None, :] ** 2
     )
-    r = jnp.sqrt(r2)
+    # Double-where for the origin sample: h (and so the kernel offsets)
+    # is a traced function of the positions, so gradients flow through
+    # this sampling — sqrt/rsqrt at r2=0 would NaN them.
+    mask0 = r2 > 0
+    r2s = jnp.where(mask0, r2, 1.0)
+    r = jnp.sqrt(r2s)
     u = r / (_SQRT2 * sigma)
-    inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
+    inv_s = lax.rsqrt(r2s + jnp.float32(eps2))
     gauss = _TWO_OVER_SQRT_PI * jnp.exp(-u * u) / (_SQRT2 * sigma)
-    r_inv = jnp.where(r2 > 0, lax.rsqrt(jnp.maximum(r2, jnp.float32(1e-30))), 0.0)
     # k_long = k_exact - k_short: finite and smooth through r=0 (the
     # gradient kernels A_a = -d_a * k_long vanish there by oddness).
-    klong = erf(u) * inv_s * inv_s * inv_s - gauss * inv_s * r_inv
+    klong = erf(u) * inv_s * inv_s * inv_s - gauss * inv_s * lax.rsqrt(r2s)
+    klong = jnp.where(mask0, klong, 0.0)
 
     # Assignment-window deconvolution: an order-p B-spline window (CIC
     # p=2, TSC p=3) has per-axis spectrum sinc(k h/2)^p, and jnp.sinc of
@@ -295,13 +300,18 @@ def k_short(r2: jax.Array, eps2: float, sigma: jax.Array) -> jax.Array:
     """Short-range pair scalar ``k_exact - k_long`` (see module docstring).
     Zero-safe: returns 0 at r=0 (self/coincident pairs carry no force
     through the ``(x_j - x_i)`` factor anyway, reference ``nbody3d.js:265``
-    excludes self by index)."""
-    r = jnp.sqrt(r2)
-    inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
+    excludes self by index).  Uses the double-``where`` pattern so the
+    r2=0 branch is differentiable too (``sqrt``/``rsqrt`` at 0 have
+    infinite tangents that would NaN the whole gradient through the
+    masked-out branch)."""
+    mask = r2 > 0
+    r2s = jnp.where(mask, r2, 1.0)
+    r = jnp.sqrt(r2s)
+    inv_s = lax.rsqrt(r2s + jnp.float32(eps2))
     u = r / (_SQRT2 * sigma)
     gauss = _TWO_OVER_SQRT_PI * jnp.exp(-u * u) / (_SQRT2 * sigma)
-    r_inv = jnp.where(r2 > 0, lax.rsqrt(jnp.maximum(r2, jnp.float32(1e-30))), 0.0)
-    return erfc(u) * inv_s * inv_s * inv_s + gauss * inv_s * r_inv
+    k = erfc(u) * inv_s * inv_s * inv_s + gauss * inv_s * lax.rsqrt(r2s)
+    return jnp.where(mask, k, 0.0)
 
 
 def _sorted_aabbs(ps: jax.Array, n_real: int, block: int):

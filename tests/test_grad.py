@@ -75,3 +75,42 @@ def test_gradient_descent_reaches_target(rng):
     assert float(l_final) < 1e-3 * float(l0)
     # only the w lanes were constrained to stay zero by the physics
     assert bool(jnp.isfinite(v).all())
+
+
+def test_grad_through_grid_solvers(rng):
+    """The PM and P3M steps are end-to-end differentiable too: sorts and
+    top_k contribute constant (almost-everywhere) index maps, everything
+    else (segmented scans, FFT convolution, CIC/TSC weights, erfc pair
+    kernel) is smooth in positions/velocities."""
+    from nbody3d_tpu.ops.step import make_step_fn as mk
+
+    pm = np.concatenate(
+        [rng.standard_normal((32, 3)), rng.uniform(10, 50, (32, 1))], axis=1
+    ).astype(np.float32)
+    pm0 = jnp.asarray(pm)
+    for method in ("pm", "p3m"):
+        cfg = SimConfig(method=method, pm_grid=16, backend="jnp")
+        step = mk(cfg, 32, 32, platform="cpu")
+
+        def loss(v0):
+            s = SimState(
+                pm0, v0, jnp.zeros((32, 4), jnp.float32),
+                jnp.asarray(0, jnp.int32),
+            )
+
+            def body(c, _):
+                return step(c, jnp.float32(DT), jnp.float32(G)), None
+
+            out, _ = jax.lax.scan(body, s, None, length=5)
+            return jnp.sum(out.pos_mass[0, :3] ** 2)
+
+        v0 = jnp.zeros((32, 4), jnp.float32)
+        g = jax.grad(loss)(v0)
+        assert bool(jnp.isfinite(g).all()), method
+        assert float(jnp.abs(g).max()) > 0, method
+        eps = 1e-3
+        e = jnp.zeros_like(v0).at[(0, 0)].set(1.0)
+        fd = (loss(v0 + eps * e) - loss(v0 - eps * e)) / (2 * eps)
+        np.testing.assert_allclose(
+            float(g[0, 0]), float(fd), rtol=5e-2, atol=1e-5, err_msg=method
+        )

@@ -18,12 +18,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "benchmarks", "multihost_smoke.py")
 
 
-@pytest.mark.parametrize("strategy", ["ring"])
-def test_two_process_sharded_step(strategy):
+@pytest.mark.parametrize(
+    "strategy,port", [("ring", "29761"), ("gather", "29762")]
+)
+def test_two_process_sharded_step(strategy, port):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers set their own device count
     out = subprocess.run(
-        [sys.executable, SCRIPT, "--strategy", strategy, "--port", "29761"],
+        [sys.executable, SCRIPT, "--strategy", strategy, "--port", port],
         capture_output=True,
         text=True,
         timeout=240,

@@ -112,9 +112,14 @@ DEFAULT_NBR_K = 32
 DEFAULT_BLOCK = 256
 
 # Auto tile sizing: grow tiles beyond DEFAULT_BLOCK once N exceeds this
-# many tiles, capping the (nb, nb) tile-distance matrix (and its top_k) at
-# ~256 MB however large N gets.
-_MAX_TILES = 8192
+# many tiles.  Neighbor selection streams the tile-distance rows in
+# chunks (see _select_neighbors), so the cap only bounds the O(nb²)
+# distance compute, not memory; 65536 tiles = 16M bodies at 256 rows.
+_MAX_TILES = 65536
+
+# Tile-distance rows processed per chunk in neighbor selection: bounds
+# the in-flight (rows, nb) matrix at ~512 MB at the _MAX_TILES extreme.
+_NBR_ROW_CHUNK = 2048
 
 
 def p3m_block(n: int, block: int = 0) -> int:
@@ -127,6 +132,43 @@ def p3m_block(n: int, block: int = 0) -> int:
     while n // b > _MAX_TILES:
         b *= 2
     return min(b, n)
+
+
+def _select_neighbors(
+    lo_b: jax.Array,
+    hi_b: jax.Array,
+    row0: jax.Array | int,
+    nrows: int,
+    h: jax.Array,
+    nbr_k: int,
+):
+    """Top-``nbr_k`` nearest source tiles (jittered AABB distance, see
+    :func:`_sym_jitter`) for target tile rows ``[row0, row0+nrows)`` —
+    streamed in row chunks so the (nrows, nb) distance matrix is never
+    materialized (at 16M bodies it would be 16 GB).  Returns
+    ``(kth (nrows,), nbr_idx (nrows, k))`` with ``kth`` the k-th
+    smallest jittered distance per row (the mutual-mask threshold)."""
+    nb = lo_b.shape[0]
+    chunk = min(nrows, _NBR_ROW_CHUNK)
+    while nrows % chunk != 0:
+        chunk //= 2
+
+    def one(i):
+        r0 = row0 + i * chunk
+        lo_t = lax.dynamic_slice_in_dim(lo_b, r0, chunk)
+        hi_t = lax.dynamic_slice_in_dim(hi_b, r0, chunk)
+        d2 = _aabb_dist2(lo_t, hi_t, lo_b, hi_b) + _sym_jitter(
+            chunk, nb, r0, h
+        )
+        neg, idx = lax.top_k(-d2, nbr_k)
+        return -neg[:, -1], neg, idx
+
+    kth, neg, idx = lax.map(one, jnp.arange(nrows // chunk))
+    return (
+        kth.reshape(nrows),
+        neg.reshape(nrows, nbr_k),
+        idx.reshape(nrows, nbr_k),
+    )
 
 
 def _tsc_cells(pos: jax.Array, lo: jax.Array, h: jax.Array, grid: int):
@@ -503,9 +545,8 @@ def accel_p3m(
     ps = pm_mesh[order]
     lo_b, hi_b = _sorted_aabbs(ps, n_real, block)
     nb = n // block
-    d2 = _aabb_dist2(lo_b, hi_b) + _sym_jitter(nb, nb, 0, h)
-    neg, nbr_idx = lax.top_k(-d2, nbr_k)
-    nbr_mask = mutual_neighbor_mask(neg, nbr_idx, -neg[:, -1])
+    kth, neg, nbr_idx = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k)
+    nbr_mask = mutual_neighbor_mask(neg, nbr_idx, kth)
     acc_s = _short_range_tiles(
         ps, nbr_idx, 0, nb, float(eps2), sigma, rcut, block,
         nbr_mask=nbr_mask,
@@ -552,6 +593,16 @@ def p3m_neighbor_overflow(
     keys = morton_keys(pos_mass, n_real)
     ps = pos_mass[jnp.argsort(keys, stable=True)]
     lo_b, hi_b = _sorted_aabbs(ps, n_real, block)
-    d2 = _aabb_dist2(lo_b, hi_b)
-    within = jnp.sum(d2 < rcut * rcut, axis=1)
+    nb = lo_b.shape[0]
+    chunk = min(nb, _NBR_ROW_CHUNK)
+    while nb % chunk != 0:
+        chunk //= 2
+
+    def one(i):
+        lo_t = lax.dynamic_slice_in_dim(lo_b, i * chunk, chunk)
+        hi_t = lax.dynamic_slice_in_dim(hi_b, i * chunk, chunk)
+        d2 = _aabb_dist2(lo_t, hi_t, lo_b, hi_b)
+        return jnp.sum(d2 < rcut * rcut, axis=1)
+
+    within = lax.map(one, jnp.arange(nb // chunk)).reshape(nb)
     return jnp.sum(within > nbr_k)

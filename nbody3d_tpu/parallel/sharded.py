@@ -681,13 +681,11 @@ def make_p3m_sharded_step(
         order = jnp.argsort(keys, stable=True)
         ps = full_mesh[order]
         lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
-        lo_t = lax.dynamic_slice_in_dim(lo_b, my * tiles_per, tiles_per)
-        hi_t = lax.dynamic_slice_in_dim(hi_b, my * tiles_per, tiles_per)
-        d2 = p3m_ops._aabb_dist2(lo_t, hi_t, lo_b, hi_b)
-        d2 = d2 + p3m_ops._sym_jitter(tiles_per, nb, my * tiles_per, h)
-        neg, nbr_idx = lax.top_k(-d2, nbr_k)
+        kth_mine, neg, nbr_idx = p3m_ops._select_neighbors(
+            lo_b, hi_b, my * tiles_per, tiles_per, h, nbr_k
+        )
         # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
-        kth_all = lax.all_gather(-neg[:, -1], axis, axis=0, tiled=True)
+        kth_all = lax.all_gather(kth_mine, axis, axis=0, tiled=True)
         nbr_mask = p3m_ops.mutual_neighbor_mask(neg, nbr_idx, kth_all)
         acc_s_mine = p3m_ops._short_range_tiles(
             ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,

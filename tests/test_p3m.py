@@ -198,8 +198,8 @@ class TestMachinery:
 
     def test_auto_block(self):
         assert p3m_block(8192) == 256
-        assert p3m_block(256 * 8192) == 256
-        assert p3m_block(2 * 256 * 8192) == 512
+        assert p3m_block(256 * 65536) == 256  # 16M bodies still 256-tiles
+        assert p3m_block(2 * 256 * 65536) == 512
         assert p3m_block(8192, block=1024) == 1024
         assert p3m_block(128, block=0) == 128
 

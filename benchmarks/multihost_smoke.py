@@ -1,23 +1,28 @@
-"""Multi-HOST smoke test: the ring step over jax.distributed (DCN analog).
+"""Multi-HOST smoke test: the sharded step over jax.distributed (DCN analog).
 
 SURVEY §5.8's scale-out story is "same SPMD program over DCN via
 ``jax.distributed.initialize``" — this harness actually executes it on one
 machine: it spawns N worker processes (default 2), each owning 4 virtual
 CPU devices, connects them through the JAX coordination service + Gloo
-CPU collectives, and runs the particle-sharded ring step over the global
-8-device mesh — ``ppermute`` hops now crossing PROCESS boundaries, the
-transport the real multi-host TPU path uses over DCN.  Each worker checks
-its addressable output shards against a locally-computed single-device
-reference step.
+CPU collectives, and runs the particle-sharded step over the global
+8-device mesh — ``ppermute``/``all_gather``/``psum`` hops now crossing
+PROCESS boundaries, the transport the real multi-host TPU path uses over
+DCN.  Each worker checks its addressable output shards against a
+locally-computed single-device reference step.
+
+Covers every multi-chip schedule (VERDICT r2 #5): strategies ring /
+ringsym / gather / 2d for the direct solver, plus the grid solvers
+(--method pm / p3m) whose wire pattern is a mass-grid psum.
 
 Usage: python benchmarks/multihost_smoke.py [--nproc 2] [--strategy ring]
-       (re-invokes itself with --worker <pid> internally)
+       [--method direct] (re-invokes itself with --worker <pid> internally)
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import socket
 import subprocess
 import sys
 
@@ -30,7 +35,15 @@ DT = 1e-4
 G = 1e-4
 
 
-def worker(pid: int, nproc: int, port: int, strategy: str) -> int:
+def _free_port() -> int:
+    """Ask the OS for a free TCP port (ADVICE r2: hardcoded ports collide
+    with parallel CI runs / leftover workers)."""
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker(pid: int, nproc: int, port: int, strategy: str, method: str) -> int:
     os.environ["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={N_PROC_DEVICES}"
     )
@@ -50,13 +63,22 @@ def worker(pid: int, nproc: int, port: int, strategy: str) -> int:
     from nbody3d_tpu.config import SimConfig
     from nbody3d_tpu.models.sphere import uniform_sphere
     from nbody3d_tpu.ops.step import make_step_fn
+    from nbody3d_tpu.parallel.mesh import grid_mesh
     from nbody3d_tpu.parallel.sharded import make_sharded_step
-    from nbody3d_tpu.state import init_state
+    from nbody3d_tpu.state import SimState, init_state
 
     d = nproc * N_PROC_DEVICES
     assert len(jax.devices()) == d, (len(jax.devices()), d)
-    config = SimConfig(backend="jnp", strategy=strategy)
-    mesh = jax.make_mesh((d,), (config.mesh_axis,))
+    config = SimConfig(
+        backend="jnp", strategy=strategy, method=method,
+        pm_grid=32 if method != "direct" else 128,
+    )
+    if strategy == "2d":
+        mesh = grid_mesh(nproc, N_PROC_DEVICES)
+        shard_axes: str | tuple = tuple(mesh.axis_names)
+    else:
+        mesh = jax.make_mesh((d,), (config.mesh_axis,))
+        shard_axes = config.mesh_axis
 
     # Deterministic identical ICs in every process; each process
     # materializes only its addressable shards.
@@ -67,9 +89,8 @@ def worker(pid: int, nproc: int, port: int, strategy: str) -> int:
         "vel": np.asarray(full.vel),
         "accel": np.asarray(full.accel),
     }
-    sh = NamedSharding(mesh, P(config.mesh_axis, None))
+    sh = NamedSharding(mesh, P(shard_axes, None))
     rep = NamedSharding(mesh, P())
-    from nbody3d_tpu.state import SimState
 
     def dist(a, sharding):
         return jax.make_array_from_callback(
@@ -92,15 +113,18 @@ def worker(pid: int, nproc: int, port: int, strategy: str) -> int:
     ref_step = make_step_fn(config, N, N, platform="cpu")
     ref = jax.jit(ref_step)(full, jnp.float32(DT), jnp.float32(G))
 
+    # Direct strategies differ from single-device only by f32 reduction
+    # order; the grid solvers additionally psum the deposited mass grid
+    # (per-shard partial sums), so their tolerance matches
+    # tests/test_pm.py / test_p3m.py's sharded-vs-single bounds.
+    rtol, atol = (1e-5, 1e-6) if method == "direct" else (2e-4, 1e-5)
     for name in ("pos_mass", "vel", "accel"):
         got_arr = getattr(out, name)
         want = np.asarray(getattr(ref, name))
         for shard in got_arr.addressable_shards:
             got = np.asarray(jax.device_get(shard.data))
-            # ring hop order != single-device sum order: f32
-            # reduction-order tolerance (same bound as tests/test_sharded).
             np.testing.assert_allclose(
-                got, want[shard.index], rtol=1e-5, atol=1e-6,
+                got, want[shard.index], rtol=rtol, atol=atol,
                 err_msg=f"{name} shard {shard.index}",
             )
     n_shards = len(out.pos_mass.addressable_shards)
@@ -111,19 +135,28 @@ def worker(pid: int, nproc: int, port: int, strategy: str) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nproc", type=int, default=2)
-    ap.add_argument("--strategy", default="ring", choices=["ring", "gather"])
-    ap.add_argument("--port", type=int, default=29753)
+    ap.add_argument(
+        "--strategy", default="ring",
+        choices=["ring", "ringsym", "gather", "2d"],
+    )
+    ap.add_argument("--method", default="direct", choices=["direct", "pm", "p3m"])
+    ap.add_argument(
+        "--port", type=int, default=0,
+        help="coordinator port (0 = pick a free one)",
+    )
     ap.add_argument("--worker", type=int, default=None)
     args = ap.parse_args()
     if args.worker is not None:
-        return worker(args.worker, args.nproc, args.port, args.strategy)
+        return worker(args.worker, args.nproc, args.port, args.strategy, args.method)
 
+    port = args.port or _free_port()
     procs = [
         subprocess.Popen(
             [
                 sys.executable, os.path.abspath(__file__),
                 "--worker", str(i), "--nproc", str(args.nproc),
-                "--port", str(args.port), "--strategy", args.strategy,
+                "--port", str(port), "--strategy", args.strategy,
+                "--method", args.method,
             ],
         )
         for i in range(args.nproc)

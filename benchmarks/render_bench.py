@@ -11,9 +11,13 @@ Usage: python benchmarks/render_bench.py [--n 500010] [--width 1920]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from nbody3d_tpu.render.rasterize import render_points
 from nbody3d_tpu.utils.camera import Camera

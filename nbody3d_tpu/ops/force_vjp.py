@@ -1,0 +1,295 @@
+"""Hand-written VJP of the all-pairs softened force — TPU-speed gradients.
+
+``jax.grad`` through the Pallas forward kernels would require Pallas
+autodiff (unsupported for these accumulation patterns), and falling back
+to the jnp oracle caps differentiable simulation at CPU scale (round-2
+gap, VERDICT r2 #2).  The cotangent contraction is itself an all-pairs
+kernel with the same tiling as the forward, so we write it by hand and
+register it via :func:`jax.custom_vjp`.
+
+Math.  The forward (per unit G; reference pair function
+``nbody3d.js:232-237``) is
+
+    F_k = sum_j w_kj m_j d_kj,     d_kj = x_j - x_k,
+    w_kj = (|d_kj|^2 + eps2)^{-3/2},   self-pair excluded by index,
+    a = G * F.
+
+With the per-pair symmetric 3x3 Jacobian ``S_kj = w_kj I - 3 w5_kj d_kj
+d_kj^T`` (``w5 = (r^2+eps2)^{-5/2}``; ``S_kj == S_jk`` since d enters
+quadratically), the cotangent ``abar`` pulls back as
+
+    xbar_k = G * sum_{j != k} S_kj (m_k abar_j - m_j abar_k)
+    mbar_k = -G * sum_{j != k} w_kj (abar_j . d_kj)
+    Gbar   = sum_k abar_k . F_k
+
+(derivation: ``da_i/dx_j = G m_j S_ij`` for j != i and ``da_i/dx_i =
+-G sum_j m_j S_ij``; the symmetric combination makes the self term vanish
+*algebraically*, but the kernel must still index-mask it — ``w_kk =
+eps2^{-3/2}`` is the softening floor (1e6 at defaults), and the two f32
+products ``m_k*(w*abar_k)`` and ``abar_k*(w*m_k)`` would cancel only to
+f32 rounding, leaving O(ulp(1e13)) garbage for heavy bodies — the same
+accumulator-corruption failure the forward fast path had in round 1,
+docs/DESIGN.md.)
+
+MXU decomposition (what the Pallas kernel computes per (BT, BS) block
+pair, everything per unit G):
+
+    per-pair scalars on the VPU:
+      w, w5;  XA_kj  = x_k . abar_j;   XAk_kj = x_j . abar_k
+      P = u_j - XA      (u_j = x_j . abar_j)    -> p_kj = d_kj . abar_j
+      Q = XAk - v_k     (v_k = x_k . abar_k)    -> q_kj = d_kj . abar_k
+      S = w5 * P;  T = w5 * m_j * Q
+    three (BT,BS) @ (BS,8) MXU dots against source operands
+      W @ [abar_j, m_j]      -> Wa (3), Wm
+      S @ [x_j, 1]           -> Sx (3), sigma
+      T @ [x_j, 1]           -> Tx (3), tau
+    plus two VPU row-reductions
+      mbar_part = -rowsum(W * P)
+      phi_part  =  rowsum(W * m_j * XAk) - v_k * Wm   (= abar_k . F_k)
+    epilogue (uses only the target block's own features):
+      xbar_k = m_k Wa - abar_k Wm - 3 m_k (Sx - x_k sigma) + 3 (Tx - x_k tau)
+
+The row-sum identities ``sum_j s d_kj = (S @ x_j) - x_k * (S @ 1)`` trade
+the per-pair 3-vector for two matmul columns — the same
+"fold the target term out of the contraction" trick as the forward's
+``sum(w gm x) - x sum(w gm)`` epilogue.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nbody3d_tpu.ops.pallas_force import (
+    DEFAULT_BLOCK_TARGET,
+    _VMEM_LIMIT,
+    _pair_diffs,
+)
+
+
+def force_vjp_reference(
+    pos_mass: jax.Array, G, abar: jax.Array, *, eps2: float = 1e-4
+) -> tuple[jax.Array, jax.Array]:
+    """Dense jnp closed form of the VJP (O(N^2) memory — oracle for the
+    kernel tests; see module docstring for the math).  Returns
+    ``(pm_bar (N,4) = [xbar, mbar], G_bar ())``."""
+    x = pos_mass[:, :3]
+    m = pos_mass[:, 3]
+    A = abar[:, :3]
+    d = x[None, :, :] - x[:, None, :]  # d[k, j] = x_j - x_k
+    r2 = jnp.sum(d * d, axis=-1) + jnp.float32(eps2)
+    mask = 1.0 - jnp.eye(x.shape[0], dtype=x.dtype)
+    w = mask * r2 ** -1.5
+    w5 = mask * r2 ** -2.5
+    # g[k, j] = m_k abar_j - m_j abar_k
+    g = m[:, None, None] * A[None, :, :] - m[None, :, None] * A[:, None, :]
+    dg = jnp.sum(d * g, axis=-1)
+    xbar = jnp.sum(w[:, :, None] * g, axis=1) - 3.0 * jnp.sum(
+        (w5 * dg)[:, :, None] * d, axis=1
+    )
+    mbar = -jnp.einsum("kj,kjc,jc->k", w, d, A)
+    F = jnp.einsum("kj,j,kjc->kc", w, m, d)
+    gbar = jnp.vdot(A, F)
+    G = jnp.float32(G)
+    pm_bar = jnp.concatenate([G * xbar, G * mbar[:, None]], axis=1)
+    return pm_bar, gbar
+
+
+# ------------------------------------------------------------ Pallas kernel
+
+
+def _vjp_kernel(
+    tgtF_ref, srcF_ref, srcD_ref, out_ref, acc_ref, *, eps2, bt, bs
+):
+    """One (targets i, sources j) block pair of the VJP contraction.
+
+    ``tgtF`` (BT, 8): [x, y, z, m, ax, ay, az, v = x.abar]
+    ``srcF`` (8, BS): rows [x, y, z, m, ax, ay, az, u = x.abar] (transposed)
+    ``srcD`` (BS, 8): MXU operand [ax, ay, az, m, x, y, z, 1]
+    ``acc``  (BT, 16) scratch: [Wdot(4) | Sdot(4) | Tdot(4) | mbar, phi, 0, 0]
+    ``out``  (BT, 8): [xbar(3), mbar, phi, 0(3)] written at the last j.
+
+    Self-pairs masked by global index (targets == sources, offset 0); see
+    module docstring for why the mask is mandatory here despite the
+    algebraic cancellation.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ns = pl.num_programs(1)
+
+    tgt = tgtF_ref[...]
+    dx, dy, dz, d2 = _pair_diffs(tgt, srcF_ref, eps2)
+    del dx, dy, dz  # folded into the dot-column identities instead
+    inv = 1.0 / d2
+    w = lax.rsqrt(d2 * (d2 * d2))
+    # self-pair mask: global row == global col (square single-set layout)
+    trows = lax.broadcasted_iota(jnp.int32, (bt, bs), 0) + i * bt
+    cols = lax.broadcasted_iota(jnp.int32, (bt, bs), 1) + j * bs
+    w = jnp.where(trows == cols, 0.0, w)
+    w5 = w * inv
+
+    # per-pair dot products against the cotangent (VPU, 3 FMAs each)
+    xa = (
+        tgt[:, 0:1] * srcF_ref[4:5, :]
+        + tgt[:, 1:2] * srcF_ref[5:6, :]
+        + tgt[:, 2:3] * srcF_ref[6:7, :]
+    )  # x_k . abar_j
+    xak = (
+        tgt[:, 4:5] * srcF_ref[0:1, :]
+        + tgt[:, 5:6] * srcF_ref[1:2, :]
+        + tgt[:, 6:7] * srcF_ref[2:3, :]
+    )  # abar_k . x_j
+    p = srcF_ref[7:8, :] - xa  # d_kj . abar_j
+    q = xak - tgt[:, 7:8]  # d_kj . abar_k
+    s_mat = w5 * p
+    t_mat = w5 * srcF_ref[3:4, :] * q
+
+    srcD = srcD_ref[...]
+    wdot = jnp.dot(w, srcD[:, 0:4], preferred_element_type=jnp.float32)
+    sdot = jnp.dot(s_mat, srcD[:, 4:8], preferred_element_type=jnp.float32)
+    tdot = jnp.dot(t_mat, srcD[:, 4:8], preferred_element_type=jnp.float32)
+    wm_row = w * srcF_ref[3:4, :]
+    mbar = -jnp.sum(w * p, axis=1, keepdims=True)
+    phi = jnp.sum(wm_row * xak, axis=1, keepdims=True)
+    part = jnp.concatenate(
+        [wdot, sdot, tdot, mbar, phi, jnp.zeros((bt, 2), jnp.float32)], axis=1
+    )
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(j == ns - 1)
+    def _():
+        a = acc_ref[...]
+        xt = tgt[:, 0:3]
+        mt = tgt[:, 3:4]
+        at = tgt[:, 4:7]
+        vt = tgt[:, 7:8]
+        wa, wm = a[:, 0:3], a[:, 3:4]
+        sx, sig = a[:, 4:7], a[:, 7:8]
+        tx, tau = a[:, 8:11], a[:, 11:12]
+        xbar = mt * wa - at * wm - 3.0 * mt * (sx - xt * sig) + 3.0 * (
+            tx - xt * tau
+        )
+        phi_t = a[:, 13:14] - vt * wm  # rowsum(W m XAk) - v_k (W m)
+        out_ref[...] = jnp.concatenate(
+            [xbar, a[:, 12:13], phi_t, jnp.zeros((bt, 3), jnp.float32)],
+            axis=1,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "block", "interpret")
+)
+def force_vjp_pallas(
+    pos_mass: jax.Array,
+    G: jax.Array | float,
+    abar: jax.Array,
+    *,
+    eps2: float = 1e-4,
+    block: int = DEFAULT_BLOCK_TARGET,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """All-pairs VJP on the TPU: ``(pm_bar (N,4), G_bar ())``.
+
+    ``abar`` is the ``(N, 4)`` cotangent of the forward's output; its w
+    lane is ignored (the forward's w lane is identically zero, so it
+    carries no derivative).  Requires ``N % block == 0`` (the engine's
+    padding granule guarantees it).
+    """
+    if eps2 <= 0:
+        raise ValueError("eps2 must be > 0")
+    n = pos_mass.shape[0]
+    b = block
+    while b > 8 and n % b != 0:
+        b //= 2
+    while n % b != 0:
+        b -= 1
+    nt = n // b
+
+    x = pos_mass[:, :3]
+    m = pos_mass[:, 3:4]
+    A = abar[:, :3]
+    v = jnp.sum(x * A, axis=1, keepdims=True)
+    tgtF = jnp.concatenate([x, m, A, v], axis=1)  # (N, 8)
+    srcF = tgtF.T  # (8, N) rows [x y z m ax ay az u]
+    ones = jnp.ones((n, 1), jnp.float32)
+    srcD = jnp.concatenate([A, m, x, ones], axis=1)  # (N, 8)
+
+    kernel = functools.partial(_vjp_kernel, eps2=float(eps2), bt=b, bs=b)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((b, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, 16), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n * n,
+            bytes_accessed=nt * n * 32 * 3 + n * 32,
+            transcendentals=n * n,
+        ),
+        interpret=interpret,
+    )(tgtF, srcF, srcD)
+
+    G = jnp.float32(G)
+    pm_bar = jnp.concatenate([G * out[:, 0:3], G * out[:, 3:4]], axis=1)
+    gbar = jnp.sum(out[:, 4])
+    return pm_bar, gbar
+
+
+def make_diff_accel(
+    forward_fn,
+    *,
+    eps2: float = 1e-4,
+    block: int = DEFAULT_BLOCK_TARGET,
+    interpret: bool = False,
+):
+    """Wrap an ``accel(pos_mass, G) -> (N, 4)`` forward (any Pallas mode)
+    with the hand-written VJP, so ``jax.grad`` flows through the TPU
+    kernels at TPU speed.
+
+    The backward is the VJP of the IDEAL pair math; the forward's bf16
+    weight noise (~0.2%, fast/sym modes) makes this a slightly
+    inexact-forward/exact-backward pairing — the standard trade for
+    low-precision kernels (same contract as straight-through bf16
+    matmul gradients), bounded by the forward's own accuracy contract.
+    """
+
+    @jax.custom_vjp
+    def accel(pos_mass, G):
+        return forward_fn(pos_mass, G)
+
+    def fwd(pos_mass, G):
+        out = forward_fn(pos_mass, G)
+        return out, (pos_mass, G)
+
+    def bwd(res, abar):
+        pos_mass, G = res
+        pm_bar, gbar = force_vjp_pallas(
+            pos_mass, G, abar, eps2=eps2, block=block, interpret=interpret
+        )
+        return pm_bar, gbar
+
+    accel.defvjp(fwd, bwd)
+    return accel

@@ -688,7 +688,13 @@ def combine16_pallas(
     """(N,16) limb accumulator + (N,4) pos_mass -> (N,4) accelerations, as
     one O(N) Pallas pass (see :func:`_combine16` for why not plain XLA)."""
     n = acc16.shape[0]
-    b = block if n % block == 0 else n
+    # Shrink to a divisor when block doesn't divide n: a single whole-array
+    # block would blow the VMEM limit for large unaligned n (ADVICE r2).
+    b = block
+    while b > 8 and n % b != 0:
+        b //= 2
+    while n % b != 0:
+        b -= 1
     nt = n // b
     return pl.pallas_call(
         _combine16_kernel,

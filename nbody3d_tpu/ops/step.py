@@ -183,7 +183,14 @@ def make_step_fn(
         # 310 (M=2: 350, M=8: 357); 2M reaches 433.  Integration runs as
         # XLA elementwise ops (the fused epilogue is unfusable here:
         # source-side partials complete only at grid end).
-        sym_accel = make_sym_accel_fn(config, n_pad, interpret)
+        # Wrapped with the hand-written VJP (ops/force_vjp.py) so
+        # jax.grad flows through the Pallas path at TPU speed.
+        from nbody3d_tpu.ops.force_vjp import make_diff_accel
+
+        sym_accel = make_diff_accel(
+            make_sym_accel_fn(config, n_pad, interpret),
+            eps2=config.eps2, block=bt, interpret=interpret,
+        )
 
         def step(state: SimState, dt, G) -> SimState:
             acc = sym_accel(state.pos_mass, G)
@@ -208,12 +215,13 @@ def make_step_fn(
             return SimState(p, v, a, state.step + 1)
 
     elif backend == "pallas":
+        from nbody3d_tpu.ops.force_vjp import make_diff_accel
 
-        def step(state: SimState, dt, G) -> SimState:
-            srcT = src_transposed(state.pos_mass, G)
-            src10 = src_limbs(state.pos_mass, G) if force_mode == "fast" else None
-            acc = accel_pallas(
-                state.pos_mass,
+        def _accel(pos_mass, G):
+            srcT = src_transposed(pos_mass, G)
+            src10 = src_limbs(pos_mass, G) if force_mode == "fast" else None
+            return accel_pallas(
+                pos_mass,
                 srcT,
                 src10,
                 eps2=config.eps2,
@@ -222,6 +230,13 @@ def make_step_fn(
                 mode=force_mode,
                 interpret=interpret,
             )
+
+        accel = make_diff_accel(
+            _accel, eps2=config.eps2, block=bt, interpret=interpret
+        )
+
+        def step(state: SimState, dt, G) -> SimState:
+            acc = accel(state.pos_mass, G)
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "jnp":

@@ -98,23 +98,11 @@ def _stamp_disc(buf2d, cx, cy, r, key, h, w) -> None:
     np.minimum(sub, np.where(m, key, np.uint64(0xFFFFFFFFFFFFFFFF)), out=sub)
 
 
-def render_points(
-    pos_mass: np.ndarray,
-    vel: np.ndarray,
-    camera: Camera,
-    *,
-    width: int = 1024,
-    height: int = 768,
-    size_factor: float = 1000.0,
-    max_radius_px: int = 64,
-    background: tuple[int, int, int] = (0, 0, 0),
-    color_mode: str = "magnitude",
-) -> np.ndarray:
-    """Render one frame. Returns (H, W, 3) uint8.
-
-    ``color_mode``: "magnitude" (``nbody3d.js:380``) or "direction" (the
-    reference's alternate visualization, ``nbody3d.js:381``).
-    """
+def _prep_host(pos_mass, vel, camera, width, height, size_factor,
+               max_radius_px, color_mode):
+    """Host (numpy, f64) projection/radius/color prep.  Returns
+    ``(cx, cy, keys, r)`` sorted by radius descending, visible bodies
+    only — the resolve inputs."""
     pos = np.asarray(pos_mass, dtype=np.float64)[:, :3]
     mass = np.asarray(pos_mass, dtype=np.float64)[:, 3]
     vel3 = np.asarray(vel, dtype=np.float64)[:, :3]
@@ -139,11 +127,10 @@ def render_points(
     visible &= (py + r_px >= 0) & (py - r_px < height)
 
     idx = np.nonzero(visible)[0]
-    h, w_ = height, width
-    img = np.empty((h, w_, 3), dtype=np.uint8)
-    img[:] = np.asarray(background, dtype=np.uint8)
     if idx.size == 0:
-        return img
+        return (np.empty(0, np.int64),) * 2 + (
+            np.empty(0, np.uint64), np.empty(0, np.float64),
+        )
 
     if color_mode == "direction":
         rgb = (direction_colormap(vel3[idx]) * 255.0).astype(np.uint32)
@@ -161,8 +148,145 @@ def render_points(
     # bodies with r >= |offset|.
     r = r_px[idx]
     order = np.argsort(-r, kind="stable")
-    r = r[order]
-    cx, cy, keys = cx[order], cy[order], keys[order]
+    return cx[order], cy[order], keys[order], r[order]
+
+
+# Below this many bodies the host (f64 numpy) prep is used; above it the
+# projection/radius/colormap/sort run on the accelerator (f32 jnp) and only
+# the stamp loop stays on host — at 16M bodies the host prep alone (f64
+# matmul + argsort + colormap over 16M rows) costs tens of seconds
+# (VERDICT r2 #7; benchmarks/render_bench.py --n 16777216).
+_DEVICE_PREP_MIN = 1 << 20
+
+
+def _prep_device_jit():
+    """Build (once) the jitted device prep: same math as :func:`_prep_host`
+    in f32, returning radius-sorted resolve inputs + the visible count."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("width", "height", "max_radius_px", "color_mode"),
+    )
+    def prep(pos_mass, vel, vp, f, campos, size_factor, *, width, height,
+             max_radius_px, color_mode):
+        pos = pos_mass[:, :3]
+        mass = pos_mass[:, 3]
+        n = pos.shape[0]
+        homo = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+        clip = homo @ vp.T
+        w = clip[:, 3]
+        safe_w = jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
+        ndc_x = clip[:, 0] / safe_w
+        ndc_y = clip[:, 1] / safe_w
+        depth01 = clip[:, 2] / safe_w
+        px = (ndc_x + 1.0) * 0.5 * width
+        py = (1.0 - ndc_y) * 0.5 * height
+        view_vec_len = jnp.linalg.norm(pos - campos[None, :], axis=1)
+        radius_world = jnp.cbrt(mass / 4.189)
+        half_extent = jnp.maximum(radius_world, 2.0 * view_vec_len / f) / size_factor
+        r_px = half_extent * f / jnp.maximum(w, 1e-30) * (height * 0.5)
+        r_px = jnp.clip(r_px, 0.5, max_radius_px)
+        visible = (w > 0) & (depth01 >= 0.0) & (depth01 <= 1.0)
+        visible &= (px + r_px >= 0) & (px - r_px < width)
+        visible &= (py + r_px >= 0) & (py - r_px < height)
+
+        if color_mode == "direction":
+            v3 = vel[:, :3]
+            norm = jnp.linalg.norm(v3, axis=1, keepdims=True)
+            unit = jnp.where(norm > 0, v3 / jnp.maximum(norm, 1e-30), 0.0)
+            rgbf = jnp.clip(unit * 0.5 + 0.5, 0.0, 1.0)
+        else:
+            v = jnp.linalg.norm(vel[:, :3], axis=1) / 40.0  # nbody3d.js:380
+            rgbf = jnp.clip(
+                jnp.stack([v, 1.0 - jnp.abs(v - 0.5), 1.0 - v], axis=1),
+                0.0, 1.0,
+            )
+        rgb = (rgbf * 255.0).astype(jnp.uint32)
+        rgb24 = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
+        depth_bits = jax.lax.bitcast_convert_type(
+            jnp.clip(depth01, 0.0, 1.0), jnp.uint32
+        )
+        sortkey = jnp.where(visible, -r_px, jnp.float32(jnp.inf))
+        order = jnp.argsort(sortkey, stable=True)
+        cx = jnp.round(px).astype(jnp.int32)[order]
+        cy = jnp.round(py).astype(jnp.int32)[order]
+        return (
+            cx, cy, depth_bits[order], rgb24[order], r_px[order],
+            jnp.sum(visible),
+        )
+
+    return prep
+
+
+_prep_device_cache = []
+
+
+def _prep_device(pos_mass, vel, camera, width, height, size_factor,
+                 max_radius_px, color_mode):
+    """Device (jnp, f32) prep — same contract as :func:`_prep_host`."""
+    import jax
+    import jax.numpy as jnp
+
+    if not _prep_device_cache:
+        _prep_device_cache.append(_prep_device_jit())
+    prep = _prep_device_cache[0]
+    aspect = width / height
+    vp, f = camera.view_proj(aspect)
+    out = prep(
+        jnp.asarray(pos_mass, jnp.float32),
+        jnp.asarray(vel, jnp.float32),
+        jnp.asarray(vp, jnp.float32),
+        jnp.float32(f),
+        jnp.asarray(camera.position, jnp.float32),
+        jnp.float32(size_factor),
+        width=width, height=height,
+        max_radius_px=max_radius_px, color_mode=color_mode,
+    )
+    cx, cy, depth_bits, rgb24, r, nvis = map(np.asarray, jax.device_get(out))
+    k = int(nvis)
+    keys = (depth_bits[:k].astype(np.uint64) << 32) | rgb24[:k]
+    return cx[:k].astype(np.int64), cy[:k].astype(np.int64), keys, r[:k]
+
+
+def render_points(
+    pos_mass: np.ndarray,
+    vel: np.ndarray,
+    camera: Camera,
+    *,
+    width: int = 1024,
+    height: int = 768,
+    size_factor: float = 1000.0,
+    max_radius_px: int = 64,
+    background: tuple[int, int, int] = (0, 0, 0),
+    color_mode: str = "magnitude",
+    prep: str = "auto",
+) -> np.ndarray:
+    """Render one frame. Returns (H, W, 3) uint8.
+
+    ``color_mode``: "magnitude" (``nbody3d.js:380``) or "direction" (the
+    reference's alternate visualization, ``nbody3d.js:381``).
+    ``prep``: "host" (f64 numpy — bit-stable golden path), "device" (f32
+    jnp projection/color/sort on the accelerator — viewer-scale N), or
+    "auto" (device above ``_DEVICE_PREP_MIN`` bodies).
+    """
+    if prep == "auto":
+        prep = "device" if pos_mass.shape[0] >= _DEVICE_PREP_MIN else "host"
+    prep_fn = _prep_device if prep == "device" else _prep_host
+    cx, cy, keys, r = prep_fn(
+        pos_mass, vel, camera, width, height, size_factor,
+        max_radius_px, color_mode,
+    )
+
+    h, w_ = height, width
+    img = np.empty((h, w_, 3), dtype=np.uint8)
+    img[:] = np.asarray(background, dtype=np.uint8)
+    if cx.size == 0:
+        return img
+
     neg_r = -r  # ascending for searchsorted
 
     buf = np.full(h * w_, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)

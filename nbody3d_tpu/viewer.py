@@ -13,7 +13,9 @@ Endpoints:
   GET  /stream   — multipart/x-mixed-replace MJPEG of live frames
   GET  /stats    — JSON HUD data (step, rates, energy, camera pose)
   GET  /control  — query-string controls: dt, logdt, G, logG, pause,
-                   orbit=dx,dy, pan=dx,dy, zoom=d, fov=d, reset,
+                   orbit=dx,dy, pan=dx,dy, zoom=d, fov=d, dollyfov=d
+                   (dolly zoom, ``camera.js:112-117``), reset[&ctrl&alt]
+                   (modifier partial resets, ``camera.js:119-128``),
                    regenerate (fresh random ICs, ``util.js:69-75``)
   GET  /export.json | /export.npz — download the full simulation state
                    (the reference's export button, ``util.js:265``; the
@@ -58,14 +60,16 @@ img { width:100vw; height:100vh; object-fit:contain; display:block; }
     <input id="G" type="range" min="-6" max="0" step="0.01" value="-4"></label>
   <button id="pause">pause</button> <button id="reset">reset cam</button>
   <label>galaxies <input id="ngal" type="number" min="1" max="10" value="2" style="width:3em"></label>
-  <label>bodies/galaxy <input id="minb" type="number" min="0" max="100000" value="20000" style="width:6em">
-    &ndash; <input id="maxb" type="number" min="0" max="100000" value="20000" style="width:6em"></label>
+  <label>bodies/galaxy <input id="minb" type="number" min="1000" max="50000" value="20000" style="width:6em">
+    &ndash; <input id="maxb" type="number" min="1001" max="50000" value="20000" style="width:6em"></label>
   <button id="regen">regenerate</button>
   <a href="/export.json" download="simulation_export.json">export .json</a>
   <a href="/export.npz" download="simulation_export.npz">.npz</a>
   <label>import <input id="imp" type="file" accept=".json,.npz"></label>
-  <div>drag: orbit &middot; shift-drag: pan &middot; wheel: zoom<br>
-       arrows orbit &middot; WASD pan &middot; f/c zoom &middot; space reset</div>
+  <div>drag: orbit &middot; right/shift-drag: pan &middot; middle-click: reset<br>
+       wheel: zoom &middot; ctrl+wheel: FOV &middot; alt+wheel: dolly zoom<br>
+       arrows orbit &middot; WASD pan &middot; f/c zoom (ctrl: FOV, alt: dolly)<br>
+       space reset (ctrl: keep zoom+pose &middot; alt: keep pose)</div>
 </div>
 <script>
 const send = q => fetch('/control?' + q);
@@ -83,8 +87,14 @@ imp.onchange = async () => {
   const ext = f.name.endsWith('.npz') ? '.npz' : '.json';
   await fetch('/import' + ext, {method: 'POST', body: await f.arrayBuffer()});
 };
+const mods = e => (e.ctrlKey ? '&ctrl=1' : '') + (e.altKey ? '&alt=1' : '');
 let drag = null;
-view.onmousedown = e => { drag = [e.clientX, e.clientY, e.shiftKey]; e.preventDefault(); };
+view.onmousedown = e => {
+  if (e.button === 1) { send('reset=1' + mods(e)); e.preventDefault(); return; }
+  drag = [e.clientX, e.clientY, e.button === 2 || e.shiftKey];
+  e.preventDefault();
+};
+view.oncontextmenu = e => e.preventDefault();  // right-drag pans (camera.js:132)
 window.onmouseup = () => drag = null;
 window.onmousemove = e => {
   if (!drag) return;
@@ -92,11 +102,28 @@ window.onmousemove = e => {
   drag = [e.clientX, e.clientY, pan];
   send((pan ? 'pan=' : 'orbit=') + dx + ',' + dy);
 };
-view.onwheel = e => { send('zoom=' + (e.deltaY > 0 ? 0.1 : -0.1)); e.preventDefault(); };
+// wheel: zoom / ctrl = FOV zoom / alt = dolly zoom (camera.js:168-183);
+// speeds are the reference's per-deltaY constants (camera.js:3-4)
+view.onwheel = e => {
+  const q = e.altKey ? 'dollyfov=' + (e.deltaY * 0.0002)
+          : e.ctrlKey ? 'fov=' + (e.deltaY * 0.0002)
+          : 'zoom=' + (e.deltaY * 0.0005);
+  send(q); e.preventDefault();
+};
 const KEYS = {ArrowLeft:'orbit=-8,0', ArrowRight:'orbit=8,0',
   ArrowUp:'orbit=0,-8', ArrowDown:'orbit=0,8', a:'pan=-8,0', d:'pan=8,0',
-  w:'pan=0,-8', s:'pan=0,8', f:'zoom=-0.1', c:'zoom=0.1', ' ':'reset=1'};
-window.onkeydown = e => { if (KEYS[e.key]) { send(KEYS[e.key]); e.preventDefault(); } };
+  w:'pan=0,-8', s:'pan=0,8'};
+window.onkeydown = e => {
+  // f/c: zoom, ctrl -> FOV zoom, alt -> dolly zoom (camera.js:205-235)
+  if (e.key === 'f' || e.key === 'c') {
+    const s = e.key === 'f' ? -1 : 1;
+    const q = e.altKey ? 'dollyfov=' + (s * 0.02)
+            : e.ctrlKey ? 'fov=' + (s * 0.02) : 'zoom=' + (s * 0.1);
+    send(q); e.preventDefault(); return;
+  }
+  if (e.key === ' ') { send('reset=1' + mods(e)); e.preventDefault(); return; }
+  if (KEYS[e.key]) { send(KEYS[e.key]); e.preventDefault(); }
+};
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
   hud.textContent =
@@ -213,8 +240,14 @@ class LiveViewer:
                 cam.zoom(float(q["zoom"][0]))
             if "fov" in q:
                 cam.adj_fov(float(q["fov"][0]))
+            if "dollyfov" in q:
+                # dolly zoom: FOV change keeping subject size
+                # (camera.js:112-117, alt+wheel / alt+f/c)
+                cam.adj_fov_without_zoom(float(q["dollyfov"][0]))
             if "reset" in q:
-                cam.reset()
+                # modifier partial resets (camera.js:119-128): ctrl keeps
+                # zoom+pose (FOV only), alt keeps pose (FOV + radius)
+                cam.reset(ctrl="ctrl" in q, alt="alt" in q)
 
     def export_state(self, suffix: str) -> bytes:
         """Serialize the current state in the requested checkpoint format

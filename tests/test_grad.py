@@ -10,6 +10,7 @@ for trajectory optimization / initial-condition fitting.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nbody3d_tpu.config import SimConfig
 from nbody3d_tpu.ops.step import make_step_fn
@@ -75,6 +76,109 @@ def test_gradient_descent_reaches_target(rng):
     assert float(l_final) < 1e-3 * float(l0)
     # only the w lanes were constrained to stay zero by the physics
     assert bool(jnp.isfinite(v).all())
+
+
+def _random_pm_abar(rng, n):
+    pm = np.concatenate(
+        [rng.standard_normal((n, 3)), rng.uniform(10, 50, (n, 1))], axis=1
+    ).astype(np.float32)
+    abar = rng.standard_normal((n, 4)).astype(np.float32)
+    abar[:, 3] = 0.0
+    return jnp.asarray(pm), jnp.asarray(abar)
+
+
+def test_vjp_reference_matches_autodiff(rng):
+    """The closed-form VJP (ops/force_vjp.py docstring math) equals
+    jax.vjp through the jnp oracle."""
+    from nbody3d_tpu.ops.force_jnp import accel_direct
+    from nbody3d_tpu.ops.force_vjp import force_vjp_reference
+
+    pm, abar = _random_pm_abar(rng, 96)
+    eps2, gval = 1e-4, jnp.float32(1e-4)
+    _, vjp = jax.vjp(lambda p, g: accel_direct(p, g, eps2=eps2), pm, gval)
+    pm_ad, g_ad = vjp(abar)
+    pm_ref, g_ref = force_vjp_reference(pm, gval, abar, eps2=eps2)
+    np.testing.assert_allclose(
+        np.asarray(pm_ref), np.asarray(pm_ad), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(float(g_ref), float(g_ad), rtol=1e-5)
+
+
+def test_vjp_kernel_matches_autodiff_small(rng):
+    from nbody3d_tpu.ops.force_jnp import accel_direct
+    from nbody3d_tpu.ops.force_vjp import force_vjp_pallas
+
+    pm, abar = _random_pm_abar(rng, 128)
+    eps2, gval = 1e-4, jnp.float32(1e-4)
+    _, vjp = jax.vjp(lambda p, g: accel_direct(p, g, eps2=eps2), pm, gval)
+    pm_ad, g_ad = vjp(abar)
+    pm_k, g_k = force_vjp_pallas(
+        pm, gval, abar, eps2=eps2, block=32, interpret=True
+    )
+    scale = float(jnp.max(jnp.abs(pm_ad)))
+    np.testing.assert_allclose(
+        np.asarray(pm_k), np.asarray(pm_ad), rtol=1e-4, atol=1e-5 * scale
+    )
+    np.testing.assert_allclose(float(g_k), float(g_ad), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_vjp_kernel_matches_autodiff_4k(rng):
+    """VERDICT r2 #2 acceptance: the Pallas VJP vs the jnp-grad oracle at
+    N >= 4k (interpret mode; heavy body included like the galaxy preset)."""
+    from nbody3d_tpu.ops.force_jnp import accel_direct
+    from nbody3d_tpu.ops.force_vjp import force_vjp_pallas
+
+    n = 4096
+    pm, abar = _random_pm_abar(rng, n)
+    pm = pm.at[0, 3].set(1e7)  # heavy central body stresses the self-mask
+    eps2, gval = 1e-4, jnp.float32(1e-4)
+    _, vjp = jax.vjp(
+        lambda p, g: accel_direct(p, g, eps2=eps2, chunk=256), pm, gval
+    )
+    pm_ad, g_ad = vjp(abar)
+    pm_k, g_k = force_vjp_pallas(
+        pm, gval, abar, eps2=eps2, block=512, interpret=True
+    )
+    scale = float(jnp.max(jnp.abs(pm_ad)))
+    np.testing.assert_allclose(
+        np.asarray(pm_k), np.asarray(pm_ad), rtol=1e-3, atol=1e-5 * scale
+    )
+    np.testing.assert_allclose(float(g_k), float(g_ad), rtol=1e-4)
+
+
+def test_grad_through_pallas_step(rng):
+    """jax.grad through the FULL pallas-backend step (custom VJP in the
+    loop): matches the jnp-backend gradient of the same rollout."""
+    pm, _ = _random_pm_abar(rng, 64)
+    v0 = jnp.zeros((64, 4), jnp.float32)
+
+    grads = {}
+    for backend, mode in (("jnp", "exact"), ("pallas", "sym"), ("pallas", "exact")):
+        cfg = SimConfig(
+            backend=backend, force_mode=mode, block_target=32, block_source=32
+        )
+        step = make_step_fn(cfg, 64, 64, platform="cpu")
+
+        def loss(v):
+            s = SimState(
+                pm, v, jnp.zeros((64, 4), jnp.float32), jnp.asarray(0, jnp.int32)
+            )
+
+            def body(c, _):
+                return step(c, jnp.float32(DT), jnp.float32(G)), None
+
+            out, _ = jax.lax.scan(body, s, None, length=10)
+            return jnp.sum(out.pos_mass[0, :3] ** 2)
+
+        grads[(backend, mode)] = jax.grad(loss)(v0)
+
+    ref = np.asarray(grads[("jnp", "exact")])
+    for key in (("pallas", "sym"), ("pallas", "exact")):
+        got = np.asarray(grads[key])
+        np.testing.assert_allclose(
+            got, ref, rtol=2e-3, atol=1e-6 * np.abs(ref).max(), err_msg=str(key)
+        )
 
 
 def test_grad_through_grid_solvers(rng):

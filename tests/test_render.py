@@ -154,3 +154,24 @@ def test_large_splat_path_matches_offset_loop():
         rasterize._SMALL_MAX = old
     np.testing.assert_array_equal(img_mixed, img_loop)
     np.testing.assert_array_equal(img_mixed, img_disc)
+
+
+def test_device_prep_matches_host():
+    """The device (f32 jnp) projection/color/sort prep — the 16M-scale
+    path (VERDICT r2 #7) — produces the same frame as the host f64 prep
+    on a dense multi-scale scene (minor sub-pixel rounding differences
+    allowed, but none observed on this seed)."""
+    rng = np.random.default_rng(9)
+    n = 5000
+    pos_mass = np.concatenate(
+        [rng.normal(scale=2.5, size=(n, 3)), rng.uniform(10, 50, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    pos_mass[0, 3] = 1e7
+    vel = rng.normal(scale=5.0, size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3), radius=5.0)
+    kw = dict(width=320, height=240)
+    a = render_points(pos_mass, vel, cam, prep="host", **kw)
+    b = render_points(pos_mass, vel, cam, prep="device", **kw)
+    agree = (a == b).all(axis=2).mean()
+    assert agree > 0.999, agree

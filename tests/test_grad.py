@@ -181,6 +181,7 @@ def test_grad_through_pallas_step(rng):
         )
 
 
+@pytest.mark.slow
 def test_grad_through_grid_solvers(rng):
     """The PM and P3M steps are end-to-end differentiable too: sorts and
     top_k contribute constant (almost-everywhere) index maps, everything

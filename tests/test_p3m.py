@@ -82,6 +82,7 @@ class TestAccuracy:
         rel = _rel_err(got[heavy], ref[heavy])
         assert rel.max() < 3e-2, rel
 
+    @pytest.mark.slow
     def test_fine_grid_vs_direct(self, clustered):
         """Regression test for the f32 FFT noise-floor cliff: at fine
         grids the mesh's spectral peak is set by the 1e7 central bodies
@@ -106,6 +107,7 @@ class TestAccuracy:
     # failure mode itself is too compilation-sensitive to assert.  That
     # run-to-run fragility is exactly why the split defaults ON.
 
+    @pytest.mark.slow
     def test_uniform_sphere_vs_direct(self):
         """Diffuse (PM-friendly) regime still meets the bound."""
         pos_mass, _, _ = make_preset("uniform-sphere", seed=1, G=G, n=2048)
@@ -290,6 +292,7 @@ class TestMachinery:
 
 
 class TestStepIntegration:
+    @pytest.mark.slow
     def test_step_fn_runs_and_conserves(self, clustered):
         """method='p3m' through make_step_fn: run 50 steps, energy drift
         small (same scale as the direct-jnp drift at this dt)."""
@@ -311,6 +314,7 @@ class TestStepIntegration:
         assert drift < 1e-3, drift
         assert int(jax.device_get(state.step)) == 50
 
+    @pytest.mark.slow
     def test_matches_direct_trajectory_short(self, clustered):
         """Positions after 10 steps stay close to the direct trajectory."""
         pm, vel, n = clustered
@@ -340,6 +344,7 @@ def mesh8():
 
 
 class TestSharded:
+    @pytest.mark.slow
     def test_sharded_matches_single(self, mesh8):
         """The SPMD P3M step (sorted-tile decomposition) equals the
         single-device step on the virtual 8-device mesh."""
@@ -365,6 +370,7 @@ class TestSharded:
                 err_msg=name,
             )
 
+    @pytest.mark.slow
     def test_sharded_2d_mesh(self, mesh8):
         """P3M shards over a 2-axis mesh too (flattened row-major)."""
         from nbody3d_tpu.parallel.mesh import grid_mesh

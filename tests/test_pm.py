@@ -171,6 +171,7 @@ def test_sharded_pm_matches_single_device(rng):
     )
 
 
+@pytest.mark.slow
 def test_pm_energy_sanity_plummer(rng):
     """Loose conservation over a short PM run (approximate forces, so the
     bound is wider than the direct gates in benchmarks/drift_check.py)."""

@@ -41,7 +41,7 @@ def main() -> int:
     from nbody3d_tpu.models.registry import make_preset
     from nbody3d_tpu.ops.force_vjp import force_vjp_pallas
     from nbody3d_tpu.ops.step import fit_block, make_step_fn
-    from nbody3d_tpu.state import init_state
+    from nbody3d_tpu.state import SimState, init_state
 
     n = args.n
     cfg = SimConfig(backend="pallas", force_mode="sym")
@@ -54,13 +54,18 @@ def main() -> int:
     block = fit_block(n_pad, cfg.block_target)
     pairs = float(n_pad) * n_pad
 
+    def _sync(out):
+        # block_until_ready does not block through the axon relay; force a
+        # real device->host readback of one element (memory: TPU timing).
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[0])
+
     def timeit(fn, *a):
-        out = fn(*a)
-        jax.block_until_ready(out)
+        _sync(fn(*a))  # warm/compile
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*a))
+            _sync(fn(*a))
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts)
 
@@ -76,7 +81,8 @@ def main() -> int:
 
     @jax.jit
     def rollout_loss(v):
-        s = init_state(pm, v, n_pad=n_pad)
+        # SimState built inline (init_state is host-side numpy; v is traced)
+        s = SimState(pm, v, jnp.zeros_like(pm), jnp.int32(0))
 
         def body(c, _):
             return step(c, cfg.dt, cfg.G), None

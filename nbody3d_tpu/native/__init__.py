@@ -1,12 +1,19 @@
 """Native (C) components, built on demand with the system compiler.
 
-The only native component with a reference-justified role (the reference
-itself is pure JS, SURVEY §2): a float32<->JSON array codec that makes
-reference-schema checkpoint export/import (util.js:160-263) practical at
-large N (~100 MB of JSON at 500k bodies).  Everything here is optional —
-callers fall back to the pure-Python path when no compiler is available.
+Two components (the reference itself is pure JS, SURVEY §2 — these are
+the host-runtime pieces where Python-level loops are the bottleneck):
 
-Build: compiled once into ``_fastjson.<abi>.so`` next to the source at
+- ``_fastjson``: float32<->JSON array codec that makes reference-schema
+  checkpoint export/import (util.js:160-263) practical at large N
+  (~100 MB of JSON at 500k bodies).
+- ``_raster``: the rasterizer's depth-resolve core (scatter-min of
+  packed depth|rgb keys over per-body discs) — ~100x over
+  ``np.minimum.at`` at viewer scale (render/rasterize.py).
+
+Everything here is optional — callers fall back to the pure-Python path
+when no compiler is available.
+
+Build: compiled once into ``<name>.<abi>.so`` next to the source at
 first import (no pip / setuptools involvement); rebuilt automatically if
 the .c file is newer than the .so.
 """
@@ -20,18 +27,14 @@ import sys
 import sysconfig
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "_fastjson.c")
 
 
-def _so_path() -> str:
+def _build(name: str) -> str | None:
+    src = os.path.join(_DIR, name + ".c")
     tag = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
-    return os.path.join(_DIR, "_fastjson" + tag)
-
-
-def _build() -> str | None:
-    so = _so_path()
+    so = os.path.join(_DIR, name + tag)
     try:
-        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
             return so
         cc = os.environ.get("CC", "cc")
         include = sysconfig.get_paths()["include"]
@@ -39,7 +42,7 @@ def _build() -> str | None:
         # parallel CLI runs) must not clobber each other's half-written
         # output; os.replace keeps the final install atomic either way.
         tmp = f"{so}.{os.getpid()}.tmp"
-        cmd = [cc, "-O2", "-fPIC", "-shared", "-o", tmp, _SRC, f"-I{include}"]
+        cmd = [cc, "-O2", "-fPIC", "-shared", "-o", tmp, src, f"-I{include}"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
         return so
@@ -47,12 +50,14 @@ def _build() -> str | None:
         return None
 
 
-def _load():
-    so = _build()
+def _load(name: str):
+    so = _build(name)
     if so is None:
         return None
     try:
-        spec = importlib.util.spec_from_file_location("nbody3d_tpu.native._fastjson", so)
+        spec = importlib.util.spec_from_file_location(
+            f"nbody3d_tpu.native.{name}", so
+        )
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         return mod
@@ -60,7 +65,8 @@ def _load():
         return None
 
 
-fastjson = _load()  # None when no working compiler is present
+fastjson = _load("_fastjson")  # None when no working compiler is present
+raster = _load("_raster")  # native depth-resolve (render/rasterize.py)
 
 
 def dumps_f32(arr) -> bytes | None:

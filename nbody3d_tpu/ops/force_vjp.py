@@ -53,6 +53,14 @@ The row-sum identities ``sum_j s d_kj = (S @ x_j) - x_k * (S @ 1)`` trade
 the per-pair 3-vector for two matmul columns — the same
 "fold the target term out of the contraction" trick as the forward's
 ``sum(w gm x) - x sum(w gm)`` epilogue.
+
+On-hardware precision (measured, BASELINE.md "Differentiable
+simulation"): the v5e MXU rounds the three f32 contraction operands
+(W, S, T) to bf16, so the TPU VJP carries ~5e-4 median relative noise —
+the same precision class as the forward fast/sym modes' bf16 weight
+noise, and the standard contract for low-precision training gradients.
+The interpret-mode tests (f32 semantics) verify the math to ~1e-6; the
+bf16 rounding is the hardware's, not an algorithmic approximation.
 """
 
 from __future__ import annotations

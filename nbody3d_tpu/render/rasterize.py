@@ -264,6 +264,7 @@ def render_points(
     background: tuple[int, int, int] = (0, 0, 0),
     color_mode: str = "magnitude",
     prep: str = "auto",
+    resolve: str = "auto",
 ) -> np.ndarray:
     """Render one frame. Returns (H, W, 3) uint8.
 
@@ -272,6 +273,8 @@ def render_points(
     ``prep``: "host" (f64 numpy — bit-stable golden path), "device" (f32
     jnp projection/color/sort on the accelerator — viewer-scale N), or
     "auto" (device above ``_DEVICE_PREP_MIN`` bodies).
+    ``resolve``: "native" (C stamp loop), "numpy", or "auto" (native when
+    the compiled module is available) — bit-identical either way.
     """
     if prep == "auto":
         prep = "device" if pos_mass.shape[0] >= _DEVICE_PREP_MIN else "host"
@@ -287,9 +290,45 @@ def render_points(
     if cx.size == 0:
         return img
 
-    neg_r = -r  # ascending for searchsorted
-
     buf = np.full(h * w_, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+
+    from nbody3d_tpu import native
+
+    use_native = (
+        native.raster is not None if resolve == "auto" else resolve == "native"
+    )
+    if use_native:
+        if native.raster is None:
+            raise RuntimeError("native raster resolve unavailable (no compiler)")
+        # Native resolve (native/_raster.c): one row-span stamp loop over
+        # all bodies, work exactly the total splat area; min-by-key is
+        # order-independent so the output is bit-identical to the numpy
+        # regimes below (tests/test_render.py::test_native_resolve).
+        # np.minimum.at's per-element dispatch is the difference between
+        # ~100 s and ~1 s at a 16.7M-body 1080p frame.
+        native.raster.stamp_discs(
+            buf, h, w_,
+            np.ascontiguousarray(cx, np.int64),
+            np.ascontiguousarray(cy, np.int64),
+            np.ascontiguousarray(r, np.float64),
+            np.ascontiguousarray(keys, np.uint64),
+        )
+    else:
+        _resolve_numpy(buf, cx, cy, keys, r, h, w_)
+
+    hit = buf != np.uint64(0xFFFFFFFFFFFFFFFF)
+    rgb_out = (buf[hit] & np.uint64(0xFFFFFF)).astype(np.uint32)
+    flat_img = img.reshape(-1, 3)
+    flat_img[hit, 0] = (rgb_out >> 16) & 0xFF
+    flat_img[hit, 1] = (rgb_out >> 8) & 0xFF
+    flat_img[hit, 2] = rgb_out & 0xFF
+    return img
+
+
+def _resolve_numpy(buf, cx, cy, keys, r, h, w_) -> None:
+    """Pure-numpy depth resolve (fallback when no C compiler): same
+    min-by-key result as the native stamp loop."""
+    neg_r = -r  # ascending for searchsorted
 
     # Two regimes (both resolve through the same min-by-key depth test, so
     # the result is identical to a single global scatter-min):
@@ -323,11 +362,3 @@ def render_points(
                     continue
                 flat = y[ok] * w_ + x[ok]
                 np.minimum.at(buf, flat, keys[:k][ok])
-
-    hit = buf != np.uint64(0xFFFFFFFFFFFFFFFF)
-    rgb_out = (buf[hit] & np.uint64(0xFFFFFF)).astype(np.uint32)
-    flat_img = img.reshape(-1, 3)
-    flat_img[hit, 0] = (rgb_out >> 16) & 0xFF
-    flat_img[hit, 1] = (rgb_out >> 8) & 0xFF
-    flat_img[hit, 2] = rgb_out & 0xFF
-    return img

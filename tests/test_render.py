@@ -141,7 +141,7 @@ def test_large_splat_path_matches_offset_loop():
     ).astype(np.float32)
     vel = rng.normal(size=(n, 4)).astype(np.float32)
     cam = Camera(target=np.zeros(3))
-    kw = dict(width=160, height=120, size_factor=100.0)
+    kw = dict(width=160, height=120, size_factor=100.0, resolve="numpy")
     img_mixed = rasterize.render_points(pos_mass, vel, cam, **kw)
     # force everything through the offset loop by raising the threshold
     old = rasterize._SMALL_MAX
@@ -154,6 +154,32 @@ def test_large_splat_path_matches_offset_loop():
         rasterize._SMALL_MAX = old
     np.testing.assert_array_equal(img_mixed, img_loop)
     np.testing.assert_array_equal(img_mixed, img_disc)
+
+
+def test_native_resolve_matches_numpy():
+    """The C depth-resolve (native/_raster.c) is bit-identical to the
+    numpy two-regime resolve on a dense multi-scale scene (overlapping
+    splats, heavy centrals, partially off-screen discs)."""
+    from nbody3d_tpu import native
+
+    if native.raster is None:
+        import pytest
+
+        pytest.skip("no C compiler for the native raster module")
+    rng = np.random.default_rng(11)
+    n = 4000
+    pos_mass = np.concatenate(
+        [rng.normal(scale=2.5, size=(n, 3)), rng.uniform(10, 50, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    pos_mass[:3, 3] = 1e7  # big splats incl. clipped ones
+    pos_mass[1, :3] = [4.0, 4.0, 0.0]
+    vel = rng.normal(scale=5.0, size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3), radius=3.0)
+    kw = dict(width=320, height=240, prep="host")
+    a = render_points(pos_mass, vel, cam, resolve="numpy", **kw)
+    b = render_points(pos_mass, vel, cam, resolve="native", **kw)
+    np.testing.assert_array_equal(a, b)
 
 
 def test_device_prep_matches_host():

@@ -39,7 +39,7 @@ def main() -> int:
 
     from nbody3d_tpu.config import SimConfig
     from nbody3d_tpu.models.registry import make_preset
-    from nbody3d_tpu.ops.force_vjp import force_vjp_pallas
+    from nbody3d_tpu.ops.force_vjp import force_vjp_pallas, force_vjp_sym_pallas
     from nbody3d_tpu.ops.step import fit_block, make_step_fn
     from nbody3d_tpu.state import SimState, init_state
 
@@ -69,11 +69,17 @@ def main() -> int:
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts)
 
-    # (a) raw VJP kernel
+    # (a) raw VJP kernels: full grid and Newton-3
     vjp_fn = jax.jit(
         lambda p, a: force_vjp_pallas(p, cfg.G, a, eps2=cfg.eps2, block=block)
     )
     t_vjp = timeit(vjp_fn, pm, abar)
+    vjp_sym_fn = jax.jit(
+        lambda p, a: force_vjp_sym_pallas(
+            p, cfg.G, a, eps2=cfg.eps2, block=min(block, 1024)
+        )
+    )
+    t_vjp_sym = timeit(vjp_sym_fn, pm, abar)
 
     # (b) + (c): forward step and grad of a k-step rollout loss
     step = make_step_fn(cfg, n_pad, n, platform="tpu")
@@ -100,6 +106,8 @@ def main() -> int:
         "k": k,
         "vjp_kernel_s": round(t_vjp, 4),
         "vjp_gints": round(pairs / t_vjp / 1e9, 1),
+        "vjp_sym_kernel_s": round(t_vjp_sym, 4),
+        "vjp_sym_gints": round(pairs / t_vjp_sym / 1e9, 1),
         "fwd_s_per_step": round(t_fwd, 4),
         "grad_s_per_step": round(t_grad, 4),
         "grad_over_fwd": round(t_grad / t_fwd, 2),

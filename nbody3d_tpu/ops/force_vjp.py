@@ -266,16 +266,304 @@ def force_vjp_pallas(
     return pm_bar, gbar
 
 
+# ---------------------------------------------- Newton-3 (sym) VJP schedule
+#
+# The per-pair VPU chain (rsqrt chain + the four cotangent dot-product
+# matrices) is the VJP's budget (~30 elementwise ops/pair vs 6 skinny MXU
+# dots), and every per-pair quantity is shared between the (k, j) and
+# (j, k) sides:
+#
+#   d_jk = -d_kj,  w/w5 symmetric,  g_jk = -g_kj,  (d.g) symmetric
+#   =>  the pair's xbar contribution is exactly ANTISYMMETRIC,
+#       mbar_j  = +colsum(w (.) q),   phi_j = -colsum(m_k (.) w (.) p)
+#
+# so one evaluation of the chain serves both directions — the same
+# Newton-3 block schedule as the forward (pallas_force.py accel_sym_pallas:
+# masked diagonal call + always-active middle hops + even-nt half hop; the
+# 3-call condition-free form for the same Mosaic pipelining reason).  Per
+# unordered block pair the hops kernel runs the chain once and contracts it
+# six ways:
+#
+#   forward  (to targets k): w @ [A_j, m_j];  S @ [x_j, 1];  T @ [x_j, 1]
+#   reverse  (to sources j): [A_k, m_k] x w;  [x_k, 1] x M       (TN dots,
+#            contracting the TARGET dim — same orientation note as the
+#            forward's reverse dot)             with  M = m_k S - T
+#
+# and two VPU column reductions (rmbar, rphi).  The reverse epilogue:
+#
+#   xbar_j += m_j rA - A_j rm + 3 (x_j rM - rMx)
+#
+# — the mirror of the forward's row-sum identity fold.
+
+
+def _vjp_pair_terms(tgt, srcFT_ref, eps2):
+    """Shared per-pair matrices for one (targets, sources) block pair.
+    ``tgt`` (B, 8): [x, m, A, v=x.A]; ``srcFT`` (8, B): same, transposed
+    (row 7 = u_j = x_j . A_j).  Returns ``(w, w5, p, q)`` — softened
+    inverse-cube/quint weights and the two cotangent dot-product
+    matrices ``p = d . A_j``, ``q = d . A_k``."""
+    _, _, _, d2 = _pair_diffs(tgt, srcFT_ref, eps2)
+    inv = 1.0 / d2
+    w = lax.rsqrt(d2 * (d2 * d2))
+    w5 = w * inv
+    xa = (
+        tgt[:, 0:1] * srcFT_ref[4:5, :]
+        + tgt[:, 1:2] * srcFT_ref[5:6, :]
+        + tgt[:, 2:3] * srcFT_ref[6:7, :]
+    )  # x_k . abar_j
+    xak = (
+        tgt[:, 4:5] * srcFT_ref[0:1, :]
+        + tgt[:, 5:6] * srcFT_ref[1:2, :]
+        + tgt[:, 6:7] * srcFT_ref[2:3, :]
+    )  # abar_k . x_j
+    p = srcFT_ref[7:8, :] - xa  # d_kj . abar_j
+    q = xak - tgt[:, 7:8]  # d_kj . abar_k
+    return w, w5, p, q
+
+
+def _vjp_forward_part(tgt, srcFT_ref, srcD, w, w5, p, q, bt):
+    """Forward-side partials of one block pair -> (BT, 16) in the layout
+    [Wa(3), Wm | Sx(3), sigma | Tx(3), tau | mbar, phi | 0, 0]."""
+    s_mat = w5 * p
+    t_mat = w5 * srcFT_ref[3:4, :] * q
+    wdot = jnp.dot(w, srcD[:, 0:4], preferred_element_type=jnp.float32)
+    sdot = jnp.dot(s_mat, srcD[:, 4:8], preferred_element_type=jnp.float32)
+    tdot = jnp.dot(t_mat, srcD[:, 4:8], preferred_element_type=jnp.float32)
+    mbar = -jnp.sum(w * p, axis=1, keepdims=True)
+    phi = jnp.sum(w * srcFT_ref[3:4, :] * q, axis=1, keepdims=True)
+    return jnp.concatenate(
+        [wdot, sdot, tdot, mbar, phi, jnp.zeros((bt, 2), jnp.float32)], axis=1
+    )
+
+
+def _vjp_sym_diag_kernel(mask_ref, srcFT_ref, tgtF_ref, srcD_ref, out_ref, *, eps2, b):
+    """Diagonal blocks: the masked full (B, B) matrix covers every ordered
+    in-block pair, so only the forward-side formulas are needed (same
+    structure as pallas_force._sym_diag_kernel)."""
+    tgt = tgtF_ref[...]
+    w, w5, p, q = _vjp_pair_terms(tgt, srcFT_ref, eps2)
+    m = mask_ref[...]
+    w = w * m
+    w5 = w5 * m
+    out_ref[...] = _vjp_forward_part(tgt, srcFT_ref, srcD_ref[...], w, w5, p, q, b)
+
+
+def _vjp_sym_hops_kernel(
+    srcFT_ref, tgtF_ref, srcD_ref, tgtD_ref, out_tgt_ref, out_src_ref,
+    *, eps2, b, nt, k0,
+):
+    """Off-diagonal hops: target block ``i`` x source block
+    ``j = (i + k0 + k) mod nt`` — every step active, both sides served by
+    one per-pair chain.  Reverse accumulator layout (nt, 16, B), rows
+    [rA(3), rm | rMx(3), rM | rmbar, rphi | 0 x 6]."""
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    j = lax.rem(i + k0 + k, nt)
+
+    @pl.when(jnp.logical_and(i == 0, k == 0))
+    def _():
+        out_src_ref[...] = jnp.zeros(out_src_ref.shape, out_src_ref.dtype)
+
+    @pl.when(k == 0)
+    def _():
+        out_tgt_ref[...] = jnp.zeros(out_tgt_ref.shape, out_tgt_ref.dtype)
+
+    tgt = tgtF_ref[...]
+    w, w5, p, q = _vjp_pair_terms(tgt, srcFT_ref, eps2)
+    out_tgt_ref[...] += _vjp_forward_part(
+        tgt, srcFT_ref, srcD_ref[...], w, w5, p, q, b
+    )
+
+    # reverse side: contract the TARGET dim (TN orientation -> (c, B))
+    tgtD = tgtD_ref[...]
+    m_k = tgt[:, 3:4]
+    m_mat = m_k * (w5 * p) - w5 * srcFT_ref[3:4, :] * q  # m_k S - T
+    r1 = lax.dot_general(
+        tgtD[:, 0:4], w,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # rows [rA(3), rm]
+    r2 = lax.dot_general(
+        tgtD[:, 4:8], m_mat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # rows [rMx(3), rM]
+    rmbar = jnp.sum(w * q, axis=0, keepdims=True)
+    rphi = -jnp.sum(m_k * (w * p), axis=0, keepdims=True)
+    part_r = jnp.concatenate(
+        [r1, r2, rmbar, rphi, jnp.zeros((6, b), jnp.float32)], axis=0
+    )
+    out_src_ref[j] = out_src_ref[j] + part_r
+
+
+def _vjp_combine_kernel(acct_ref, accs_ref, tgtF_ref, out_ref):
+    """Elementwise epilogue (Pallas for the same column-slice-cliff reason
+    as combine16_pallas): forward + reverse partials -> (B, 8)
+    [xbar(3), mbar, phi, 0(3)]."""
+    t = acct_ref[...]
+    s = accs_ref[...]
+    f = tgtF_ref[...]
+    x = f[:, 0:3]
+    m = f[:, 3:4]
+    a = f[:, 4:7]
+    xbar = (
+        m * t[:, 0:3] - a * t[:, 3:4]
+        - 3.0 * m * (t[:, 4:7] - x * t[:, 7:8])
+        + 3.0 * (t[:, 8:11] - x * t[:, 11:12])
+        + m * s[:, 0:3] - a * s[:, 3:4]
+        + 3.0 * (x * s[:, 7:8] - s[:, 4:7])
+    )
+    mbar = t[:, 12:13] + s[:, 8:9]
+    phi = t[:, 13:14] + s[:, 9:10]
+    out_ref[...] = jnp.concatenate(
+        [xbar, mbar, phi, jnp.zeros((t.shape[0], 3), jnp.float32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("eps2", "block", "interpret"))
+def force_vjp_sym_pallas(
+    pos_mass: jax.Array,
+    G: jax.Array | float,
+    abar: jax.Array,
+    *,
+    eps2: float = 1e-4,
+    block: int = 1024,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """All-pairs VJP via the Newton-3 schedule: ``(pm_bar (N,4), G_bar)``.
+
+    Semantically equal to :func:`force_vjp_pallas` (each pair's shared w /
+    w5 / p / q feed both directions, so the pair algebra is identical);
+    ~half the per-pair VPU chain at equal MXU work.  Default block 1024:
+    the hops kernel materializes four (B, B) matrices for its dots — at
+    B=2048 that is 64 MB of VMEM before the (nt, 16, B) accumulator.
+    """
+    if eps2 <= 0:
+        raise ValueError("eps2 must be > 0")
+    n = pos_mass.shape[0]
+    b = block
+    while b > 8 and n % b != 0:
+        b //= 2
+    while n % b != 0:
+        b -= 1
+    nt = n // b
+    half = nt // 2
+
+    x = pos_mass[:, :3]
+    m = pos_mass[:, 3:4]
+    A = abar[:, :3]
+    v = jnp.sum(x * A, axis=1, keepdims=True)
+    tgtF = jnp.concatenate([x, m, A, v], axis=1)  # (N, 8)
+    srcFT = tgtF.T  # (8, N)
+    ones = jnp.ones((n, 1), jnp.float32)
+    D = jnp.concatenate([A, m, x, ones], axis=1)  # (N, 8): fwd src / rev tgt
+
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT,
+    )
+    mask = 1.0 - jnp.eye(b, dtype=jnp.float32)
+    acc_t = pl.pallas_call(
+        functools.partial(_vjp_sym_diag_kernel, eps2=float(eps2), b=b),
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, b), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 16), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * n * b, bytes_accessed=n * 64, transcendentals=n * b
+        ),
+        interpret=interpret,
+    )(mask, srcFT, tgtF, D)
+    acc_s = jnp.zeros((n, 16), jnp.float32)
+
+    if nt > 1:
+        ext = (half + 1) * b
+        srcFT_e = jnp.concatenate([srcFT, srcFT[:, :ext]], axis=1)
+        D_e = jnp.concatenate([D, D[:ext]], axis=0)
+
+        def hops_call(k0, nk, grid_i):
+            kernel = functools.partial(
+                _vjp_sym_hops_kernel, eps2=float(eps2), b=b, nt=nt, k0=k0
+            )
+            return pl.pallas_call(
+                kernel,
+                grid=(grid_i, nk),
+                in_specs=[
+                    pl.BlockSpec((8, b), lambda i, k: (0, i + k0 + k), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((b, 8), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((b, 8), lambda i, k: (i + k0 + k, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((b, 8), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((b, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nt, 16, b), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((grid_i * b, 16), jnp.float32),
+                    jax.ShapeDtypeStruct((nt, 16, b), jnp.float32),
+                ],
+                compiler_params=cparams,
+                cost_estimate=pl.CostEstimate(
+                    flops=80 * grid_i * b * nk * b,
+                    bytes_accessed=grid_i * nk * b * 64,
+                    transcendentals=grid_i * b * nk * b,
+                ),
+                interpret=interpret,
+            )(srcFT_e, tgtF, D_e, D)
+
+        nk_b = half - 1 if nt % 2 == 0 else half
+        if nk_b > 0:
+            t_b, s_b = hops_call(1, nk_b, nt)
+            acc_t = acc_t + t_b
+            acc_s = acc_s + jnp.transpose(s_b, (0, 2, 1)).reshape(n, 16)
+        if nt % 2 == 0:
+            t_c, s_c = hops_call(half, 1, half)
+            acc_t = acc_t.at[: half * b].add(t_c)
+            acc_s = acc_s + jnp.transpose(s_c, (0, 2, 1)).reshape(n, 16)
+
+    out = pl.pallas_call(
+        _vjp_combine_kernel,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((b, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 8), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(acc_t, acc_s, tgtF)
+
+    G = jnp.float32(G)
+    pm_bar = jnp.concatenate([G * out[:, 0:3], G * out[:, 3:4]], axis=1)
+    gbar = jnp.sum(out[:, 4])
+    return pm_bar, gbar
+
+
 def make_diff_accel(
     forward_fn,
     *,
     eps2: float = 1e-4,
     block: int = DEFAULT_BLOCK_TARGET,
     interpret: bool = False,
+    sym: bool = True,
 ):
     """Wrap an ``accel(pos_mass, G) -> (N, 4)`` forward (any Pallas mode)
     with the hand-written VJP, so ``jax.grad`` flows through the TPU
-    kernels at TPU speed.
+    kernels at TPU speed.  ``sym=True`` (default) runs the backward
+    through the Newton-3 schedule (:func:`force_vjp_sym_pallas` — ~1.8x
+    the full-grid kernel); both backwards compute the same pair algebra.
 
     The backward is the VJP of the IDEAL pair math; the forward's bf16
     weight noise (~0.2%, fast/sym modes) makes this a slightly
@@ -294,9 +582,15 @@ def make_diff_accel(
 
     def bwd(res, abar):
         pos_mass, G = res
-        pm_bar, gbar = force_vjp_pallas(
-            pos_mass, G, abar, eps2=eps2, block=block, interpret=interpret
-        )
+        if sym:
+            pm_bar, gbar = force_vjp_sym_pallas(
+                pos_mass, G, abar, eps2=eps2,
+                block=min(block, 1024), interpret=interpret,
+            )
+        else:
+            pm_bar, gbar = force_vjp_pallas(
+                pos_mass, G, abar, eps2=eps2, block=block, interpret=interpret
+            )
         return pm_bar, gbar
 
     accel.defvjp(fwd, bwd)

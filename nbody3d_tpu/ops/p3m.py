@@ -47,6 +47,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.special import erf, erfc
 
 from nbody3d_tpu.ops.morton import morton_keys
@@ -582,11 +584,217 @@ def _short_range_tiles(
     )
 
 
+# ------------------------------------------------ Pallas short-range kernel
+#
+# The short-range pass is the P3M step's VPU budget (~0.57 s of the 1.17 s
+# step at N=2M, ~30 G-pair/s through XLA): ~40 elementwise ops per pair,
+# dominated by the erfc/exp split kernel.  The Pallas version is the
+# block-sparse analog of the direct solver's tiling: grid (target tile,
+# neighbor slot), with the SOURCE tile id scalar-prefetched from
+# ``nbr_idx`` (pltpu.PrefetchScalarGridSpec) so Mosaic pipelines the
+# gathered tile fetches — the TPU-native form of the reference kernel's
+# shared-memory tile loop (nbody3d.js:244-262) over an irregular tile set.
+#
+# erfc inside the kernel uses the Abramowitz-Stegun 7.1.26 rational form
+# erfc(u) = t(a1 + t(a2 + t(a3 + t(a4 + t a5)))) e^{-u^2}, t = 1/(1+pu)
+# (|abs err| <= 1.5e-7), which REUSES the e^{-u^2} the gaussian term
+# already needs — one exp, no erf lowering, error far below the solver's
+# ~1e-3 contract (and below the f32 FFT noise floor of the mesh side).
+
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _short_range_kernel(
+    tgt_rows_ref, nbr_ref, scal_ref, mask_ref, tgt_ref, srcT_ref,
+    out_ref, acc_ref, *, b, eps2, knbr,
+):
+    """One (target tile i, neighbor slot k) block: dense (B, B) pair
+    correction vs source tile ``nbr_idx[i, k]``, accumulated over k.
+    ``scal`` (SMEM f32[3]): [rcut^2, 1/(sqrt2 sigma), (2/sqrt(pi))/(sqrt2
+    sigma)]; ``mask`` is the FLAT (chunk*knbr,) mutual mask in SMEM
+    (dynamic element reads need scalar memory — a VMEM lane index must be
+    statically 128-aligned).  Pair math mirrors :func:`k_short` exactly
+    except erfc (A-S rational form, see above)."""
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    tgt = tgt_ref[...]
+    dx = srcT_ref[0:1, :] - tgt[:, 0:1]
+    dy = srcT_ref[1:2, :] - tgt[:, 1:2]
+    dz = srcT_ref[2:3, :] - tgt[:, 2:3]
+    r2 = dx * dx + (dy * dy + dz * dz)
+
+    pos = r2 > 0.0
+    r2s = jnp.where(pos, r2, 1.0)
+    inv_r = lax.rsqrt(r2s)
+    r = r2s * inv_r
+    inv_s = lax.rsqrt(r2s + jnp.float32(eps2))
+    u = r * scal_ref[1]
+    e = jnp.exp(-(u * u))
+    t = 1.0 / (1.0 + _AS_P * u)
+    a1, a2, a3, a4, a5 = _AS_A
+    erfc_u = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * e
+    kshort = erfc_u * (inv_s * inv_s * inv_s) + (scal_ref[2] * e) * (
+        inv_s * inv_r
+    )
+    w = jnp.where(pos & (r2 < scal_ref[0]), kshort, 0.0)
+    w = w * srcT_ref[3:4, :]
+
+    # The mutual-neighbor mask scales this block's w linearly, so it can
+    # multiply the REDUCED partial instead of the (B, B) matrix — one
+    # scalar SMEM read per grid step.
+    mask_ik = mask_ref[i * knbr + k]
+    part = mask_ik * jnp.concatenate(
+        [
+            jnp.sum(w * dx, axis=1, keepdims=True),
+            jnp.sum(w * dy, axis=1, keepdims=True),
+            jnp.sum(w * dz, axis=1, keepdims=True),
+            jnp.zeros((b, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(k > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+def _short_range_tiles_pallas(
+    ps: jax.Array,
+    nbr_idx: jax.Array,
+    tile0: jax.Array | int,
+    ntiles: int,
+    eps2: float,
+    sigma: jax.Array,
+    rcut: jax.Array,
+    block: int,
+    nbr_mask: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Same contract as :func:`_short_range_tiles` (the jnp oracle — the
+    parity test is ``tests/test_p3m.py::test_short_range_pallas``), as a
+    block-sparse Pallas kernel.  ~3x the XLA form at N=2M (BASELINE.md).
+
+    The call is chunked over tile ranges so the scalar-prefetched flat
+    neighbor ids stay under the ~1 MB SMEM budget at any N (a 16M-body
+    run has 65,536 tiles x k ids = 4 MB — four calls of 16k tiles
+    instead; one compile, shapes identical)."""
+    k = nbr_idx.shape[1]
+    psT = ps.T  # (4, N) rows [x, y, z, m]
+    scal = jnp.stack(
+        [
+            rcut * rcut,
+            1.0 / (_SQRT2 * sigma),
+            _TWO_OVER_SQRT_PI / (_SQRT2 * sigma),
+        ]
+    ).astype(jnp.float32)
+    if nbr_mask is None:
+        nbr_mask = jnp.ones((ntiles, k), jnp.float32)
+
+    # Largest divisor of ntiles keeping the two flat per-(tile, slot)
+    # arrays (i32 ids + f32 mask) within ~768 KB of the ~1 MB SMEM.
+    chunk = ntiles
+    while chunk * k * 8 > (768 << 10) or ntiles % chunk != 0:
+        chunk -= 1
+
+    kernel = functools.partial(
+        _short_range_kernel, b=block, eps2=float(eps2), knbr=k
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tgt_rows (chunk,), flat nbr ids (chunk*k,)
+        grid=(chunk, k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flat mutual mask
+            pl.BlockSpec(
+                (block, 4),
+                lambda i, j, rows, nbr: (rows[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, block),
+                lambda i, j, rows, nbr: (0, nbr[i * k + j]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, 4), lambda i, j, rows, nbr: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((block, 4), jnp.float32)],
+    )
+    call = functools.partial(
+        pl.pallas_call,
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((chunk * block, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * chunk * block * k * block,
+            bytes_accessed=chunk * k * block * 32,
+            transcendentals=2 * chunk * block * k * block,
+        ),
+        interpret=interpret,
+    )()
+    outs = []
+    for c in range(ntiles // chunk):
+        rows = tile0 + jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
+        flat = lax.dynamic_slice_in_dim(
+            nbr_idx, c * chunk, chunk
+        ).reshape(-1)
+        msk = lax.dynamic_slice_in_dim(nbr_mask, c * chunk, chunk).reshape(-1)
+        outs.append(call(rows, flat, scal, msk, ps, psT))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out[:, :3]
+
+
+def short_range_tiles(
+    ps: jax.Array,
+    nbr_idx: jax.Array,
+    tile0: jax.Array | int,
+    ntiles: int,
+    eps2: float,
+    sigma: jax.Array,
+    rcut: jax.Array,
+    block: int,
+    nbr_mask: jax.Array | None = None,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Short-range correction dispatch: ``backend="auto"`` runs the Pallas
+    kernel on TPU and the jnp form elsewhere.  The jnp form is also the
+    differentiable path (the Pallas kernel has no autodiff rule) — grad
+    users pass ``backend="jnp"`` / config ``backend="jnp"``."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas":
+        return _short_range_tiles_pallas(
+            ps, nbr_idx, tile0, ntiles, eps2, sigma, rcut, block,
+            nbr_mask=nbr_mask, interpret=interpret,
+        )
+    return _short_range_tiles(
+        ps, nbr_idx, tile0, ntiles, eps2, sigma, rcut, block,
+        nbr_mask=nbr_mask,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "grid", "eps2", "n_real", "sigma_cells", "rcut_sigmas", "block",
-        "nbr_k", "order", "heavy_k",
+        "nbr_k", "order", "heavy_k", "short_backend",
     ),
 )
 def accel_p3m(
@@ -602,13 +810,16 @@ def accel_p3m(
     nbr_k: int = DEFAULT_NBR_K,
     order: int = 3,
     heavy_k: int = DEFAULT_HEAVY_K,
+    short_backend: str = "auto",
 ) -> jax.Array:
     """P3M accelerations ``(N, 4)`` (w lane zero): PM far field + exact
     short-range correction + exact direct pairs for the ``heavy_k`` most
     massive bodies (:func:`heavy_split`), matching the direct solver to
     ~1e-3 everywhere including clustered cores (contract in
     ``tests/test_p3m.py``).  ``block=0`` auto-sizes the short-range
-    tiles (:func:`p3m_block`)."""
+    tiles (:func:`p3m_block`).  ``short_backend`` dispatches the
+    short-range pass (:func:`short_range_tiles`); pass ``"jnp"`` for the
+    differentiable form."""
     n = pos_mass.shape[0]
     if n_real is None:
         n_real = n
@@ -661,9 +872,9 @@ def accel_p3m(
     nb = n // block
     kth, neg, nbr_idx = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k)
     nbr_mask = mutual_neighbor_mask(neg, nbr_idx, kth)
-    acc_s = _short_range_tiles(
+    acc_s = short_range_tiles(
         ps, nbr_idx, 0, nb, float(eps2), sigma, rcut, block,
-        nbr_mask=nbr_mask,
+        nbr_mask=nbr_mask, backend=short_backend,
     )
     acc = acc + acc_s[inv]
 

@@ -162,8 +162,13 @@ def make_step_fn(
 
     elif config.method == "p3m":
         # PM far field + exact short-range correction (ops/p3m.py):
-        # ~1e-3 force accuracy vs direct at near-PM cost.
+        # ~1e-3 force accuracy vs direct at near-PM cost.  The short-range
+        # pass follows the resolved backend: the block-sparse Pallas
+        # kernel on TPU, the (differentiable) jnp form on CPU / jnp
+        # backend (p3m.short_range_tiles).
         from nbody3d_tpu.ops.p3m import accel_p3m
+
+        short = "pallas" if backend == "pallas" and not interpret else "jnp"
 
         def step(state: SimState, dt, G) -> SimState:
             acc = accel_p3m(
@@ -172,7 +177,7 @@ def make_step_fn(
                 sigma_cells=config.p3m_sigma_cells,
                 rcut_sigmas=config.p3m_rcut_sigmas,
                 block=config.p3m_block, nbr_k=config.p3m_nbr_k,
-                heavy_k=config.p3m_heavy_k,
+                heavy_k=config.p3m_heavy_k, short_backend=short,
             )
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 

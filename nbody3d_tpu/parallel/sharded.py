@@ -687,9 +687,11 @@ def make_p3m_sharded_step(
         # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
         kth_all = lax.all_gather(kth_mine, axis, axis=0, tiled=True)
         nbr_mask = p3m_ops.mutual_neighbor_mask(neg, nbr_idx, kth_all)
-        acc_s_mine = p3m_ops._short_range_tiles(
+        # backend="auto": Pallas block-sparse kernel on TPU chips, jnp on
+        # the virtual CPU mesh (tests) — identical pair sets either way.
+        acc_s_mine = p3m_ops.short_range_tiles(
             ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,
-            nbr_mask=nbr_mask,
+            nbr_mask=nbr_mask, backend="auto",
         )
         acc_s_full = lax.all_gather(acc_s_mine, axis, axis=0, tiled=True)
         inv = jnp.argsort(order)

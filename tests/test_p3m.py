@@ -54,9 +54,12 @@ def _rel_err(got, ref):
 
 
 class TestAccuracy:
+    @pytest.mark.slow
     def test_clustered_vs_direct(self, clustered):
         """The headline contract: ~1e-3 median force error on the galaxy
-        preset, two orders better than plain PM in the tail."""
+        preset, two orders better than plain PM in the tail.  (slow: ~40 s
+        — the fast gate keeps test_split_identity_small +
+        test_heavy_central_body as the accuracy canaries.)"""
         pm, _, n = clustered
         ref = np.asarray(accel_direct(pm, G, eps2=EPS2))[:n]
         got = np.asarray(
@@ -198,6 +201,7 @@ class TestMachinery:
         )
         assert loose == 0
 
+    @pytest.mark.slow
     def test_hier_selection_matches_flat(self, clustered, monkeypatch):
         """The two-level neighbor hierarchy (used past _FLAT_MAX_TILES,
         i.e. >2M bodies) reproduces the flat selection's accelerations
@@ -252,6 +256,60 @@ class TestMachinery:
         kick = np.abs((m * acc).sum(axis=0)).max()
         scale = np.abs(m * acc).sum()
         assert kick < 1e-5 * max(scale, 1e-20), (kick, scale)
+
+    def test_short_range_pallas_matches_jnp(self, clustered):
+        """The block-sparse Pallas short-range kernel (scalar-prefetched
+        tile ids, in-kernel A-S erfc) matches the jnp oracle on the
+        clustered scene — mask + traced tile offset included.  Tolerance
+        covers the A-S |1.5e-7| erfc bound times the inv_s^3 factor."""
+        from nbody3d_tpu.ops.morton import morton_keys
+        from nbody3d_tpu.ops.p3m import (
+            DEFAULT_RCUT_SIGMAS,
+            DEFAULT_SIGMA_CELLS,
+            _select_neighbors,
+            _short_range_tiles,
+            _short_range_tiles_pallas,
+            _sorted_aabbs,
+            mutual_neighbor_mask,
+        )
+
+        pm, _, n = clustered
+        block, grid = 128, 32
+        _, h = _box(pm[:n, :3], grid)
+        sigma = DEFAULT_SIGMA_CELLS * h
+        rcut = DEFAULT_RCUT_SIGMAS * sigma
+        keys = morton_keys(pm, n)
+        ps = pm[jnp.argsort(keys, stable=True)]
+        lo_b, hi_b = _sorted_aabbs(ps, n, block)
+        nb = int(pm.shape[0]) // block
+        kth, neg, idx = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k=8)
+        mask = mutual_neighbor_mask(neg, idx, kth)
+        ref = np.asarray(
+            _short_range_tiles(
+                ps, idx, 0, nb, EPS2, sigma, rcut, block, nbr_mask=mask
+            )
+        )
+        got = np.asarray(
+            _short_range_tiles_pallas(
+                ps, idx, 0, nb, EPS2, sigma, rcut, block, nbr_mask=mask,
+                interpret=True,
+            )
+        )
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=3e-6 * scale)
+
+        # traced nonzero tile offset (the sharded path's slice contract):
+        # rows [nb//2, nb) of the full run == a tile0=nb//2 run.
+        t0 = nb // 2
+        got_off = np.asarray(
+            _short_range_tiles_pallas(
+                ps, idx[t0:], jnp.int32(t0), nb - t0, EPS2, sigma, rcut,
+                block, nbr_mask=mask[t0:], interpret=True,
+            )
+        )
+        np.testing.assert_allclose(
+            got_off, got[t0 * block :], rtol=1e-6, atol=1e-7 * scale
+        )
 
     def test_auto_block(self):
         assert p3m_block(8192) == 256

@@ -604,6 +604,11 @@ def _short_range_tiles(
 _AS_P = 0.3275911
 _AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 
+# Per-call budget for the kernel's flat SMEM metadata (ids + mask); the
+# call chunks over tile ranges beyond it (~1 MB SMEM per core).  Module
+# constant so tests can force the multi-chunk path at small N.
+_SR_SMEM_BUDGET = 768 << 10
+
 
 def _short_range_kernel(
     tgt_rows_ref, nbr_ref, scal_ref, mask_ref, tgt_ref, srcT_ref,
@@ -704,7 +709,7 @@ def _short_range_tiles_pallas(
     # Largest divisor of ntiles keeping the two flat per-(tile, slot)
     # arrays (i32 ids + f32 mask) within ~768 KB of the ~1 MB SMEM.
     chunk = ntiles
-    while chunk * k * 8 > (768 << 10) or ntiles % chunk != 0:
+    while chunk * k * 8 > _SR_SMEM_BUDGET or ntiles % chunk != 0:
         chunk -= 1
 
     kernel = functools.partial(

@@ -311,6 +311,23 @@ class TestMachinery:
             got_off, got[t0 * block :], rtol=1e-6, atol=1e-7 * scale
         )
 
+        # SMEM chunking (16M-scale contract, forced small): several calls
+        # over tile ranges must equal the single-call result exactly.
+        import nbody3d_tpu.ops.p3m as p3m_mod
+
+        old_budget = p3m_mod._SR_SMEM_BUDGET
+        p3m_mod._SR_SMEM_BUDGET = nb // 4 * idx.shape[1] * 8
+        try:
+            got_chunked = np.asarray(
+                _short_range_tiles_pallas(
+                    ps, idx, 0, nb, EPS2, sigma, rcut, block,
+                    nbr_mask=mask, interpret=True,
+                )
+            )
+        finally:
+            p3m_mod._SR_SMEM_BUDGET = old_budget
+        np.testing.assert_array_equal(got_chunked, got)
+
     def test_auto_block(self):
         assert p3m_block(8192) == 256
         assert p3m_block(256 * 65536) == 256  # 16M bodies still 256-tiles

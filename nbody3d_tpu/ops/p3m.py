@@ -765,6 +765,48 @@ def _short_range_tiles_pallas(
     return out[:, :3]
 
 
+@functools.lru_cache(maxsize=None)
+def _make_sr_pallas_diff(ntiles: int, eps2: float, block: int, interpret: bool):
+    """Differentiable pairing for the short-range kernel: Pallas primal,
+    jnp-oracle backward — ``jax.grad`` through a ``short_backend="pallas"``
+    P3M step works at kernel speed forward and oracle speed backward (the
+    two forms compute the same pair sum to ~1e-6, so the pairing error is
+    the same class as the forward bf16-vs-ideal trade in
+    :func:`force_vjp.make_diff_accel`).  The mask cotangent is zero: the
+    mask is a piecewise-constant gate of the (non-differentiable) top-k
+    selection, constant almost everywhere in positions."""
+
+    @jax.custom_vjp
+    def f(ps, nbr_idx, tile0, sigma, rcut, nbr_mask):
+        return _short_range_tiles_pallas(
+            ps, nbr_idx, tile0, ntiles, eps2, sigma, rcut, block,
+            nbr_mask=nbr_mask, interpret=interpret,
+        )
+
+    def fwd(ps, nbr_idx, tile0, sigma, rcut, nbr_mask):
+        return f(ps, nbr_idx, tile0, sigma, rcut, nbr_mask), (
+            ps, nbr_idx, tile0, sigma, rcut, nbr_mask,
+        )
+
+    def bwd(res, g):
+        import numpy as _np
+
+        ps, nbr_idx, tile0, sigma, rcut, nbr_mask = res
+        _, vjp = jax.vjp(
+            lambda ps_, sigma_, rcut_: _short_range_tiles(
+                ps_, nbr_idx, tile0, ntiles, eps2, sigma_, rcut_, block,
+                nbr_mask=nbr_mask,
+            ),
+            ps, sigma, rcut,
+        )
+        dps, dsig, drc = vjp(g)
+        zi = lambda x: _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
+        return dps, zi(nbr_idx), zi(tile0), dsig, drc, jnp.zeros_like(nbr_mask)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def short_range_tiles(
     ps: jax.Array,
     nbr_idx: jax.Array,
@@ -779,15 +821,17 @@ def short_range_tiles(
     interpret: bool = False,
 ) -> jax.Array:
     """Short-range correction dispatch: ``backend="auto"`` runs the Pallas
-    kernel on TPU and the jnp form elsewhere.  The jnp form is also the
-    differentiable path (the Pallas kernel has no autodiff rule) — grad
-    users pass ``backend="jnp"`` / config ``backend="jnp"``."""
+    kernel on TPU and the jnp form elsewhere.  The Pallas path carries a
+    custom VJP (jnp-oracle backward, :func:`_make_sr_pallas_diff`) so
+    P3M stays differentiable on every backend."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if backend == "pallas":
-        return _short_range_tiles_pallas(
-            ps, nbr_idx, tile0, ntiles, eps2, sigma, rcut, block,
-            nbr_mask=nbr_mask, interpret=interpret,
+        if nbr_mask is None:
+            nbr_mask = jnp.ones(nbr_idx.shape, jnp.float32)
+        f = _make_sr_pallas_diff(ntiles, float(eps2), block, interpret)
+        return f(
+            ps, nbr_idx, jnp.asarray(tile0, jnp.int32), sigma, rcut, nbr_mask
         )
     return _short_range_tiles(
         ps, nbr_idx, tile0, ntiles, eps2, sigma, rcut, block,
@@ -823,8 +867,8 @@ def accel_p3m(
     ~1e-3 everywhere including clustered cores (contract in
     ``tests/test_p3m.py``).  ``block=0`` auto-sizes the short-range
     tiles (:func:`p3m_block`).  ``short_backend`` dispatches the
-    short-range pass (:func:`short_range_tiles`); pass ``"jnp"`` for the
-    differentiable form."""
+    short-range pass (:func:`short_range_tiles`); both forms are
+    differentiable (the Pallas path pairs a jnp-oracle backward)."""
     n = pos_mass.shape[0]
     if n_real is None:
         n_real = n

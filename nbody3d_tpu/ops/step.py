@@ -164,8 +164,8 @@ def make_step_fn(
         # PM far field + exact short-range correction (ops/p3m.py):
         # ~1e-3 force accuracy vs direct at near-PM cost.  The short-range
         # pass follows the resolved backend: the block-sparse Pallas
-        # kernel on TPU, the (differentiable) jnp form on CPU / jnp
-        # backend (p3m.short_range_tiles).
+        # kernel on TPU (with a jnp-oracle custom VJP, so grad works
+        # there too), the jnp form on CPU / jnp backend.
         from nbody3d_tpu.ops.p3m import accel_p3m
 
         short = "pallas" if backend == "pallas" and not interpret else "jnp"

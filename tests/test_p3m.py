@@ -311,6 +311,25 @@ class TestMachinery:
             got_off, got[t0 * block :], rtol=1e-6, atol=1e-7 * scale
         )
 
+        # Differentiability of the Pallas path (custom VJP pairing: Pallas
+        # primal, jnp-oracle backward): grad through short_range_tiles
+        # matches grad through the jnp form.
+        from nbody3d_tpu.ops.p3m import short_range_tiles
+
+        def loss(fn_backend):
+            def f(ps_):
+                out = short_range_tiles(
+                    ps_, idx, 0, nb, EPS2, sigma, rcut, block,
+                    nbr_mask=mask, backend=fn_backend, interpret=True,
+                )
+                return jnp.sum(out * out)
+            return f
+
+        g_jnp = np.asarray(jax.grad(loss("jnp"))(ps))
+        g_pal = np.asarray(jax.grad(loss("pallas"))(ps))
+        gscale = np.abs(g_jnp).max()
+        np.testing.assert_allclose(g_pal, g_jnp, rtol=1e-4, atol=1e-5 * gscale)
+
         # SMEM chunking (16M-scale contract, forced small): several calls
         # over tile ranges must equal the single-call result exactly.
         import nbody3d_tpu.ops.p3m as p3m_mod

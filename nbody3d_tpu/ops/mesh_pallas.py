@@ -1,0 +1,543 @@
+"""MXU-native TSC mesh deposit/gather over Morton tiles (Pallas).
+
+The XLA mesh path (``ops/pm.py:deposit_cols`` / ``ops/p3m.py:tsc_gather``)
+is scatter-free but gather-BOUND: at N=2M / grid=128 the deposit's
+permute+boundary-gather chain runs at 1.7-3.7 GB/s and the gather's
+27-wide row take at 2.5 GB/s (``benchmarks/mesh_profile.py``) — XLA's
+TPU gather lowering is the floor, not HBM.  This module removes every
+gather/scatter/sort from the hot path by exploiting the Morton tiling
+the P3M short-range pass already maintains:
+
+* Particles arrive Morton-sorted in tiles of ``block`` (≈256).  A tile's
+  TSC base cells span a few mesh cells (measured on the galaxy preset at
+  2M: median spread 1 cell, p99 = 12, >30 in only 0.16% of tiles), so
+  each tile touches a small axis-aligned box of the grid.
+* Per tile, the separable TSC window becomes three one-hot weight
+  matrices ``Wx (P, BX)``, ``Wy (P, BY)``, ``Wz (P, BZ)`` built from
+  iota comparisons (VPU), and deposit/gather become **matmuls** against
+  a box of the grid: ``box += Wxᵀm @ (Wy ⊗ Wz)`` / ``acc = ⟨Wx @ box,
+  Wy ⊗ Wz⟩`` — MXU work instead of XLA gathers.
+* The whole ``(G, G, G)`` f32 grid stays **VMEM-resident** across the
+  sequential tile grid (8 MB at G=128; one output/input block with a
+  constant index map), so the box read-modify-writes never touch HBM.
+* The lane (minor) dimension cannot be dynamically sliced, so the box
+  is loaded full-z ``(BX, BY, G)`` and shifted into a compact
+  ``BZ``-wide window by a one-hot **shift matmul** (``S[k, z] = z ==
+  k + cz0``) — 4x less main-matmul volume than computing against the
+  full-z box.
+* Tiles whose cell spread exceeds the box (halo outskirts) are handled
+  by a **repair pass**: per-particle validity is decided in integer cell
+  coordinates (bit-identical in kernel and XLA), invalid particles
+  deposit/gather zero in the kernel and are re-done exactly for the
+  ``rt``-tile compacted dirty set in XLA.  ``mesh_overflow`` reports
+  when ``rt`` is too small (same contract as
+  ``p3m.p3m_neighbor_overflow``).
+
+Accuracy: all matmuls are f32 (bf16 operand rounding would eat the
+~1e-3 P3M force contract).  Determinism: the tile grid is sequential,
+so the accumulation order is fixed.
+
+Reference capability this accelerates: the single all-pairs force of
+``nbody3d.js:218-294`` — this is the beyond-reference O(N) family's
+data-movement engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Local box extents. x is a major (non-tiled) dim: exact dynamic offsets
+# are free.  y is the sublane dim: offsets are floored to 8, so the box
+# is 8 wider.  z is the lane dim: loaded full-G and compacted to _BZ by
+# the shift matmul.
+_BX = 32
+_BY = 40
+_BZ = 32
+
+
+def _extents(grid: int) -> tuple[int, int, int]:
+    return min(_BX, grid), min(_BY, grid), min(_BZ, grid)
+
+
+def _axis_weights(f: jax.Array):
+    """TSC per-axis weights for offsets (-1, 0, +1) from the fractional
+    offset ``f`` in [-1/2, 1/2] (matches :func:`p3m._tsc_cells`)."""
+    return (
+        0.5 * (0.5 - f) ** 2,
+        0.75 - f * f,
+        0.5 * (0.5 + f) ** 2,
+    )
+
+
+def tile_corners(c: jax.Array, block: int, grid: int):
+    """Per-tile box corners + per-particle validity, in integer cell
+    coordinates (so the kernel and the XLA repair pass agree exactly).
+
+    Returns ``(corners (nt, 3) i32, valid (N,) bool, dirty (nt,) bool)``
+    where a particle is valid iff its full 3³ stencil lies inside its
+    tile's box and ``dirty`` marks tiles with any invalid particle.
+    """
+    bx, by, bz = _extents(grid)
+    nt = c.shape[0] // block
+    ct = c.reshape(nt, block, 3)
+    cmin = jnp.min(ct, axis=1)
+    cx0 = jnp.clip(cmin[:, 0] - 1, 0, grid - bx)
+    cy0 = jnp.clip((cmin[:, 1] - 1) & ~7, 0, max(grid - by, 0))
+    cz0 = jnp.clip(cmin[:, 2] - 1, 0, grid - bz)
+    corners = jnp.stack([cx0, cy0, cz0], axis=1)
+    lv = ct - corners[:, None, :]
+    ub = jnp.array([bx - 2, by - 2, bz - 2], jnp.int32)
+    valid = jnp.all((lv >= 1) & (lv <= ub), axis=2)
+    dirty = ~jnp.all(valid, axis=1)
+    return corners, valid.reshape(-1), dirty
+
+
+def _one_hot_weights(cl: jax.Array, f: jax.Array, width: int):
+    """``(P, width)`` TSC weight row per particle: weights at local cells
+    ``cl-1, cl, cl+1``, zero elsewhere (and zero if out of range, which
+    is exactly the per-particle validity gate for that axis)."""
+    p = cl.shape[0]
+    wm, w0, wp = _axis_weights(f[:, None])
+    i = lax.broadcasted_iota(jnp.int32, (p, width), 1)
+    d = i - cl[:, None]
+    return (
+        jnp.where(d == -1, wm, 0.0)
+        + jnp.where(d == 0, w0, 0.0)
+        + jnp.where(d == 1, wp, 0.0)
+    )
+
+
+def _valid_gate(cxl, cyl, czl, bx, by, bz):
+    ok = (
+        (cxl >= 1) & (cxl <= bx - 2)
+        & (cyl >= 1) & (cyl <= by - 2)
+        & (czl >= 1) & (czl <= bz - 2)
+    )
+    return ok.astype(jnp.float32)
+
+
+def _deposit_kernel(
+    cxs, cys, czs, c_ref, fm_ref, out_ref, *, block, grid, bx, by, bz
+):
+    """One Morton tile: box-local one-hot TSC deposit via two matmuls.
+
+    ``local (bx, by·bz) = (Wx·m)ᵀ @ (Wy ⊗ Wz)`` then the z-unshift
+    ``full (bx·by, G) = local @ S`` with ``S[k, z] = (z == k + cz0)``,
+    accumulated into the VMEM-resident grid with dynamic x/y slices
+    (y corner 8-aligned; the lane dim is never sliced).
+    """
+    t = pl.program_id(0)
+    cx0, cy0, cz0 = cxs[t], cys[t], czs[t]
+
+    c = c_ref[...]
+    fm = fm_ref[...]
+    cxl = c[:, 0] - cx0
+    cyl = c[:, 1] - cy0
+    czl = c[:, 2] - cz0
+    gate = _valid_gate(cxl, cyl, czl, bx, by, bz)
+
+    wx = _one_hot_weights(cxl, fm[:, 0], bx)
+    wy = _one_hot_weights(cyl, fm[:, 1], by)
+    wz = _one_hot_weights(czl, fm[:, 2], bz)
+    wxm = wx * (fm[:, 3] * gate)[:, None]
+    wyz = (wy[:, :, None] * wz[:, None, :]).reshape(block, by * bz)
+
+    local = lax.dot_general(
+        wxm, wyz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bx, by*bz)
+
+    ks = lax.broadcasted_iota(jnp.int32, (bz, grid), 0)
+    zs = lax.broadcasted_iota(jnp.int32, (bz, grid), 1)
+    s = (zs == ks + cz0).astype(jnp.float32)
+    full = lax.dot_general(
+        local.reshape(bx * by, bz), s, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(bx, by, grid)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    cur = out_ref[pl.ds(cx0, bx), pl.ds(cy0, by), :]
+    out_ref[pl.ds(cx0, bx), pl.ds(cy0, by), :] = cur + full
+
+
+def _gather_kernel(
+    cxs, cys, czs, c_ref, fm_ref, g_ref, out_ref, *, block, grid, bx, by, bz
+):
+    """One Morton tile: box-local one-hot TSC interpolation of the three
+    force grids.  Per component: z-shift matmul compacts the full-lane
+    box to ``bz`` columns, then ``M1 = Wx @ box`` and a ⟨M1, Wy⊗Wz⟩
+    row contraction (VPU) give the per-particle values."""
+    t = pl.program_id(0)
+    cx0, cy0, cz0 = cxs[t], cys[t], czs[t]
+
+    c = c_ref[...]
+    fm = fm_ref[...]
+    cxl = c[:, 0] - cx0
+    cyl = c[:, 1] - cy0
+    czl = c[:, 2] - cz0
+    gate = _valid_gate(cxl, cyl, czl, bx, by, bz)
+
+    wx = _one_hot_weights(cxl, fm[:, 0], bx)
+    wy = _one_hot_weights(cyl, fm[:, 1], by)
+    wz = _one_hot_weights(czl, fm[:, 2], bz)
+    wyz = (wy[:, :, None] * wz[:, None, :]).reshape(block, by * bz)
+
+    ks = lax.broadcasted_iota(jnp.int32, (grid, bz), 1)
+    zs = lax.broadcasted_iota(jnp.int32, (grid, bz), 0)
+    st = (zs == ks + cz0).astype(jnp.float32)  # (G, bz)
+
+    comps = []
+    for comp in range(3):
+        box = g_ref[comp, pl.ds(cx0, bx), pl.ds(cy0, by), :]
+        boxz = lax.dot_general(
+            box.reshape(bx * by, grid), st, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bx*by, bz)
+        m1 = lax.dot_general(
+            wx, boxz.reshape(bx, by * bz), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block, by*bz)
+        comps.append(jnp.sum(m1 * wyz, axis=1))
+    acc = jnp.stack(comps, axis=1) * gate[:, None]
+    out_ref[...] = jnp.concatenate(
+        [acc, jnp.zeros((block, 1), jnp.float32)], axis=1
+    )
+
+
+def _mesh_call_args(c: jax.Array, f: jax.Array, mass: jax.Array | None):
+    n = c.shape[0]
+    c4 = jnp.concatenate([c, jnp.zeros((n, 1), jnp.int32)], axis=1)
+    m = jnp.zeros((n,), jnp.float32) if mass is None else mass
+    fm = jnp.concatenate([f, m[:, None]], axis=1)
+    return c4, fm
+
+
+def deposit_tiles(
+    c: jax.Array,
+    f: jax.Array,
+    mass: jax.Array,
+    corners: jax.Array,
+    grid: int,
+    block: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fast-path deposit of all VALID particles → ``(grid,)*3`` density.
+    Invalid particles (see :func:`tile_corners`) contribute zero here and
+    must be added by :func:`repair_deposit`."""
+    bx, by, bz = _extents(grid)
+    nt = c.shape[0] // block
+    c4, fm = _mesh_call_args(c, f, mass)
+    kernel = functools.partial(
+        _deposit_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (grid, grid, grid), lambda t, cx, cy, cz: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((grid, grid, grid), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nt * block * bx * by * bz + 2 * nt * bx * by * bz * grid,
+            bytes_accessed=nt * block * 32 + grid**3 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(corners[:, 0], corners[:, 1], corners[:, 2], c4, fm)
+
+
+def gather_tiles(
+    grids: jax.Array,
+    c: jax.Array,
+    f: jax.Array,
+    corners: jax.Array,
+    grid: int,
+    block: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fast-path interpolation of ``grids (3, G³)`` at all VALID
+    particles → ``(N, 3)`` (zero rows for invalid particles)."""
+    bx, by, bz = _extents(grid)
+    n = c.shape[0]
+    nt = n // block
+    c4, fm = _mesh_call_args(c, f, None)
+    g4 = grids.reshape(3, grid, grid, grid)
+    kernel = functools.partial(
+        _gather_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, grid, grid, grid), lambda t, cx, cy, cz: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block, 4), lambda t, cx, cy, cz: (t, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * nt * block * bx * by * bz
+            + 6 * nt * bx * by * bz * grid,
+            bytes_accessed=nt * block * 32 + 3 * grid**3 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(corners[:, 0], corners[:, 1], corners[:, 2], c4, fm, g4)
+    return out[:, :3]
+
+
+_OFFS = [
+    (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
+]
+
+
+def _repair_rows(valid, dirty, rt, block):
+    """Compacted repair set: row indices of the first ``rt`` dirty tiles
+    plus a per-row f32 gate selecting exactly the INVALID particles (and
+    zeroing rows of fill tiles past the dirty count)."""
+    nt = dirty.shape[0]
+    (ids,) = jnp.nonzero(dirty, size=rt, fill_value=nt)
+    tile_ok = ids < nt
+    ids_c = jnp.minimum(ids, nt - 1)
+    rows = (
+        ids_c[:, None] * block + jnp.arange(block, dtype=ids.dtype)[None, :]
+    ).reshape(-1)
+    gate = (
+        tile_ok[:, None] & ~valid.reshape(nt, block)[ids_c]
+    ).reshape(-1).astype(jnp.float32)
+    return rows, gate
+
+
+def repair_deposit(
+    rho, c, w, mass, valid, dirty, rt: int, grid: int, block: int
+):
+    """Exact TSC deposit of the invalid particles (≤ ``rt`` dirty tiles)
+    via one flat scatter-add — tiny (27·rt·block elements), so XLA's
+    serial TPU scatter is acceptable here and nowhere else."""
+    rows, gate = _repair_rows(valid, dirty, rt, block)
+    cr = c[rows]
+    wr = w[:, rows, :]
+    mr = mass[rows] * gate
+    base = (cr[:, 0] * grid + cr[:, 1]) * grid + cr[:, 2]
+    idxs, vals = [], []
+    for dx, dy, dz in _OFFS:
+        idxs.append(base + ((dx * grid) + dy) * grid + dz)
+        vals.append(mr * wr[dx + 1, :, 0] * wr[dy + 1, :, 1] * wr[dz + 1, :, 2])
+    flat = rho.reshape(-1).at[jnp.concatenate(idxs)].add(
+        jnp.concatenate(vals)
+    )
+    return flat.reshape(grid, grid, grid)
+
+
+def repair_gather(
+    acc, grids, c, w, valid, dirty, rt: int, grid: int, block: int
+):
+    """Exact TSC interpolation for the invalid particles, added into the
+    fast-path ``acc (N, 3)`` (whose invalid rows are zero)."""
+    rows, gate = _repair_rows(valid, dirty, rt, block)
+    cr = c[rows]
+    wr = w[:, rows, :]
+    base = (cr[:, 0] * grid + cr[:, 1]) * grid + cr[:, 2]
+    idxs, wcol = [], []
+    for dx, dy, dz in _OFFS:
+        idxs.append(base + ((dx * grid) + dy) * grid + dz)
+        wcol.append(wr[dx + 1, :, 0] * wr[dy + 1, :, 1] * wr[dz + 1, :, 2])
+    idx = jnp.stack(idxs, axis=1)  # (R, 27)
+    wc = jnp.stack(wcol, axis=1) * gate[:, None]
+    vals = jnp.stack(
+        [jnp.sum(jnp.take(grids[comp], idx, axis=0) * wc, axis=1)
+         for comp in range(3)],
+        axis=1,
+    )  # (R, 3)
+    return acc.at[rows].add(vals)
+
+
+def mesh_overflow(c: jax.Array, block: int, grid: int, rt: int):
+    """Diagnostic (same contract as :func:`p3m.p3m_neighbor_overflow`):
+    ``(dirty_tiles, invalid_particles)`` — the repair budget ``rt`` must
+    be ≥ dirty_tiles or the repair pass silently drops the excess."""
+    _, valid, dirty = tile_corners(c, block, grid)
+    return jnp.sum(dirty), jnp.sum(~valid)
+
+
+def default_rt(nt: int) -> int:
+    """Repair-tile budget: measured dirty fractions on the galaxy preset
+    are 0.16-1.5% of tiles (spread bound 30), so nt/32 with a floor of
+    32 leaves ≥2x headroom at every benchmarked N."""
+    return max(32, min(nt, nt // 32 if nt >= 1024 else nt))
+
+
+def mesh_accel_pallas(
+    ps: jax.Array,
+    lo: jax.Array,
+    h: jax.Array,
+    sigma: jax.Array,
+    *,
+    grid: int,
+    eps2: float,
+    block: int,
+    rt: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Long-range P3M acceleration per unit G for Morton-sorted
+    ``ps (N, 4)`` (positions + mesh mass): tile deposit → FFT gradient
+    solve (:func:`p3m.solve_accel_long`, unchanged XLA) → tile gather,
+    with exact XLA repair of out-of-box particles.  Returns ``(N, 3)``
+    in the sorted order."""
+    from nbody3d_tpu.ops.p3m import _tsc_cells, solve_accel_long
+
+    n = ps.shape[0]
+    nt = n // block
+    if rt <= 0:
+        rt = default_rt(nt)
+    rt = min(rt, nt)
+    pos, mass = ps[:, :3], ps[:, 3]
+    c, w = _tsc_cells(pos, lo, h, grid)
+    f = jnp.clip((pos - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5)
+    corners, valid, dirty = tile_corners(c, block, grid)
+
+    rho = deposit_tiles(c, f, mass, corners, grid, block, interpret=interpret)
+    rho = repair_deposit(rho, c, w, mass, valid, dirty, rt, grid, block)
+    grids = solve_accel_long(rho, h, float(eps2), sigma, order=3)
+    acc = gather_tiles(grids, c, f, corners, grid, block, interpret=interpret)
+    acc = repair_gather(acc, grids, c, w, valid, dirty, rt, grid, block)
+    return acc
+
+
+def mesh_accel_jnp(
+    ps: jax.Array,
+    lo: jax.Array,
+    h: jax.Array,
+    sigma: jax.Array,
+    *,
+    grid: int,
+    eps2: float,
+    order: int = 3,
+) -> jax.Array:
+    """The XLA oracle for :func:`mesh_accel_pallas` (and the CPU / jnp
+    backend path): exactly the pre-round-3 P3M mesh pipeline."""
+    from nbody3d_tpu.ops import pm as pm_mod
+    from nbody3d_tpu.ops.p3m import (
+        _tsc_cells, solve_accel_long, tsc_deposit, tsc_gather,
+    )
+
+    pos, mass = ps[:, :3], ps[:, 3]
+    if order == 3:
+        rho = tsc_deposit(pos, mass, lo, h, grid)
+        grids = solve_accel_long(rho, h, float(eps2), sigma, order=3)
+        c, w = _tsc_cells(pos, lo, h, grid)
+        return tsc_gather(grids, c, w, grid)
+    rho = pm_mod.cic_deposit(pos, mass, lo, h, grid)
+    grids = solve_accel_long(rho, h, float(eps2), sigma, order=2)
+    i0, fr = pm_mod._cic_cells(pos, lo, h, grid)
+    return pm_mod.cic_gather(grids, i0, fr, grid)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mesh_diff(grid: int, eps2: float, block: int, rt: int,
+                    interpret: bool):
+    """Differentiable pairing: Pallas mesh primal, jnp-oracle backward —
+    the same pattern as :func:`p3m._make_sr_pallas_diff`, so ``jax.grad``
+    through a P3M step works at kernel speed on the default backend."""
+
+    @jax.custom_vjp
+    def fn(ps, lo, h, sigma):
+        return mesh_accel_pallas(
+            ps, lo, h, sigma, grid=grid, eps2=eps2, block=block, rt=rt,
+            interpret=interpret,
+        )
+
+    def fwd(ps, lo, h, sigma):
+        return fn(ps, lo, h, sigma), (ps, lo, h, sigma)
+
+    def bwd(res, g):
+        ps, lo, h, sigma = res
+        _, vjp = jax.vjp(
+            lambda ps_, lo_, h_, sigma_: mesh_accel_jnp(
+                ps_, lo_, h_, sigma_, grid=grid, eps2=eps2, order=3
+            ),
+            ps, lo, h, sigma,
+        )
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def mesh_accel(
+    ps: jax.Array,
+    lo: jax.Array,
+    h: jax.Array,
+    sigma: jax.Array,
+    *,
+    grid: int,
+    eps2: float,
+    block: int,
+    order: int = 3,
+    rt: int = 0,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """Mesh long-range dispatch.  ``backend="auto"`` runs the Pallas tile
+    kernels on TPU whenever they apply (order 3, 32 ≤ grid ≤ 128 so the
+    f32 grid is VMEM-resident and full-z fits the lane dim, block ≥ 8)
+    and the XLA form elsewhere.  ``"pallas_interpret"`` exercises the
+    kernels through the Pallas interpreter (CPU tests)."""
+    if backend == "pallas_interpret":
+        backend, interpret = "pallas", True
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and order == 3
+            and 32 <= grid <= 128
+            and block >= 8
+            else "jnp"
+        )
+    if backend == "pallas":
+        nt = ps.shape[0] // block
+        rt_r = min(rt if rt > 0 else default_rt(nt), nt)
+        fn = _make_mesh_diff(grid, float(eps2), block, rt_r, interpret)
+        return fn(ps, lo, h, sigma)
+    return mesh_accel_jnp(
+        ps, lo, h, sigma, grid=grid, eps2=float(eps2), order=order
+    )

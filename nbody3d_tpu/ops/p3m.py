@@ -843,7 +843,7 @@ def short_range_tiles(
     jax.jit,
     static_argnames=(
         "grid", "eps2", "n_real", "sigma_cells", "rcut_sigmas", "block",
-        "nbr_k", "order", "heavy_k", "short_backend",
+        "nbr_k", "order", "heavy_k", "short_backend", "mesh_backend",
     ),
 )
 def accel_p3m(
@@ -860,6 +860,7 @@ def accel_p3m(
     order: int = 3,
     heavy_k: int = DEFAULT_HEAVY_K,
     short_backend: str = "auto",
+    mesh_backend: str = "auto",
 ) -> jax.Array:
     """P3M accelerations ``(N, 4)`` (w lane zero): PM far field + exact
     short-range correction + exact direct pairs for the ``heavy_k`` most
@@ -867,8 +868,11 @@ def accel_p3m(
     ~1e-3 everywhere including clustered cores (contract in
     ``tests/test_p3m.py``).  ``block=0`` auto-sizes the short-range
     tiles (:func:`p3m_block`).  ``short_backend`` dispatches the
-    short-range pass (:func:`short_range_tiles`); both forms are
-    differentiable (the Pallas path pairs a jnp-oracle backward)."""
+    short-range pass (:func:`short_range_tiles`) and ``mesh_backend``
+    the deposit/gather (:func:`mesh_pallas.mesh_accel`); every form is
+    differentiable (the Pallas paths pair jnp-oracle backwards)."""
+    from nbody3d_tpu.ops.mesh_pallas import mesh_accel
+
     n = pos_mass.shape[0]
     if n_real is None:
         n_real = n
@@ -886,18 +890,22 @@ def accel_p3m(
     hidx, mass_mesh = heavy_split(pos_mass, heavy_k)
     pm_mesh = jnp.concatenate([pos, mass_mesh[:, None]], axis=1)
 
+    # Morton sort FIRST: the short-range tile pass and the mesh tile
+    # kernels share the sorted layout (ops/mesh_pallas.py docstring), and
+    # combining both passes in sorted order needs only one inverse-
+    # permutation gather at the end.
+    keys = morton_keys(pos_mass, n_real)
+    perm = jnp.argsort(keys, stable=True)
+    inv = jnp.argsort(perm)
+    ps = pm_mesh[perm]
+
     # Long range: the PM pipeline with the erf-smoothed gradient kernels
-    # (see solve_accel_long) at the requested assignment order.
-    if order == 3:
-        rho = tsc_deposit(pos, mass_mesh, lo, h, grid)
-        grids = solve_accel_long(rho, h, float(eps2), sigma, order=3)
-        c, w = _tsc_cells(pos, lo, h, grid)
-        acc = tsc_gather(grids, c, w, grid)
-    else:
-        rho = cic_deposit(pos, mass_mesh, lo, h, grid)
-        grids = solve_accel_long(rho, h, float(eps2), sigma, order=2)
-        i0, f = _cic_cells(pos, lo, h, grid)
-        acc = cic_gather(grids, i0, f, grid)
+    # (see solve_accel_long) at the requested assignment order, on the
+    # resolved mesh backend (MXU tile kernels on TPU at order 3).
+    acc = mesh_accel(
+        ps, lo, h, sigma, grid=grid, eps2=float(eps2), block=block,
+        order=order, backend=mesh_backend,
+    )
 
     # Project out the mesh's spurious net force.  The exact light-light
     # interaction is translation-invariant (zero net force); subtracting
@@ -906,17 +914,14 @@ def accel_p3m(
     # net momentum kick exactly.  (The dominant momentum leak was the
     # asymmetric neighbor truncation — see mutual_neighbor_mask — but
     # this projection closes the residual FFT term for free.)
-    # mass_mesh is exactly "mass of the rows that keep the mesh value":
+    # ps[:, 3] is exactly "mass of the rows that keep the mesh value":
     # heavy rows (overwritten below) and padding rows carry zero.
-    msum = jnp.maximum(jnp.sum(mass_mesh), jnp.float32(1e-30))
-    acc = acc - jnp.sum(mass_mesh[:, None] * acc, axis=0)[None, :] / msum
+    mass_s = ps[:, 3]
+    msum = jnp.maximum(jnp.sum(mass_s), jnp.float32(1e-30))
+    acc = acc - jnp.sum(mass_s[:, None] * acc, axis=0)[None, :] / msum
 
-    # Short range: Morton-sort -> nearest-tile selection -> masked dense
-    # correction -> inverse permutation (gather, never scatter: TPU).
-    keys = morton_keys(pos_mass, n_real)
-    perm = jnp.argsort(keys, stable=True)
-    inv = jnp.argsort(perm)
-    ps = pm_mesh[perm]
+    # Short range: nearest-tile selection -> masked dense correction
+    # over the same sorted tiles (gather, never scatter: TPU).
     lo_b, hi_b = _sorted_aabbs(ps, n_real, block)
     nb = n // block
     kth, neg, nbr_idx = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k)
@@ -925,7 +930,7 @@ def accel_p3m(
         ps, nbr_idx, 0, nb, float(eps2), sigma, rcut, block,
         nbr_mask=nbr_mask, backend=short_backend,
     )
-    acc = acc + acc_s[inv]
+    acc = (acc + acc_s)[inv]
 
     # Exact heavy pairs: heavy sources act on everyone; heavy rows'
     # mesh+short value (light sources only) is replaced by their

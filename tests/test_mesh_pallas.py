@@ -1,0 +1,164 @@
+"""MXU tile mesh deposit/gather (ops/mesh_pallas.py) vs the XLA oracles.
+
+The Pallas path must reproduce ``tsc_deposit``/``tsc_gather`` exactly
+(up to f32 accumulation order): the fast kernel covers in-box particles,
+the XLA repair pass covers the rest, and the per-particle partition is
+decided in integer cell coordinates so no contribution is dropped or
+double-counted.  Runs in interpret mode on the CPU mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nbody3d_tpu.ops import mesh_pallas as mp
+from nbody3d_tpu.ops.p3m import (
+    _tsc_cells,
+    accel_p3m,
+    morton_keys,
+    solve_accel_long,
+    tsc_deposit,
+    tsc_gather,
+)
+from nbody3d_tpu.ops.pm import _box
+
+GRID = 64
+BLOCK = 256
+EPS2 = 1e-4
+
+
+def _sorted_cloud(n=4096, outliers=64, seed=1):
+    """Clustered cloud with a sparse halo (forces dirty tiles), Morton-
+    sorted like accel_p3m lays it out."""
+    rng = np.random.default_rng(seed)
+    pos = rng.normal(size=(n, 3)).astype(np.float32)
+    pos[:outliers] *= 40.0
+    m = rng.uniform(0.5, 1.5, size=(n,)).astype(np.float32)
+    pmj = jnp.asarray(np.concatenate([pos, m[:, None]], axis=1))
+    ps = pmj[jnp.argsort(morton_keys(pmj, n), stable=True)]
+    lo, h = _box(ps[:, :3], GRID)
+    return ps, lo, h
+
+
+def _cells(ps, lo, h):
+    c, w = _tsc_cells(ps[:, :3], lo, h, GRID)
+    f = jnp.clip((ps[:, :3] - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5)
+    return c, w, f
+
+
+class TestTileMesh:
+    def test_deposit_matches_oracle(self):
+        ps, lo, h = _sorted_cloud()
+        c, w, f = _cells(ps, lo, h)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID)
+        assert int(jnp.sum(dirty)) > 0, "fixture must exercise the repair path"
+        rho = mp.deposit_tiles(c, f, ps[:, 3], corners, GRID, BLOCK,
+                               interpret=True)
+        rho = mp.repair_deposit(rho, c, w, ps[:, 3], valid, dirty, 16,
+                                GRID, BLOCK)
+        rho_o = tsc_deposit(ps[:, :3], ps[:, 3], lo, h, GRID)
+        scale = float(jnp.max(jnp.abs(rho_o)))
+        np.testing.assert_allclose(
+            np.asarray(rho), np.asarray(rho_o), atol=2e-6 * scale
+        )
+        # total mass is conserved bit-for-bit-ish (sum order differs)
+        assert abs(float(jnp.sum(rho) - jnp.sum(rho_o))) < 1e-5 * float(
+            jnp.sum(rho_o)
+        )
+
+    def test_gather_matches_oracle(self):
+        ps, lo, h = _sorted_cloud()
+        c, w, f = _cells(ps, lo, h)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID)
+        rng = np.random.default_rng(0)
+        grids = jnp.asarray(rng.normal(size=(3, GRID**3)).astype(np.float32))
+        acc = mp.gather_tiles(grids, c, f, corners, GRID, BLOCK,
+                              interpret=True)
+        acc = mp.repair_gather(acc, grids, c, w, valid, dirty, 16, GRID, BLOCK)
+        acc_o = tsc_gather(grids, c, w, GRID)
+        scale = float(jnp.max(jnp.abs(acc_o)))
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(acc_o), atol=2e-6 * scale
+        )
+
+    def test_mesh_accel_matches_jnp(self):
+        ps, lo, h = _sorted_cloud()
+        sigma = 1.5 * h
+        a_p = mp.mesh_accel_pallas(ps, lo, h, sigma, grid=GRID, eps2=EPS2,
+                                   block=BLOCK, interpret=True)
+        a_j = mp.mesh_accel_jnp(ps, lo, h, sigma, grid=GRID, eps2=EPS2)
+        scale = float(jnp.max(jnp.abs(a_j)))
+        np.testing.assert_allclose(
+            np.asarray(a_p), np.asarray(a_j), atol=5e-6 * scale
+        )
+
+    def test_deterministic(self):
+        ps, lo, h = _sorted_cloud()
+        c, w, f = _cells(ps, lo, h)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID)
+        r1 = mp.deposit_tiles(c, f, ps[:, 3], corners, GRID, BLOCK,
+                              interpret=True)
+        r2 = mp.deposit_tiles(c, f, ps[:, 3], corners, GRID, BLOCK,
+                              interpret=True)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    def test_overflow_diagnostic(self):
+        """A too-small repair budget is detectable: mesh_overflow counts
+        dirty tiles; budgets >= that count reproduce the oracle, smaller
+        budgets are reported (never silently exact)."""
+        ps, lo, h = _sorted_cloud()
+        c, w, f = _cells(ps, lo, h)
+        nd, ninv = jax.jit(
+            mp.mesh_overflow, static_argnums=(1, 2, 3)
+        )(c, BLOCK, GRID, 1)
+        assert int(nd) >= 1 and int(ninv) >= int(nd)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID)
+        rho_o = tsc_deposit(ps[:, :3], ps[:, 3], lo, h, GRID)
+        rho_small = mp.repair_deposit(
+            mp.deposit_tiles(c, f, ps[:, 3], corners, GRID, BLOCK,
+                             interpret=True),
+            c, w, ps[:, 3], valid, dirty, 1, GRID, BLOCK,
+        )
+        if int(nd) > 1:  # truncated budget must actually lose mass
+            assert float(jnp.sum(rho_small)) < float(jnp.sum(rho_o)) * (
+                1.0 - 1e-9
+            )
+
+    def test_grad_pallas_matches_jnp(self):
+        """Custom-VJP pairing (Pallas primal, jnp backward): grad through
+        the mesh path equals grad through the oracle."""
+        ps, lo, h = _sorted_cloud(n=1024, outliers=16)
+        sigma = 1.5 * h
+
+        def loss(be):
+            def fn(ps_):
+                a = mp.mesh_accel(
+                    ps_, lo, h, sigma, grid=GRID, eps2=EPS2, block=256,
+                    backend=be, interpret=True,
+                )
+                return jnp.sum(a * a)
+            return fn
+
+        g_j = np.asarray(jax.grad(loss("jnp"))(ps))
+        g_p = np.asarray(jax.grad(loss("pallas"))(ps))
+        scale = np.abs(g_j).max()
+        np.testing.assert_allclose(g_p, g_j, rtol=1e-4, atol=1e-5 * scale)
+
+    def test_accel_p3m_mesh_backends_agree(self):
+        """Full solver equality: accel_p3m with the Pallas mesh equals the
+        jnp mesh (both with the jnp short-range, CPU)."""
+        rng = np.random.default_rng(3)
+        n = 2048
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        pos[:32] *= 30.0
+        m = rng.uniform(0.5, 1.5, size=(n, 1)).astype(np.float32)
+        pmj = jnp.asarray(np.concatenate([pos, m], axis=1))
+        a_j = accel_p3m(pmj, 1.0, grid=GRID, short_backend="jnp",
+                        mesh_backend="jnp")
+        a_p = accel_p3m(pmj, 1.0, grid=GRID, short_backend="jnp",
+                        mesh_backend="pallas_interpret")
+        scale = float(jnp.max(jnp.abs(a_j)))
+        np.testing.assert_allclose(
+            np.asarray(a_p), np.asarray(a_j), atol=1e-5 * scale
+        )

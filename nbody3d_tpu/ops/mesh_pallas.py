@@ -75,55 +75,65 @@ def _axis_weights(f: jax.Array):
     )
 
 
-def tile_corners(c: jax.Array, block: int, grid: int):
+def tile_corners(c: jax.Array, block: int, grid: int, order: int = 3):
     """Per-tile box corners + per-particle validity, in integer cell
     coordinates (so the kernel and the XLA repair pass agree exactly).
 
-    Returns ``(corners (nt, 3) i32, valid (N,) bool, dirty (nt,) bool)``
-    where a particle is valid iff its full 3³ stencil lies inside its
-    tile's box and ``dirty`` marks tiles with any invalid particle.
+    ``order=3`` is the TSC stencil over cells ``c-1..c+1`` (``c`` the
+    nearest cell); ``order=2`` is CIC over ``c..c+1`` (``c`` the floor
+    cell, :func:`pm._cic_cells`).  Returns ``(corners (nt, 3) i32,
+    valid (N,) bool, dirty (nt,) bool)`` where a particle is valid iff
+    its full stencil lies inside its tile's box and ``dirty`` marks
+    tiles with any invalid particle.
     """
     bx, by, bz = _extents(grid)
+    lb = 1 if order == 3 else 0
     nt = c.shape[0] // block
     ct = c.reshape(nt, block, 3)
     cmin = jnp.min(ct, axis=1)
-    cx0 = jnp.clip(cmin[:, 0] - 1, 0, grid - bx)
-    cy0 = jnp.clip((cmin[:, 1] - 1) & ~7, 0, max(grid - by, 0))
-    cz0 = jnp.clip(cmin[:, 2] - 1, 0, grid - bz)
+    cx0 = jnp.clip(cmin[:, 0] - lb, 0, grid - bx)
+    cy0 = jnp.clip((cmin[:, 1] - lb) & ~7, 0, max(grid - by, 0))
+    cz0 = jnp.clip(cmin[:, 2] - lb, 0, grid - bz)
     corners = jnp.stack([cx0, cy0, cz0], axis=1)
     lv = ct - corners[:, None, :]
     ub = jnp.array([bx - 2, by - 2, bz - 2], jnp.int32)
-    valid = jnp.all((lv >= 1) & (lv <= ub), axis=2)
+    valid = jnp.all((lv >= lb) & (lv <= ub), axis=2)
     dirty = ~jnp.all(valid, axis=1)
     return corners, valid.reshape(-1), dirty
 
 
-def _one_hot_weights(cl: jax.Array, f: jax.Array, width: int):
-    """``(P, width)`` TSC weight row per particle: weights at local cells
-    ``cl-1, cl, cl+1``, zero elsewhere (and zero if out of range, which
-    is exactly the per-particle validity gate for that axis)."""
+def _one_hot_weights(cl: jax.Array, f: jax.Array, width: int, order: int):
+    """``(P, width)`` assignment weight row per particle: TSC weights at
+    local cells ``cl-1..cl+1`` (order 3, ``f`` in [-1/2, 1/2]) or CIC
+    weights at ``cl..cl+1`` (order 2, ``f`` in [0, 1]), zero elsewhere
+    (and zero if out of range, which is exactly the per-particle
+    validity gate for that axis)."""
     p = cl.shape[0]
-    wm, w0, wp = _axis_weights(f[:, None])
     i = lax.broadcasted_iota(jnp.int32, (p, width), 1)
     d = i - cl[:, None]
-    return (
-        jnp.where(d == -1, wm, 0.0)
-        + jnp.where(d == 0, w0, 0.0)
-        + jnp.where(d == 1, wp, 0.0)
-    )
+    if order == 3:
+        wm, w0, wp = _axis_weights(f[:, None])
+        return (
+            jnp.where(d == -1, wm, 0.0)
+            + jnp.where(d == 0, w0, 0.0)
+            + jnp.where(d == 1, wp, 0.0)
+        )
+    fc = f[:, None]
+    return jnp.where(d == 0, 1.0 - fc, 0.0) + jnp.where(d == 1, fc, 0.0)
 
 
-def _valid_gate(cxl, cyl, czl, bx, by, bz):
+def _valid_gate(cxl, cyl, czl, bx, by, bz, order):
+    lb = 1 if order == 3 else 0
     ok = (
-        (cxl >= 1) & (cxl <= bx - 2)
-        & (cyl >= 1) & (cyl <= by - 2)
-        & (czl >= 1) & (czl <= bz - 2)
+        (cxl >= lb) & (cxl <= bx - 2)
+        & (cyl >= lb) & (cyl <= by - 2)
+        & (czl >= lb) & (czl <= bz - 2)
     )
     return ok.astype(jnp.float32)
 
 
 def _deposit_kernel(
-    cxs, cys, czs, c_ref, fm_ref, out_ref, *, block, grid, bx, by, bz
+    cxs, cys, czs, c_ref, fm_ref, out_ref, *, block, grid, bx, by, bz, order
 ):
     """One Morton tile: box-local one-hot TSC deposit via two matmuls.
 
@@ -140,11 +150,11 @@ def _deposit_kernel(
     cxl = c[:, 0] - cx0
     cyl = c[:, 1] - cy0
     czl = c[:, 2] - cz0
-    gate = _valid_gate(cxl, cyl, czl, bx, by, bz)
+    gate = _valid_gate(cxl, cyl, czl, bx, by, bz, order)
 
-    wx = _one_hot_weights(cxl, fm[:, 0], bx)
-    wy = _one_hot_weights(cyl, fm[:, 1], by)
-    wz = _one_hot_weights(czl, fm[:, 2], bz)
+    wx = _one_hot_weights(cxl, fm[:, 0], bx, order)
+    wy = _one_hot_weights(cyl, fm[:, 1], by, order)
+    wz = _one_hot_weights(czl, fm[:, 2], bz, order)
     wxm = wx * (fm[:, 3] * gate)[:, None]
     wyz = (wy[:, :, None] * wz[:, None, :]).reshape(block, by * bz)
 
@@ -170,7 +180,8 @@ def _deposit_kernel(
 
 
 def _gather_kernel(
-    cxs, cys, czs, c_ref, fm_ref, g_ref, out_ref, *, block, grid, bx, by, bz
+    cxs, cys, czs, c_ref, fm_ref, g_ref, out_ref, *, block, grid, bx, by, bz,
+    order
 ):
     """One Morton tile: box-local one-hot TSC interpolation of the three
     force grids.  Per component: z-shift matmul compacts the full-lane
@@ -184,11 +195,11 @@ def _gather_kernel(
     cxl = c[:, 0] - cx0
     cyl = c[:, 1] - cy0
     czl = c[:, 2] - cz0
-    gate = _valid_gate(cxl, cyl, czl, bx, by, bz)
+    gate = _valid_gate(cxl, cyl, czl, bx, by, bz, order)
 
-    wx = _one_hot_weights(cxl, fm[:, 0], bx)
-    wy = _one_hot_weights(cyl, fm[:, 1], by)
-    wz = _one_hot_weights(czl, fm[:, 2], bz)
+    wx = _one_hot_weights(cxl, fm[:, 0], bx, order)
+    wy = _one_hot_weights(cyl, fm[:, 1], by, order)
+    wz = _one_hot_weights(czl, fm[:, 2], bz, order)
     wyz = (wy[:, :, None] * wz[:, None, :]).reshape(block, by * bz)
 
     ks = lax.broadcasted_iota(jnp.int32, (grid, bz), 1)
@@ -228,6 +239,7 @@ def deposit_tiles(
     corners: jax.Array,
     grid: int,
     block: int,
+    order: int = 3,
     interpret: bool = False,
 ) -> jax.Array:
     """Fast-path deposit of all VALID particles → ``(grid,)*3`` density.
@@ -237,7 +249,8 @@ def deposit_tiles(
     nt = c.shape[0] // block
     c4, fm = _mesh_call_args(c, f, mass)
     kernel = functools.partial(
-        _deposit_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz
+        _deposit_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz,
+        order=order,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -277,6 +290,7 @@ def gather_tiles(
     corners: jax.Array,
     grid: int,
     block: int,
+    order: int = 3,
     interpret: bool = False,
 ) -> jax.Array:
     """Fast-path interpolation of ``grids (3, G³)`` at all VALID
@@ -287,7 +301,8 @@ def gather_tiles(
     c4, fm = _mesh_call_args(c, f, None)
     g4 = grids.reshape(3, grid, grid, grid)
     kernel = functools.partial(
-        _gather_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz
+        _gather_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz,
+        order=order,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -325,9 +340,13 @@ def gather_tiles(
     return out[:, :3]
 
 
-_OFFS = [
-    (dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)
-]
+def _offsets(order: int):
+    """Stencil offsets and the index shift into the per-axis weight stack
+    ``w (order, N, 3)`` — TSC rows are (w[-1], w[0], w[+1]), CIC rows are
+    (w[0], w[+1])."""
+    r = (-1, 0, 1) if order == 3 else (0, 1)
+    offs = [(dx, dy, dz) for dx in r for dy in r for dz in r]
+    return offs, (1 if order == 3 else 0)
 
 
 def _repair_rows(valid, dirty, rt, block):
@@ -348,20 +367,23 @@ def _repair_rows(valid, dirty, rt, block):
 
 
 def repair_deposit(
-    rho, c, w, mass, valid, dirty, rt: int, grid: int, block: int
+    rho, c, w, mass, valid, dirty, rt: int, grid: int, block: int,
+    order: int = 3,
 ):
-    """Exact TSC deposit of the invalid particles (≤ ``rt`` dirty tiles)
-    via one flat scatter-add — tiny (27·rt·block elements), so XLA's
-    serial TPU scatter is acceptable here and nowhere else."""
+    """Exact deposit of the invalid particles (≤ ``rt`` dirty tiles) via
+    one flat scatter-add — tiny (≤27·rt·block elements), so XLA's serial
+    TPU scatter is acceptable here and nowhere else.  ``w`` is the
+    per-axis weight stack ``(order, N, 3)`` (see :func:`_offsets`)."""
+    offs, sh = _offsets(order)
     rows, gate = _repair_rows(valid, dirty, rt, block)
     cr = c[rows]
     wr = w[:, rows, :]
     mr = mass[rows] * gate
     base = (cr[:, 0] * grid + cr[:, 1]) * grid + cr[:, 2]
     idxs, vals = [], []
-    for dx, dy, dz in _OFFS:
+    for dx, dy, dz in offs:
         idxs.append(base + ((dx * grid) + dy) * grid + dz)
-        vals.append(mr * wr[dx + 1, :, 0] * wr[dy + 1, :, 1] * wr[dz + 1, :, 2])
+        vals.append(mr * wr[dx + sh, :, 0] * wr[dy + sh, :, 1] * wr[dz + sh, :, 2])
     flat = rho.reshape(-1).at[jnp.concatenate(idxs)].add(
         jnp.concatenate(vals)
     )
@@ -369,18 +391,20 @@ def repair_deposit(
 
 
 def repair_gather(
-    acc, grids, c, w, valid, dirty, rt: int, grid: int, block: int
+    acc, grids, c, w, valid, dirty, rt: int, grid: int, block: int,
+    order: int = 3,
 ):
-    """Exact TSC interpolation for the invalid particles, added into the
+    """Exact interpolation for the invalid particles, added into the
     fast-path ``acc (N, 3)`` (whose invalid rows are zero)."""
+    offs, sh = _offsets(order)
     rows, gate = _repair_rows(valid, dirty, rt, block)
     cr = c[rows]
     wr = w[:, rows, :]
     base = (cr[:, 0] * grid + cr[:, 1]) * grid + cr[:, 2]
     idxs, wcol = [], []
-    for dx, dy, dz in _OFFS:
+    for dx, dy, dz in offs:
         idxs.append(base + ((dx * grid) + dy) * grid + dz)
-        wcol.append(wr[dx + 1, :, 0] * wr[dy + 1, :, 1] * wr[dz + 1, :, 2])
+        wcol.append(wr[dx + sh, :, 0] * wr[dy + sh, :, 1] * wr[dz + sh, :, 2])
     idx = jnp.stack(idxs, axis=1)  # (R, 27)
     wc = jnp.stack(wcol, axis=1) * gate[:, None]
     vals = jnp.stack(
@@ -391,11 +415,12 @@ def repair_gather(
     return acc.at[rows].add(vals)
 
 
-def mesh_overflow(c: jax.Array, block: int, grid: int, rt: int):
+def mesh_overflow(c: jax.Array, block: int, grid: int, rt: int,
+                  order: int = 3):
     """Diagnostic (same contract as :func:`p3m.p3m_neighbor_overflow`):
     ``(dirty_tiles, invalid_particles)`` — the repair budget ``rt`` must
     be ≥ dirty_tiles or the repair pass silently drops the excess."""
-    _, valid, dirty = tile_corners(c, block, grid)
+    _, valid, dirty = tile_corners(c, block, grid, order)
     return jnp.sum(dirty), jnp.sum(~valid)
 
 
@@ -541,3 +566,133 @@ def mesh_accel(
     return mesh_accel_jnp(
         ps, lo, h, sigma, grid=grid, eps2=float(eps2), order=order
     )
+
+
+# ---------------------------------------------------------------------------
+# PM (CIC, order 2) pipeline on the same tile kernels.
+
+
+def pm_accel_pallas(
+    ps: jax.Array,
+    lo: jax.Array,
+    h: jax.Array,
+    *,
+    grid: int,
+    eps2: float,
+    block: int,
+    rt: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """PM acceleration per unit G for Morton-sorted ``ps (N, 4)``: CIC
+    tile deposit → isolated-boundary FFT potential + central-difference
+    gradient (:func:`pm.solve_potential` / :func:`pm.force_grids`,
+    unchanged XLA) → CIC tile gather, with exact XLA repair of
+    out-of-box particles.  Returns ``(N, 3)`` in the sorted order."""
+    from nbody3d_tpu.ops.pm import _cic_cells, force_grids, solve_potential
+
+    n = ps.shape[0]
+    nt = n // block
+    if rt <= 0:
+        rt = default_rt(nt)
+    rt = min(rt, nt)
+    pos, mass = ps[:, :3], ps[:, 3]
+    i0, f = _cic_cells(pos, lo, h, grid)
+    w2 = jnp.stack([1.0 - f, f], axis=0)  # (2, N, 3) per-axis CIC weights
+    corners, valid, dirty = tile_corners(i0, block, grid, order=2)
+
+    rho = deposit_tiles(i0, f, mass, corners, grid, block, order=2,
+                        interpret=interpret)
+    rho = repair_deposit(rho, i0, w2, mass, valid, dirty, rt, grid, block,
+                         order=2)
+    phi = solve_potential(rho, h, float(eps2))
+    grids = force_grids(phi, h)
+    acc = gather_tiles(grids, i0, f, corners, grid, block, order=2,
+                       interpret=interpret)
+    acc = repair_gather(acc, grids, i0, w2, valid, dirty, rt, grid, block,
+                        order=2)
+    return acc
+
+
+def pm_accel_jnp(
+    ps: jax.Array,
+    lo: jax.Array,
+    h: jax.Array,
+    *,
+    grid: int,
+    eps2: float,
+) -> jax.Array:
+    """The XLA oracle for :func:`pm_accel_pallas`: exactly the
+    :func:`pm.accel_pm` mesh pipeline (per unit G, given box)."""
+    from nbody3d_tpu.ops.pm import (
+        _cic_cells, cic_deposit, cic_gather, force_grids, solve_potential,
+    )
+
+    pos, mass = ps[:, :3], ps[:, 3]
+    rho = cic_deposit(pos, mass, lo, h, grid)
+    phi = solve_potential(rho, h, float(eps2))
+    grids = force_grids(phi, h)
+    i0, f = _cic_cells(pos, lo, h, grid)
+    return cic_gather(grids, i0, f, grid)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pm_diff(grid: int, eps2: float, block: int, rt: int,
+                  interpret: bool):
+    """Differentiable pairing for the PM tile path: Pallas primal,
+    jnp-oracle backward (same pattern as :func:`_make_mesh_diff`)."""
+
+    @jax.custom_vjp
+    def fn(ps, lo, h):
+        return pm_accel_pallas(
+            ps, lo, h, grid=grid, eps2=eps2, block=block, rt=rt,
+            interpret=interpret,
+        )
+
+    def fwd(ps, lo, h):
+        return fn(ps, lo, h), (ps, lo, h)
+
+    def bwd(res, g):
+        ps, lo, h = res
+        _, vjp = jax.vjp(
+            lambda ps_, lo_, h_: pm_accel_jnp(
+                ps_, lo_, h_, grid=grid, eps2=eps2
+            ),
+            ps, lo, h,
+        )
+        return vjp(g)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+def pm_accel(
+    ps: jax.Array,
+    lo: jax.Array,
+    h: jax.Array,
+    *,
+    grid: int,
+    eps2: float,
+    block: int,
+    rt: int = 0,
+    backend: str = "auto",
+    interpret: bool = False,
+) -> jax.Array:
+    """PM mesh dispatch (the order-2 sibling of :func:`mesh_accel`).
+    ``backend="auto"`` runs the tile kernels on TPU whenever they apply
+    (32 ≤ grid ≤ 128, block ≥ 8) and the XLA form elsewhere."""
+    if backend == "pallas_interpret":
+        backend, interpret = "pallas", True
+    if backend == "auto":
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and 32 <= grid <= 128
+            and block >= 8
+            else "jnp"
+        )
+    if backend == "pallas":
+        nt = ps.shape[0] // block
+        rt_r = min(rt if rt > 0 else default_rt(nt), nt)
+        fn = _make_pm_diff(grid, float(eps2), block, rt_r, interpret)
+        return fn(ps, lo, h)
+    return pm_accel_jnp(ps, lo, h, grid=grid, eps2=float(eps2))

@@ -254,7 +254,9 @@ def cic_gather(
     return jnp.stack(out, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "eps2", "n_real"))
+@functools.partial(
+    jax.jit, static_argnames=("grid", "eps2", "n_real", "mesh_backend")
+)
 def accel_pm(
     pos_mass: jax.Array,
     G: jax.Array | float,
@@ -262,6 +264,7 @@ def accel_pm(
     grid: int = DEFAULT_PM_GRID,
     eps2: float = 1e-4,
     n_real: int | None = None,
+    mesh_backend: str = "auto",
 ) -> jax.Array:
     """PM accelerations ``(N, 4)`` (w lane zero), matching the direct
     solver's far field.
@@ -270,15 +273,42 @@ def accel_pm(
     semantics, ``util.js:48-54``); the box adapts to the real bodies each
     step.  Short-range pairs (≲ 3 cells) are grid-smoothed — that is the
     PM trade; see ``tests/test_pm.py`` for the quantified contract.
+    ``mesh_backend`` dispatches the deposit/gather: the MXU tile kernels
+    over a Morton sort on TPU (:func:`mesh_pallas.pm_accel`), the XLA
+    sort/segment-scan pipeline elsewhere; both are differentiable.
     """
     n = pos_mass.shape[0]
     if n_real is None:
         n_real = n
     pos = pos_mass[:, :3]
     lo, h = _box(pos[:n_real], grid)
-    i0, f = _cic_cells(pos, lo, h, grid)
-    rho = cic_deposit(pos, pos_mass[:, 3], lo, h, grid)
-    phi = solve_potential(rho, h, float(eps2))
-    grids = force_grids(phi, h)
-    acc = cic_gather(grids, i0, f, grid) * jnp.float32(G)
+
+    block = 256
+    while block >= 8 and n % block:
+        block //= 2
+    use_tiles = block >= 8 and 32 <= grid <= 128 and (
+        mesh_backend in ("pallas", "pallas_interpret")
+        or (mesh_backend == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_tiles:
+        # Tile path wants the Morton layout; physics is permutation-
+        # invariant, so sort, compute, inverse-permute (gathers only).
+        from nbody3d_tpu.ops.mesh_pallas import pm_accel
+        from nbody3d_tpu.ops.morton import morton_keys
+
+        keys = morton_keys(pos_mass, n_real)
+        perm = jnp.argsort(keys, stable=True)
+        ps = pos_mass[perm]
+        acc_s = pm_accel(
+            ps, lo, h, grid=grid, eps2=float(eps2), block=block,
+            backend="pallas_interpret"
+            if mesh_backend == "pallas_interpret" else "pallas",
+        )
+        acc = acc_s[jnp.argsort(perm)] * jnp.float32(G)
+    else:
+        i0, f = _cic_cells(pos, lo, h, grid)
+        rho = cic_deposit(pos, pos_mass[:, 3], lo, h, grid)
+        phi = solve_potential(rho, h, float(eps2))
+        grids = force_grids(phi, h)
+        acc = cic_gather(grids, i0, f, grid) * jnp.float32(G)
     return jnp.concatenate([acc, jnp.zeros((n, 1), jnp.float32)], axis=1)

@@ -599,16 +599,20 @@ def make_p3m_sharded_step(
 ) -> Callable[[SimState, jax.Array, jax.Array], SimState]:
     """Sharded P3M step (``config.method == "p3m"``, ops/p3m.py).
 
-    Long range is the PM pattern: shard-local TSC deposit, one grid
-    ``psum`` (4·M³ bytes of ICI, independent of N), replicated FFT solve,
-    local gather.  Short range is SPMD over SORTED tiles: every chip
-    all-gathers positions (16N bytes), computes the identical global
-    Morton order and tile AABBs (replicated, deterministic), corrects its
-    own contiguous ``nb/D`` tile range, and one all-gather of the sorted
-    corrections (12N bytes) lets each chip inverse-permute its resident
-    rows' values back out.  Per-chip compute is the balanced 1/D share of
-    both the mesh deposit/gather and the short-range pair work.
+    Every chip all-gathers positions (16N bytes) and computes the
+    identical global Morton order (replicated, deterministic); each then
+    owns the contiguous 1/D slice of the SORTED layout.  Long range is
+    the PM pattern over that slice: tile deposit (MXU kernels on the
+    Pallas backend, ops/mesh_pallas.py), one grid ``psum`` (4·M³ bytes of
+    ICI, independent of N), replicated FFT solve, tile gather.  Short
+    range corrects the same slice's ``nb/D`` tiles, and one all-gather of
+    the combined sorted values (12N bytes) lets each chip inverse-permute
+    its resident rows' totals back out.  Per-chip compute is the balanced
+    1/D share of both the mesh deposit/gather and the short-range pair
+    work; the wire is identical to a resident-rows mesh layout (the
+    all-gather already existed for the short-range pass).
     """
+    from nbody3d_tpu.ops import mesh_pallas as mp
     from nbody3d_tpu.ops import p3m as p3m_ops
     from nbody3d_tpu.ops import pm as pm_ops
     from nbody3d_tpu.ops.morton import morton_keys
@@ -632,6 +636,14 @@ def make_p3m_sharded_step(
     heavy_k = min(config.p3m_heavy_k, n_pad)
     sigma_cells = float(config.p3m_sigma_cells)
     rcut_sigmas = float(config.p3m_rcut_sigmas)
+    # Kernel dispatch follows the resolved backend (interpret=True runs
+    # the Pallas kernels through the interpreter on the virtual CPU mesh
+    # — the dryrun/test coverage path).  grid ≤ 128 is the VMEM-residency
+    # bound of the tile mesh kernels.
+    backend, interpret = resolve_backend(config, platform)
+    use_pallas = backend == "pallas"
+    use_tiles = use_pallas and grid <= 128
+    rt = min(mp.default_rt(tiles_per), tiles_per)
 
     def local_step(pos_mass, vel, accel, step, dt, G):
         my = jnp.int32(0)
@@ -657,29 +669,53 @@ def make_p3m_sharded_step(
         full_mesh = jnp.concatenate(
             [full[:, :3], mass_mesh[:, None]], axis=1
         )
-        mass_mesh_mine = lax.dynamic_slice_in_dim(mass_mesh, my * shard, shard)
-
-        # Long range (PM pattern, TSC order) over the light bodies.
-        rho = p3m_ops.tsc_deposit(pos, mass_mesh_mine, lo, h, grid)
-        rho = lax.psum(rho, axis)
-        grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
-        c, w = p3m_ops._tsc_cells(pos, lo, h, grid)
-        acc3 = p3m_ops.tsc_gather(grids, c, w, grid)
-        # Net-force projection (see accel_p3m): momentum-restoring frame
-        # correction for the deconv-amplified FFT noise; reductions span
-        # the mesh via psum.
-        msum = jnp.maximum(
-            lax.psum(jnp.sum(mass_mesh_mine), axis), jnp.float32(1e-30)
-        )
-        wsum = lax.psum(
-            jnp.sum(mass_mesh_mine[:, None] * acc3, axis=0), axis
-        )
-        acc3 = acc3 - wsum[None, :] / msum
-
-        # Short range over this chip's sorted-tile slice (light sources).
+        # Global Morton order: replicated and deterministic — every chip
+        # derives the same sorted layout, and each owns the contiguous
+        # slice of ``shard`` rows (= ``tiles_per`` tiles) at its index.
         keys = morton_keys(full, n_real)
         order = jnp.argsort(keys, stable=True)
         ps = full_mesh[order]
+        ps_mine = lax.dynamic_slice_in_dim(ps, my * shard, shard)
+        pos_s, mass_s = ps_mine[:, :3], ps_mine[:, 3]
+
+        # Long range (PM pattern, TSC order) over this chip's SORTED
+        # slice: the slice is Morton-tiled, so the MXU tile kernels
+        # (ops/mesh_pallas.py) replace the XLA deposit/gather on the
+        # Pallas backend; deposits from all chips meet in one grid psum
+        # either way.  Wire-neutral vs the old resident-rows layout: the
+        # all-gather of per-row sorted values below already existed for
+        # the short-range pass, and now carries mesh+short together.
+        c, w = p3m_ops._tsc_cells(pos_s, lo, h, grid)
+        if use_tiles:
+            f = jnp.clip(
+                (pos_s - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5
+            )
+            corners, validp, dirty = mp.tile_corners(c, block, grid)
+            rho = mp.deposit_tiles(c, f, mass_s, corners, grid, block,
+                                   interpret=interpret)
+            rho = mp.repair_deposit(rho, c, w, mass_s, validp, dirty, rt,
+                                    grid, block)
+        else:
+            rho = p3m_ops.tsc_deposit(pos_s, mass_s, lo, h, grid)
+        rho = lax.psum(rho, axis)
+        grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
+        if use_tiles:
+            acc_m = mp.gather_tiles(grids, c, f, corners, grid, block,
+                                    interpret=interpret)
+            acc_m = mp.repair_gather(acc_m, grids, c, w, validp, dirty, rt,
+                                     grid, block)
+        else:
+            acc_m = p3m_ops.tsc_gather(grids, c, w, grid)
+        # Net-force projection (see accel_p3m): momentum-restoring frame
+        # correction for the deconv-amplified FFT noise; reductions span
+        # the mesh via psum (sorted slices partition the same rows).
+        msum = jnp.maximum(
+            lax.psum(jnp.sum(mass_s), axis), jnp.float32(1e-30)
+        )
+        wsum = lax.psum(jnp.sum(mass_s[:, None] * acc_m, axis=0), axis)
+        acc_m = acc_m - wsum[None, :] / msum
+
+        # Short range over the same sorted-tile slice (light sources).
         lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
         kth_mine, neg, nbr_idx = p3m_ops._select_neighbors(
             lo_b, hi_b, my * tiles_per, tiles_per, h, nbr_k
@@ -687,16 +723,17 @@ def make_p3m_sharded_step(
         # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
         kth_all = lax.all_gather(kth_mine, axis, axis=0, tiled=True)
         nbr_mask = p3m_ops.mutual_neighbor_mask(neg, nbr_idx, kth_all)
-        # backend="auto": Pallas block-sparse kernel on TPU chips, jnp on
-        # the virtual CPU mesh (tests) — identical pair sets either way.
+        # The resolved backend picks the block-sparse Pallas kernel or the
+        # jnp form — identical pair sets either way.
         acc_s_mine = p3m_ops.short_range_tiles(
             ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,
-            nbr_mask=nbr_mask, backend="auto",
+            nbr_mask=nbr_mask, backend="pallas" if use_pallas else "jnp",
+            interpret=interpret,
         )
-        acc_s_full = lax.all_gather(acc_s_mine, axis, axis=0, tiled=True)
+        acc_full = lax.all_gather(acc_m + acc_s_mine, axis, axis=0, tiled=True)
         inv = jnp.argsort(order)
         inv_mine = lax.dynamic_slice_in_dim(inv, my * shard, shard)
-        acc3 = acc3 + acc_s_full[inv_mine]
+        acc3 = acc_full[inv_mine]
 
         # Exact heavy pairs: local targets vs the replicated heavy set;
         # the force ON each heavy body reduces over all chips' residents

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import pytest
 
 from nbody3d_tpu.ops import mesh_pallas as mp
+from nbody3d_tpu.ops import pm as pm_mod
 from nbody3d_tpu.ops.p3m import (
     _tsc_cells,
     accel_p3m,
@@ -142,6 +143,82 @@ class TestTileMesh:
 
         g_j = np.asarray(jax.grad(loss("jnp"))(ps))
         g_p = np.asarray(jax.grad(loss("pallas"))(ps))
+        scale = np.abs(g_j).max()
+        np.testing.assert_allclose(g_p, g_j, rtol=1e-4, atol=1e-5 * scale)
+
+    def test_cic_deposit_matches_oracle(self):
+        """Order-2 (CIC) tile deposit + repair equals pm.cic_deposit."""
+        ps, lo, h = _sorted_cloud()
+        i0, f = pm_mod._cic_cells(ps[:, :3], lo, h, GRID)
+        w2 = jnp.stack([1.0 - f, f], axis=0)
+        corners, valid, dirty = mp.tile_corners(i0, BLOCK, GRID, order=2)
+        assert int(jnp.sum(dirty)) > 0
+        rho = mp.deposit_tiles(i0, f, ps[:, 3], corners, GRID, BLOCK,
+                               order=2, interpret=True)
+        rho = mp.repair_deposit(rho, i0, w2, ps[:, 3], valid, dirty, 16,
+                                GRID, BLOCK, order=2)
+        rho_o = pm_mod.cic_deposit(ps[:, :3], ps[:, 3], lo, h, GRID)
+        scale = float(jnp.max(jnp.abs(rho_o)))
+        np.testing.assert_allclose(
+            np.asarray(rho), np.asarray(rho_o), atol=2e-6 * scale
+        )
+
+    def test_cic_gather_matches_oracle(self):
+        ps, lo, h = _sorted_cloud()
+        i0, f = pm_mod._cic_cells(ps[:, :3], lo, h, GRID)
+        w2 = jnp.stack([1.0 - f, f], axis=0)
+        corners, valid, dirty = mp.tile_corners(i0, BLOCK, GRID, order=2)
+        rng = np.random.default_rng(0)
+        grids = jnp.asarray(rng.normal(size=(3, GRID**3)).astype(np.float32))
+        acc = mp.gather_tiles(grids, i0, f, corners, GRID, BLOCK, order=2,
+                              interpret=True)
+        acc = mp.repair_gather(acc, grids, i0, w2, valid, dirty, 16, GRID,
+                               BLOCK, order=2)
+        acc_o = pm_mod.cic_gather(grids, i0, f, GRID)
+        scale = float(jnp.max(jnp.abs(acc_o)))
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(acc_o), atol=2e-6 * scale
+        )
+
+    def test_accel_pm_mesh_backends_agree(self):
+        """Full PM solver equality: accel_pm with the tile mesh equals
+        the XLA mesh, including padding rows at the tail."""
+        rng = np.random.default_rng(5)
+        n, n_real = 2048, 2000
+        pm = np.zeros((n, 4), np.float32)
+        pm[:n_real, :3] = rng.normal(size=(n_real, 3)).astype(np.float32)
+        pm[:32, :3] *= 30.0
+        pm[:n_real, 3] = rng.uniform(0.5, 1.5, size=(n_real,))
+        pmj = jnp.asarray(pm)
+        a_j = pm_mod.accel_pm(pmj, 2.0, grid=GRID, eps2=EPS2, n_real=n_real,
+                              mesh_backend="jnp")
+        a_p = pm_mod.accel_pm(pmj, 2.0, grid=GRID, eps2=EPS2, n_real=n_real,
+                              mesh_backend="pallas_interpret")
+        scale = float(jnp.max(jnp.abs(a_j[:n_real])))
+        np.testing.assert_allclose(
+            np.asarray(a_p[:n_real]), np.asarray(a_j[:n_real]),
+            atol=5e-6 * scale,
+        )
+
+    def test_pm_grad_pallas_matches_jnp(self):
+        """jax.grad through the PM tile path equals the XLA-mesh grad."""
+        rng = np.random.default_rng(7)
+        n = 1024
+        pm = np.concatenate(
+            [rng.normal(size=(n, 3)), rng.uniform(0.5, 1.5, size=(n, 1))],
+            axis=1,
+        ).astype(np.float32)
+        pmj = jnp.asarray(pm)
+
+        def loss(be):
+            def fn(x):
+                a = pm_mod.accel_pm(x, 1.0, grid=GRID, eps2=EPS2,
+                                    mesh_backend=be)
+                return jnp.sum(a * a)
+            return fn
+
+        g_j = np.asarray(jax.grad(loss("jnp"))(pmj))
+        g_p = np.asarray(jax.grad(loss("pallas_interpret"))(pmj))
         scale = np.abs(g_j).max()
         np.testing.assert_allclose(g_p, g_j, rtol=1e-4, atol=1e-5 * scale)
 

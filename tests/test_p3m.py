@@ -465,6 +465,30 @@ class TestSharded:
             )
 
     @pytest.mark.slow
+    def test_sharded_pallas_matches_jnp(self, mesh8):
+        """backend='pallas' (interpret on the CPU mesh) routes the mesh
+        through the MXU tile kernels and the short range through the
+        block-sparse kernel; both must equal the jnp forms."""
+        from nbody3d_tpu.parallel.sharded import make_sharded_step, shard_state
+
+        pm, vel, n = _clustered(n=2048, n_pad=4096)
+        outs = {}
+        for be in ("jnp", "pallas"):
+            config = SimConfig(method="p3m", pm_grid=32, backend=be)
+            sstate = shard_state(init_state(pm, vel), mesh8, config.mesh_axis)
+            sharded = jax.jit(
+                make_sharded_step(config, pm.shape[0], n, mesh8, platform="cpu")
+            )
+            outs[be] = sharded(sstate, jnp.float32(1e-4), jnp.float32(G))
+        for name in ("pos_mass", "vel", "accel"):
+            a = np.asarray(getattr(outs["jnp"], name))
+            b = np.asarray(getattr(outs["pallas"], name))
+            scale = max(np.abs(a).max(), 1e-12)
+            np.testing.assert_allclose(
+                b, a, rtol=2e-4, atol=1e-5 * scale, err_msg=name
+            )
+
+    @pytest.mark.slow
     def test_sharded_2d_mesh(self, mesh8):
         """P3M shards over a 2-axis mesh too (flattened row-major)."""
         from nbody3d_tpu.parallel.mesh import grid_mesh

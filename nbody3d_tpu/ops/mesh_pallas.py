@@ -558,6 +558,9 @@ def mesh_accel(
             and block >= 8
             else "jnp"
         )
+    if backend == "pallas" and order != 3:
+        # The P3M tile kernels are TSC-only; CIC rides pm_accel.
+        backend = "jnp"
     if backend == "pallas":
         nt = ps.shape[0] // block
         rt_r = min(rt if rt > 0 else default_rt(nt), nt)

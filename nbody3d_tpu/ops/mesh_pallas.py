@@ -133,7 +133,7 @@ def _valid_gate(cxl, cyl, czl, bx, by, bz, order):
 
 
 def _deposit_kernel(
-    cxs, cys, czs, c_ref, fm_ref, out_ref, *, block, grid, bx, by, bz, order
+    corn_ref, c_ref, fm_ref, out_ref, *, block, grid, bx, by, bz, order
 ):
     """One Morton tile: box-local one-hot TSC deposit via two matmuls.
 
@@ -141,9 +141,14 @@ def _deposit_kernel(
     ``full (bx·by, G) = local @ S`` with ``S[k, z] = (z == k + cz0)``,
     accumulated into the VMEM-resident grid with dynamic x/y slices
     (y corner 8-aligned; the lane dim is never sliced).
+
+    The tile's box corner arrives as a per-tile ``(1, 4)`` SMEM block —
+    NOT scalar prefetch: a prefetched ``(nt,)`` corner array scales with
+    N (768 KB of SMEM at 16M bodies, over the ~1 MB cliff the short-range
+    kernel already chunks around), while the blocked form stays O(1).
     """
     t = pl.program_id(0)
-    cx0, cy0, cz0 = cxs[t], cys[t], czs[t]
+    cx0, cy0, cz0 = corn_ref[0, 0], corn_ref[0, 1], corn_ref[0, 2]
 
     c = c_ref[...]
     fm = fm_ref[...]
@@ -180,15 +185,15 @@ def _deposit_kernel(
 
 
 def _gather_kernel(
-    cxs, cys, czs, c_ref, fm_ref, g_ref, out_ref, *, block, grid, bx, by, bz,
+    corn_ref, c_ref, fm_ref, g_ref, out_ref, *, block, grid, bx, by, bz,
     order
 ):
     """One Morton tile: box-local one-hot TSC interpolation of the three
     force grids.  Per component: z-shift matmul compacts the full-lane
     box to ``bz`` columns, then ``M1 = Wx @ box`` and a ⟨M1, Wy⊗Wz⟩
-    row contraction (VPU) give the per-particle values."""
-    t = pl.program_id(0)
-    cx0, cy0, cz0 = cxs[t], cys[t], czs[t]
+    row contraction (VPU) give the per-particle values.  Corner block
+    semantics as in :func:`_deposit_kernel`."""
+    cx0, cy0, cz0 = corn_ref[0, 0], corn_ref[0, 1], corn_ref[0, 2]
 
     c = c_ref[...]
     fm = fm_ref[...]
@@ -232,6 +237,13 @@ def _mesh_call_args(c: jax.Array, f: jax.Array, mass: jax.Array | None):
     return c4, fm
 
 
+def _corners4(corners: jax.Array) -> jax.Array:
+    nt = corners.shape[0]
+    return jnp.concatenate(
+        [corners, jnp.zeros((nt, 1), jnp.int32)], axis=1
+    )
+
+
 def deposit_tiles(
     c: jax.Array,
     f: jax.Array,
@@ -252,23 +264,21 @@ def deposit_tiles(
         _deposit_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz,
         order=order,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    return pl.pallas_call(
+        kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+            pl.BlockSpec((1, 4), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, 4), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+            pl.BlockSpec((block, 4), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (grid, grid, grid), lambda t, cx, cy, cz: (0, 0, 0),
+            (grid, grid, grid), lambda t: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((grid, grid, grid), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -280,7 +290,7 @@ def deposit_tiles(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(corners[:, 0], corners[:, 1], corners[:, 2], c4, fm)
+    )(_corners4(corners), c4, fm)
 
 
 def gather_tiles(
@@ -304,26 +314,24 @@ def gather_tiles(
         _gather_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz,
         order=order,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+    out = pl.pallas_call(
+        kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+            pl.BlockSpec((1, 4), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, 4), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4), lambda t, cx, cy, cz: (t, 0),
+            pl.BlockSpec((block, 4), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (3, grid, grid, grid), lambda t, cx, cy, cz: (0, 0, 0, 0),
+                (3, grid, grid, grid), lambda t: (0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (block, 4), lambda t, cx, cy, cz: (t, 0), memory_space=pltpu.VMEM
+            (block, 4), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -336,7 +344,7 @@ def gather_tiles(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(corners[:, 0], corners[:, 1], corners[:, 2], c4, fm, g4)
+    )(_corners4(corners), c4, fm, g4)
     return out[:, :3]
 
 

@@ -66,8 +66,7 @@ def stage_times(n=2**21, grid=128, block=256):
     perm = jnp.argsort(keys, stable=True)
     ps = ps[perm]
     lo, h = p3._box(ps[:n_real, :3], grid)
-    c, w = p3._tsc_cells(ps[:, :3], lo, h, grid)
-    f = jnp.clip((ps[:, :3] - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5)
+    c, w, f = p3._tsc_cells(ps[:, :3], lo, h, grid)
     corners, valid, dirty = mp.tile_corners(c, block, grid)
     nt = n_pad // block
     rt = mp.default_rt(nt)

@@ -70,7 +70,7 @@ def main():
 
     @jax.jit
     def stage_cells(pos):
-        c, w = p3m_mod._tsc_cells(pos, lo, h, grid)
+        c, w, _ = p3m_mod._tsc_cells(pos, lo, h, grid)
         return c, w
 
     c, w = stage_cells(pos)

@@ -85,10 +85,7 @@ def main():
     rcut = jnp.float32(p3m_ops.DEFAULT_RCUT_SIGMAS) * sigma
 
     print("mesh long range:")
-    c, w = p3m_ops._tsc_cells(ps[:, :3], lo, h, grid)
-    f = jnp.clip(
-        (ps[:, :3] - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5
-    )
+    c, w, f = p3m_ops._tsc_cells(ps[:, :3], lo, h, grid)
     corners, valid, dirty = mp.tile_corners(c, block, grid)
     rt = mp.default_rt(nt)
     print(

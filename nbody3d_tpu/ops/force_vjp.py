@@ -73,6 +73,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nbody3d_tpu.ops.blocks import divisor_block
 from nbody3d_tpu.ops.pallas_force import (
     DEFAULT_BLOCK_TARGET,
     _VMEM_LIMIT,
@@ -218,11 +219,7 @@ def force_vjp_pallas(
     if eps2 <= 0:
         raise ValueError("eps2 must be > 0")
     n = pos_mass.shape[0]
-    b = block
-    while b > 8 and n % b != 0:
-        b //= 2
-    while n % b != 0:
-        b -= 1
+    b = divisor_block(n, block)
     nt = n // b
 
     x = pos_mass[:, :3]
@@ -441,11 +438,7 @@ def force_vjp_sym_pallas(
     if eps2 <= 0:
         raise ValueError("eps2 must be > 0")
     n = pos_mass.shape[0]
-    b = block
-    while b > 8 and n % b != 0:
-        b //= 2
-    while n % b != 0:
-        b -= 1
+    b = divisor_block(n, block)
     nt = n // b
     half = nt // 2
 

@@ -92,7 +92,12 @@ def tile_corners(c: jax.Array, block: int, grid: int, order: int = 3):
     ct = c.reshape(nt, block, 3)
     cmin = jnp.min(ct, axis=1)
     cx0 = jnp.clip(cmin[:, 0] - lb, 0, grid - bx)
-    cy0 = jnp.clip((cmin[:, 1] - lb) & ~7, 0, max(grid - by, 0))
+    # The y (sublane) corner must stay 8-aligned INCLUDING after the
+    # upper clip: Mosaic floors dynamic sublane offsets to 8, so an
+    # unaligned corner (grid % 8 != 0, e.g. grid=100 → clip bound 60)
+    # would shift the kernel's box 1-7 cells below where the one-hot
+    # weights (and the repair pass) place it — silently wrong forces.
+    cy0 = jnp.clip((cmin[:, 1] - lb) & ~7, 0, max((grid - by) & ~7, 0))
     cz0 = jnp.clip(cmin[:, 2] - lb, 0, grid - bz)
     corners = jnp.stack([cx0, cy0, cz0], axis=1)
     lv = ct - corners[:, None, :]
@@ -464,8 +469,7 @@ def mesh_accel_pallas(
         rt = default_rt(nt)
     rt = min(rt, nt)
     pos, mass = ps[:, :3], ps[:, 3]
-    c, w = _tsc_cells(pos, lo, h, grid)
-    f = jnp.clip((pos - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5)
+    c, w, f = _tsc_cells(pos, lo, h, grid)
     corners, valid, dirty = tile_corners(c, block, grid)
 
     rho = deposit_tiles(c, f, mass, corners, grid, block, interpret=interpret)
@@ -497,7 +501,7 @@ def mesh_accel_jnp(
     if order == 3:
         rho = tsc_deposit(pos, mass, lo, h, grid)
         grids = solve_accel_long(rho, h, float(eps2), sigma, order=3)
-        c, w = _tsc_cells(pos, lo, h, grid)
+        c, w, _ = _tsc_cells(pos, lo, h, grid)
         return tsc_gather(grids, c, w, grid)
     rho = pm_mod.cic_deposit(pos, mass, lo, h, grid)
     grids = solve_accel_long(rho, h, float(eps2), sigma, order=2)

@@ -136,12 +136,10 @@ def p3m_block(n: int, block: int = 0) -> int:
     padded N the engine produces — including the jnp backend's granule of
     8 — works without a special pad (ADVICE r2: ``--method p3m --n 1000``
     on CPU must run, not raise)."""
-    b = min(block, n) if block else min(DEFAULT_BLOCK, n)
-    while b > 1 and n % b != 0:
-        b //= 2
-    while n % b != 0:  # odd n: fall back to the largest divisor <= b
-        b -= 1
-    return b
+    from nbody3d_tpu.ops.blocks import divisor_block
+
+    want = min(block, n) if block else min(DEFAULT_BLOCK, n)
+    return divisor_block(n, want, floor=1)
 
 
 def _select_neighbors(
@@ -178,6 +176,11 @@ def _select_neighbors(
         d2 = _aabb_dist2(lo_t, hi_t, lo_b, hi_b) + _sym_jitter(
             chunk, nb, r0, h
         )
+        d2 = _prefer_self(
+            d2,
+            r0 + lax.broadcasted_iota(jnp.int32, (chunk, nb), 0),
+            lax.broadcasted_iota(jnp.int32, (chunk, nb), 1),
+        )
         neg, idx = lax.top_k(-d2, nbr_k)
         return -neg[:, -1], neg, idx
 
@@ -213,8 +216,14 @@ def _select_neighbors_hier(
     that remain), then the usual per-row top-``nbr_k``.
 
     The only approximation vs flat selection is dropping within-cutoff
-    tiles whose SUPER was beyond the ``sup_k`` budget — the same
-    graceful nearest-first truncation as the tile budget, one level up.
+    tiles whose SUPER was beyond the ``sup_k`` budget.  A tile's (and
+    super's) OWN entry is pinned into the top-k (:func:`_prefer_self`) —
+    among gap-0 AABB ties the rest of the order is the pseudo-random
+    jitter, so without the pin a dense core could drop its own in-tile
+    pairs.  Truncation beyond that is nearest-first by jittered AABB
+    distance (gap-0 ties break randomly, not farthest-first);
+    :func:`p3m_neighbor_overflow` counts rows where anything within
+    ``rcut`` was dropped, at either level.
     """
     nb = lo_b.shape[0]
     sup = _SUPER
@@ -239,6 +248,11 @@ def _select_neighbors_hier(
         hi_t = lax.dynamic_slice_in_dim(hi_s, r0, chunk)
         d2 = _aabb_dist2(lo_t, hi_t, lo_s, hi_s) + _sym_jitter(
             chunk, nsup, r0, h
+        )
+        d2 = _prefer_self(
+            d2,
+            r0 + lax.broadcasted_iota(jnp.int32, (chunk, nsup), 0),
+            lax.broadcasted_iota(jnp.int32, (chunk, nsup), 1),
         )
         neg, idx = lax.top_k(-d2, k_s)
         return -neg[:, -1], neg, idx
@@ -267,6 +281,10 @@ def _select_neighbors_hier(
         i_ids = t0 + lax.broadcasted_iota(jnp.int32, (sup, 1), 0)
         d2 = d2 + _sym_jitter_ids(i_ids, cand[None, :], h)
         d2 = jnp.where(cmask[None, :], d2, jnp.float32(1e30))
+        # After the super-level _prefer_self, A ∈ sup_idx[A] and is
+        # mutually admitted, so the own tile IS among the candidates;
+        # pin it after the cmask so it survives unconditionally.
+        d2 = _prefer_self(d2, i_ids, cand[None, :])
         neg, li = lax.top_k(-d2, nbr_k)
         return -neg[:, -1], neg, cand[li]
 
@@ -284,14 +302,20 @@ def _tsc_cells(pos: jax.Array, lo: jax.Array, h: jax.Array, grid: int):
     """TSC (triangular-shaped-cloud, order-3 B-spline) stencil: nearest
     cell center ``c`` and offset ``f = s - c`` in [-1/2, 1/2], with per-axis
     weights ``{0.5(0.5-f)², 0.75-f², 0.5(0.5+f)²}`` on cells c-1, c, c+1.
-    Cell centers at ``lo + (i + 0.5) h`` as in :func:`pm._cic_cells`."""
+    Cell centers at ``lo + (i + 0.5) h`` as in :func:`pm._cic_cells`.
+
+    Returns ``(c, w, f)``.  ``f`` is the single source of truth for the
+    tile kernels' one-hot weights (``ops/mesh_pallas.py``): the kernel
+    weights (built from ``f``) and the repair pass's weights (``w``) must
+    stay bit-identical for the valid/invalid particle partition to be
+    exact, so callers must never re-derive ``f`` by hand."""
     s = (pos - lo) / h - 0.5
     c = jnp.clip(jnp.floor(s + 0.5).astype(jnp.int32), 1, grid - 2)
     f = jnp.clip(s - c.astype(jnp.float32), -0.5, 0.5)
     w = jnp.stack(
         [0.5 * (0.5 - f) ** 2, 0.75 - f * f, 0.5 * (0.5 + f) ** 2], axis=0
     )  # (3, N, 3axes)
-    return c, w
+    return c, w, f
 
 
 def tsc_deposit(
@@ -304,7 +328,7 @@ def tsc_deposit(
     step at 2M bodies), one vectorized (27, N) segmented scan, 27 dense
     rolls (base cells are clipped to [1, grid-2], so no roll ever wraps
     real mass)."""
-    c, w = _tsc_cells(pos, lo, h, grid)
+    c, w, _ = _tsc_cells(pos, lo, h, grid)
     cid = (c[:, 0] * grid + c[:, 1]) * grid + c[:, 2]
     cols = []
     offsets = []
@@ -522,6 +546,20 @@ def _sym_jitter(nt: int, ns: int, row0: jax.Array | int, h: jax.Array) -> jax.Ar
     i = row0 + lax.broadcasted_iota(jnp.int32, (nt, ns), 0)
     j = lax.broadcasted_iota(jnp.int32, (nt, ns), 1)
     return _sym_jitter_ids(i, j, h)
+
+
+def _prefer_self(
+    d2: jax.Array, i_ids: jax.Array, j_ids: jax.Array
+) -> jax.Array:
+    """Pin the SELF entry (i == j) of a jittered tile/super distance
+    matrix to -1e30 so it can never be displaced from the top-k.  Dense
+    cores put many candidates at exactly gap 0, where the order is the
+    pseudo-random jitter alone — without this, a tile's own tile (or, one
+    level up, a super's own super, taking every in-tile and adjacent-tile
+    pair with it) could lose the tie-break and silently drop the
+    dominant short-range corrections.  Symmetric (diagonal only), so the
+    mutual-admission relation stays exchange-symmetric."""
+    return jnp.where(i_ids == j_ids, jnp.float32(-1e30), d2)
 
 
 def mutual_neighbor_mask(
@@ -956,11 +994,15 @@ def p3m_neighbor_overflow(
     block: int = 0,
     nbr_k: int = DEFAULT_NBR_K,
 ) -> jax.Array:
-    """Number of target tiles with MORE within-cutoff candidate tiles than
-    the ``nbr_k`` budget — the short-range truncation indicator.  0 means
-    the P3M force is the split identity up to the erfc truncation.
-    Overflowed tiles degrade gracefully: top-k keeps the NEAREST tiles, so
-    what is dropped is the farthest (smallest-erfc) corrections."""
+    """Number of target tiles for which ANY within-cutoff candidate tile
+    was dropped by the neighbor selection — the short-range truncation
+    indicator.  0 means the P3M force is the split identity up to the
+    erfc truncation.  On the flat path this is exactly "more within-rcut
+    candidates than the ``nbr_k`` budget"; past ``_FLAT_MAX_TILES`` it
+    additionally counts drops at the SUPER level (a within-rcut tile
+    whose super missed the ``sup_k`` budget — the hier path's only
+    approximation), by comparing each row's exact within-rcut count
+    against what the actual selection kept."""
     n = pos_mass.shape[0]
     if n_real is None:
         n_real = n
@@ -984,4 +1026,12 @@ def p3m_neighbor_overflow(
         return jnp.sum(d2 < rcut * rcut, axis=1)
 
     within = lax.map(one, jnp.arange(nb // chunk)).reshape(nb)
-    return jnp.sum(within > nbr_k)
+    if nb <= _FLAT_MAX_TILES:
+        return jnp.sum(within > nbr_k)
+    # Hier path: count what the REAL selection kept within rcut per row
+    # (non-admitted supers' candidates sit at +1e30 in ``neg``, so they
+    # drop out of the comparison automatically; the jitter offset is
+    # ~1e-6 h² against rcut² ≳ 40 h² — irrelevant at the boundary).
+    _, neg, _ = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k)
+    kept = jnp.sum(-neg < rcut * rcut, axis=1)
+    return jnp.sum(kept < within)

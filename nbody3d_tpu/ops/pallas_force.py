@@ -66,6 +66,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nbody3d_tpu.ops.blocks import divisor_block
+
 # Tuned on v5e (benchmarks/kernel_sweep.py, benchmarks/fast_tune.py):
 # throughput plateaus at large blocks; per-grid-step overhead (~0.4 us)
 # makes small blocks lose.
@@ -793,11 +795,7 @@ def combine16_pallas(
     n = acc16.shape[0]
     # Shrink to a divisor when block doesn't divide n: a single whole-array
     # block would blow the VMEM limit for large unaligned n (ADVICE r2).
-    b = block
-    while b > 8 and n % b != 0:
-        b //= 2
-    while n % b != 0:
-        b -= 1
+    b = divisor_block(n, block)
     nt = n // b
     return pl.pallas_call(
         _combine16_kernel,

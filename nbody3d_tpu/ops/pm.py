@@ -46,6 +46,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from nbody3d_tpu.ops.blocks import divisor_block
+
 # Particles are kept this many cells clear of the grid edge so the CIC
 # stencil and the central-difference gradient never touch boundary cells
 # (whose rolled neighbors wrap around the padded FFT domain).
@@ -283,9 +285,7 @@ def accel_pm(
     pos = pos_mass[:, :3]
     lo, h = _box(pos[:n_real], grid)
 
-    block = 256
-    while block >= 8 and n % block:
-        block //= 2
+    block = divisor_block(n, 256)
     use_tiles = block >= 8 and 32 <= grid <= 128 and (
         mesh_backend in ("pallas", "pallas_interpret")
         or (mesh_backend == "auto" and jax.default_backend() == "tpu")

@@ -150,22 +150,28 @@ def make_step_fn(
 
     if config.method == "pm":
         # Particle-mesh FFT solver (ops/pm.py) — O(N + M^3 log M) grid
-        # gravity, backend-independent (XLA sort/FFT/gather, no Pallas).
+        # gravity.  The mesh deposit/gather follows the resolved backend
+        # (MXU tile kernels on TPU, XLA sort/segment-scan on jnp), so
+        # backend="jnp" remains a pure-XLA A/B oracle on any platform.
         from nbody3d_tpu.ops.pm import accel_pm
+
+        mesh_be = "pallas" if backend == "pallas" and not interpret else "jnp"
 
         def step(state: SimState, dt, G) -> SimState:
             acc = accel_pm(
                 state.pos_mass, G,
                 grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
+                mesh_backend=mesh_be,
             )
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif config.method == "p3m":
         # PM far field + exact short-range correction (ops/p3m.py):
-        # ~1e-3 force accuracy vs direct at near-PM cost.  The short-range
-        # pass follows the resolved backend: the block-sparse Pallas
-        # kernel on TPU (with a jnp-oracle custom VJP, so grad works
-        # there too), the jnp form on CPU / jnp backend.
+        # ~1e-3 force accuracy vs direct at near-PM cost.  BOTH hot
+        # passes follow the resolved backend: the block-sparse Pallas
+        # short-range kernel and the MXU mesh tile kernels on TPU (each
+        # with a jnp-oracle custom VJP, so grad works there too), the
+        # jnp forms on CPU / jnp backend (the pure-XLA A/B oracle).
         from nbody3d_tpu.ops.p3m import accel_p3m
 
         short = "pallas" if backend == "pallas" and not interpret else "jnp"
@@ -178,6 +184,7 @@ def make_step_fn(
                 rcut_sigmas=config.p3m_rcut_sigmas,
                 block=config.p3m_block, nbr_k=config.p3m_nbr_k,
                 heavy_k=config.p3m_heavy_k, short_backend=short,
+                mesh_backend=short,
             )
             return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 

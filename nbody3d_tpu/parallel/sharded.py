@@ -685,11 +685,8 @@ def make_p3m_sharded_step(
         # either way.  Wire-neutral vs the old resident-rows layout: the
         # all-gather of per-row sorted values below already existed for
         # the short-range pass, and now carries mesh+short together.
-        c, w = p3m_ops._tsc_cells(pos_s, lo, h, grid)
+        c, w, f = p3m_ops._tsc_cells(pos_s, lo, h, grid)
         if use_tiles:
-            f = jnp.clip(
-                (pos_s - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5
-            )
             corners, validp, dirty = mp.tile_corners(c, block, grid)
             rho = mp.deposit_tiles(c, f, mass_s, corners, grid, block,
                                    interpret=interpret)

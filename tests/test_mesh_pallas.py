@@ -43,9 +43,7 @@ def _sorted_cloud(n=4096, outliers=64, seed=1):
 
 
 def _cells(ps, lo, h):
-    c, w = _tsc_cells(ps[:, :3], lo, h, GRID)
-    f = jnp.clip((ps[:, :3] - lo) / h - 0.5 - c.astype(jnp.float32), -0.5, 0.5)
-    return c, w, f
+    return _tsc_cells(ps[:, :3], lo, h, GRID)
 
 
 class TestTileMesh:
@@ -92,6 +90,45 @@ class TestTileMesh:
         scale = float(jnp.max(jnp.abs(a_j)))
         np.testing.assert_allclose(
             np.asarray(a_p), np.asarray(a_j), atol=5e-6 * scale
+        )
+
+    def test_unaligned_grid_corners_stay_8_aligned(self):
+        """grid % 8 != 0 (reachable via SimConfig(pm_grid=100) on TPU —
+        auto-dispatch accepts any 32 <= grid <= 128): the y-corner's
+        UPPER clip bound must stay 8-aligned, or Mosaic's sublane-offset
+        flooring shifts the kernel's box 1-7 cells below where the
+        one-hot weights and the repair pass place it.  The alignment is
+        the hardware contract (interpret mode can't catch it); oracle
+        equality checks the validity bookkeeping still partitions
+        exactly with the lowered corner."""
+        grid = 100
+        block = 16  # fine Morton tiles so some sit wholly near the +y face
+        rng = np.random.default_rng(3)
+        n = 8192
+        # span the full box so tiles hit the +y face (where the clip binds)
+        pos = rng.uniform(-50.0, 50.0, size=(n, 3)).astype(np.float32)
+        m = rng.uniform(0.5, 1.5, size=(n,)).astype(np.float32)
+        pmj = jnp.asarray(np.concatenate([pos, m[:, None]], axis=1))
+        ps = pmj[jnp.argsort(morton_keys(pmj, n), stable=True)]
+        lo, h = _box(ps[:, :3], grid)
+        c, w, f = _tsc_cells(ps[:, :3], lo, h, grid)
+        corners, valid, dirty = mp.tile_corners(c, block, grid)
+        cy = np.asarray(corners[:, 1])
+        by = mp._extents(grid)[1]
+        # the fixture must actually reach the binding region of the clip
+        assert (cy >= ((grid - by) & ~7)).any(), "no tile near the +y face"
+        assert (cy % 8 == 0).all(), "unaligned y corner reached the kernel"
+        assert (cy + by <= grid).all()
+        rho = mp.deposit_tiles(c, f, ps[:, 3], corners, grid, block,
+                               interpret=True)
+        # 85 of 512 tiles are dirty in this fixture (uniform cloud +
+        # face-clipped boxes): give the repair pass full headroom.
+        rho = mp.repair_deposit(rho, c, w, ps[:, 3], valid, dirty,
+                                len(corners) // 4, grid, block)
+        rho_o = tsc_deposit(ps[:, :3], ps[:, 3], lo, h, grid)
+        scale = float(jnp.max(jnp.abs(rho_o)))
+        np.testing.assert_allclose(
+            np.asarray(rho), np.asarray(rho_o), atol=2e-6 * scale
         )
 
     def test_deterministic(self):

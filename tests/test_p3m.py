@@ -219,6 +219,72 @@ class TestMachinery:
         # only difference is summation order inside the gathered tiles.
         np.testing.assert_allclose(a_hier, a_flat, rtol=1e-5, atol=1e-8)
 
+    def test_overflow_diagnostic_counts_hier_drops(self, clustered,
+                                                   monkeypatch):
+        """Past _FLAT_MAX_TILES the diagnostic must count SUPER-level
+        drops too (a within-rcut tile whose super missed the budget) —
+        the round-2 contract ('0 means the split identity holds') was
+        silently false on the hier path.  block=16 gives 512 tiles / 16
+        supers, over the k_s=12 default budget, on the clustered preset
+        where supers overlap; the hier count can only meet or exceed the
+        flat count."""
+        import nbody3d_tpu.ops.p3m as p3m_mod
+
+        pm, _, n = clustered
+        # nbr_k=256 = measured max within-rcut count: the per-tile budget
+        # never overflows, so the flat count is 0 and the hier branch's
+        # kept-vs-within comparison is the only signal.
+        # __wrapped__ skips the jit cache: each call must re-read the
+        # monkeypatched module globals.
+        overflow = p3m_neighbor_overflow.__wrapped__
+        kwargs = dict(grid=32, n_real=n, block=16, nbr_k=256)
+        flat = int(overflow(pm, **kwargs))
+        assert flat == 0
+        monkeypatch.setattr(p3m_mod, "_FLAT_MAX_TILES", 4)
+        # Full default budget: on this geometry the hierarchy drops
+        # nothing within rcut, and the diagnostic must agree.
+        assert int(overflow(pm, **kwargs)) == 0
+        # Inject a super-level drop for row 0 (all its kept candidates
+        # pushed past rcut, as a non-admitted super's tiles would be):
+        # exactly one row must now be flagged — the old diagnostic
+        # ignored the selection entirely and still reported 0.
+        real = p3m_mod._select_neighbors
+
+        def starved(lo, hi, r0, nr, h, k):
+            kth, neg, idx = real(lo, hi, r0, nr, h, k)
+            return kth, neg.at[0].set(jnp.float32(-1e30)), idx
+
+        monkeypatch.setattr(p3m_mod, "_select_neighbors", starved)
+        assert int(overflow(pm, **kwargs)) == 1
+
+    def test_selection_keeps_self_under_ties(self):
+        """Dense cores put many tiles (and supers) at exactly AABB gap 0,
+        where the order is the pseudo-random jitter alone — a tile's own
+        tile (and its own super, taking every in-tile pair with it) must
+        be PINNED into the top-k, not left to the tie-break
+        (:func:`_prefer_self`).  256 identical AABBs, starved budgets at
+        both levels: every row must still keep itself."""
+        from nbody3d_tpu.ops.p3m import (
+            _select_neighbors,
+            _select_neighbors_hier,
+        )
+
+        nb = 256
+        lo_b = jnp.zeros((nb, 3), jnp.float32)
+        hi_b = jnp.ones((nb, 3), jnp.float32)
+        h = jnp.float32(1.0)
+        for kth, neg, idx in (
+            _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k=4),
+            _select_neighbors_hier(lo_b, hi_b, 0, nb, h, nbr_k=4, sup_k=2),
+        ):
+            idx_np = np.asarray(idx)
+            neg_np = np.asarray(neg)
+            rows = np.arange(nb)
+            self_hit = idx_np == rows[:, None]
+            assert self_hit.any(axis=1).all(), "a row dropped its own tile"
+            # the pinned self entry carries the sentinel distance
+            assert (neg_np[self_hit] == np.float32(1e30)).all()
+
     def test_hier_truncation_stays_symmetric(self, clustered):
         """With a starved super budget the hierarchy truncates — but the
         mutual super admission keeps the pair set symmetric, so the

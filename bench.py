@@ -24,39 +24,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 BASELINE_GINTS = 300.0  # BASELINE.json north_star, G pairwise interactions/s
 
 
-def wait_for_device(budget_s: float = 1800.0) -> None:
-    """Relay outages HANG device init (they don't raise), so the in-process
-    retry path never fires.  Probe device acquisition in a subprocess with
-    a hard timeout and wait (up to ``budget_s``) for the platform to come
-    back before committing this process to `import jax`."""
-    import subprocess
-
-    deadline = time.monotonic() + budget_s
-    attempt = 0
-    while True:
-        attempt += 1
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=180,
-                capture_output=True,
-            )
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            pass
-        if time.monotonic() >= deadline:
-            print(
-                f"device probe failed {attempt}x for {budget_s:.0f}s; "
-                "proceeding anyway",
-                file=sys.stderr,
-            )
-            return
-        print(
-            f"device probe {attempt} failed; retrying in 60 s",
-            file=sys.stderr,
-        )
-        time.sleep(60)
+from nbody3d_tpu.utils.devwait import wait_for_device  # noqa: E402
 
 
 def main() -> int:

@@ -32,9 +32,16 @@ import jax.numpy as jnp
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=262144)
+    ap.add_argument("--n", type=int, default=0,
+                    help="bodies (default: 262144 direct, 2^21 pm/p3m)")
     ap.add_argument("--k", type=int, default=5, help="rollout steps under grad")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--method", choices=("direct", "pm", "p3m"),
+                    default="direct",
+                    help="solver under jax.grad: the Pallas direct path "
+                    "(hand-written all-pairs VJP) or the grid solvers "
+                    "(Pallas primal + jnp-oracle backward custom VJPs)")
+    ap.add_argument("--grid", type=int, default=128)
     args = ap.parse_args()
 
     from nbody3d_tpu.config import SimConfig
@@ -43,8 +50,9 @@ def main() -> int:
     from nbody3d_tpu.ops.step import fit_block, make_step_fn
     from nbody3d_tpu.state import SimState, init_state
 
-    n = args.n
-    cfg = SimConfig(backend="pallas", force_mode="sym")
+    n = args.n or (262144 if args.method == "direct" else 2**21)
+    cfg = SimConfig(backend="pallas", force_mode="sym", method=args.method,
+                    pm_grid=args.grid)
     pos_mass, vel, _ = make_preset("uniform-sphere", seed=0, G=cfg.G, n=n)
     n_pad = -(-n // 2048) * 2048
     state = init_state(pos_mass, vel, n_pad=n_pad)
@@ -69,17 +77,20 @@ def main() -> int:
             ts.append(time.perf_counter() - t0)
         return statistics.median(ts)
 
-    # (a) raw VJP kernels: full grid and Newton-3
-    vjp_fn = jax.jit(
-        lambda p, a: force_vjp_pallas(p, cfg.G, a, eps2=cfg.eps2, block=block)
-    )
-    t_vjp = timeit(vjp_fn, pm, abar)
-    vjp_sym_fn = jax.jit(
-        lambda p, a: force_vjp_sym_pallas(
-            p, cfg.G, a, eps2=cfg.eps2, block=min(block, 1024)
+    # (a) raw VJP kernels: full grid and Newton-3 (direct method only —
+    # the grid solvers' backwards are measured through the rollout)
+    t_vjp = t_vjp_sym = None
+    if args.method == "direct":
+        vjp_fn = jax.jit(
+            lambda p, a: force_vjp_pallas(p, cfg.G, a, eps2=cfg.eps2, block=block)
         )
-    )
-    t_vjp_sym = timeit(vjp_sym_fn, pm, abar)
+        t_vjp = timeit(vjp_fn, pm, abar)
+        vjp_sym_fn = jax.jit(
+            lambda p, a: force_vjp_sym_pallas(
+                p, cfg.G, a, eps2=cfg.eps2, block=min(block, 1024)
+            )
+        )
+        t_vjp_sym = timeit(vjp_sym_fn, pm, abar)
 
     # (b) + (c): forward step and grad of a k-step rollout loss
     step = make_step_fn(cfg, n_pad, n, platform="tpu")
@@ -104,17 +115,23 @@ def main() -> int:
         "n": n,
         "n_pad": n_pad,
         "k": k,
-        "vjp_kernel_s": round(t_vjp, 4),
-        "vjp_gints": round(pairs / t_vjp / 1e9, 1),
-        "vjp_sym_kernel_s": round(t_vjp_sym, 4),
-        "vjp_sym_gints": round(pairs / t_vjp_sym / 1e9, 1),
+        "method": args.method,
         "fwd_s_per_step": round(t_fwd, 4),
         "grad_s_per_step": round(t_grad, 4),
         "grad_over_fwd": round(t_grad / t_fwd, 2),
-        # one grad step = forward pairs + VJP pairs
-        "grad_pair_gints": round(2 * pairs / t_grad / 1e9, 1),
         "platform": jax.default_backend(),
     }
+    if args.method == "direct":
+        rec.update(
+            vjp_kernel_s=round(t_vjp, 4),
+            vjp_gints=round(pairs / t_vjp / 1e9, 1),
+            vjp_sym_kernel_s=round(t_vjp_sym, 4),
+            vjp_sym_gints=round(pairs / t_vjp_sym / 1e9, 1),
+            # one grad step = forward pairs + VJP pairs
+            grad_pair_gints=round(2 * pairs / t_grad / 1e9, 1),
+        )
+    else:
+        rec["grid"] = args.grid
     print(json.dumps(rec))
     return 0
 

@@ -118,6 +118,10 @@ def main():
                     help="2M only, skip 16M steps")
     ap.add_argument("--grid", type=int, default=128)
     args = ap.parse_args()
+
+    from nbody3d_tpu.utils.devwait import wait_for_device
+
+    wait_for_device(float(os.environ.get("NBODY_BENCH_WAIT_S", "1800")))
     print(f"platform: {jax.devices()[0].platform}", flush=True)
 
     print("== stage times (N=2M, grid=%d) ==" % args.grid, flush=True)

@@ -84,7 +84,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="re-sort bodies along the Z-order curve every N steps "
         "(0 = never; shrinks the MXU paths' centered-limb error)",
     )
-    p.add_argument("--integrator", default=None, choices=["verlet", "euler"])
+    p.add_argument(
+        "--integrator", default=None,
+        choices=["verlet", "euler", "yoshida4"],
+        help="verlet/euler are the reference semantics; yoshida4 is the "
+        "4th-order symplectic composition (3 force evals/step, O(dt^4) "
+        "energy error — supports ~10x larger dt at equal drift)",
+    )
     p.add_argument("--block-target", type=int, default=None)
     p.add_argument("--block-source", type=int, default=None)
     p.add_argument("--devices", type=int, default=1, help=">1 shards bodies over a mesh")

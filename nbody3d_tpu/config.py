@@ -55,7 +55,10 @@ class SimConfig:
     dt: float = DEFAULT_DT
     G: float = DEFAULT_G
     eps2: float = DEFAULT_EPS2
-    integrator: str = "verlet"  # "verlet" (nbody3d.js:280-283) | "euler" (:285-287)
+    # "verlet" (nbody3d.js:280-283) | "euler" (:285-287) | "yoshida4"
+    # (beyond reference: 4th-order symplectic composition, 3 force evals
+    # per step, energy error O(dt^4) — ops/integrate.py).
+    integrator: str = "verlet"
 
     # Force algorithm.  "direct" is the reference's exact O(N^2) all-pairs
     # sum (nbody3d.js:218-294) via the kernels selected by backend /

@@ -238,9 +238,14 @@ class Simulation:
 
     @property
     def pair_interactions_per_step(self) -> int:
-        """N^2 - N, the reference's work definition (``nbody3d.js:255-268``,
-        BASELINE 'pair interactions per step')."""
-        return self.n_real * self.n_real - self.n_real
+        """N^2 - N per force evaluation, the reference's work definition
+        (``nbody3d.js:255-268``, BASELINE 'pair interactions per step'),
+        times the integrator's force evaluations per step (yoshida4: 3) —
+        so the reported G-int/s rate stays an honest work rate."""
+        from nbody3d_tpu.ops.integrate import FORCE_EVALS
+
+        evals = FORCE_EVALS.get(self.config.integrator, 1)
+        return (self.n_real * self.n_real - self.n_real) * evals
 
     # ---------------------------------------------------------- inspection
     @property

@@ -19,7 +19,7 @@ from jax import lax
 
 from nbody3d_tpu.config import SimConfig
 from nbody3d_tpu.ops.force_jnp import accel_direct
-from nbody3d_tpu.ops.integrate import INTEGRATORS
+from nbody3d_tpu.ops.integrate import integrate_state
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
     accel_pair_sym_pallas,
@@ -158,12 +158,16 @@ def make_step_fn(
         mesh_be = "pallas" if backend == "pallas" and not interpret else "jnp"
 
         def step(state: SimState, dt, G) -> SimState:
-            acc = accel_pm(
-                state.pos_mass, G,
-                grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
-                mesh_backend=mesh_be,
+            def accum(pm_):
+                return accel_pm(
+                    pm_, G,
+                    grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
+                    mesh_backend=mesh_be,
+                )
+
+            return integrate_state(
+                config.integrator, accum, state, dt, n_real=n_real
             )
-            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif config.method == "p3m":
         # PM far field + exact short-range correction (ops/p3m.py):
@@ -177,16 +181,20 @@ def make_step_fn(
         short = "pallas" if backend == "pallas" and not interpret else "jnp"
 
         def step(state: SimState, dt, G) -> SimState:
-            acc = accel_p3m(
-                state.pos_mass, G,
-                grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
-                sigma_cells=config.p3m_sigma_cells,
-                rcut_sigmas=config.p3m_rcut_sigmas,
-                block=config.p3m_block, nbr_k=config.p3m_nbr_k,
-                heavy_k=config.p3m_heavy_k, short_backend=short,
-                mesh_backend=short,
+            def accum(pm_):
+                return accel_p3m(
+                    pm_, G,
+                    grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
+                    sigma_cells=config.p3m_sigma_cells,
+                    rcut_sigmas=config.p3m_rcut_sigmas,
+                    block=config.p3m_block, nbr_k=config.p3m_nbr_k,
+                    heavy_k=config.p3m_heavy_k, short_backend=short,
+                    mesh_backend=short,
+                )
+
+            return integrate_state(
+                config.integrator, accum, state, dt, n_real=n_real
             )
-            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
 
     elif backend == "pallas" and force_mode == "sym":
         # Newton-3 schedule (round-robin below MACRO_MIN_N, macro-tiled
@@ -205,8 +213,10 @@ def make_step_fn(
         )
 
         def step(state: SimState, dt, G) -> SimState:
-            acc = sym_accel(state.pos_mass, G)
-            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+            return integrate_state(
+                config.integrator, lambda pm_: sym_accel(pm_, G),
+                state, dt, n_real=n_real,
+            )
 
     elif backend == "pallas" and config.integrator == "verlet" and config.fuse_integrate:
 
@@ -248,16 +258,22 @@ def make_step_fn(
         )
 
         def step(state: SimState, dt, G) -> SimState:
-            acc = accel(state.pos_mass, G)
-            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+            return integrate_state(
+                config.integrator, lambda pm_: accel(pm_, G),
+                state, dt, n_real=n_real,
+            )
 
     elif backend == "jnp":
         # Chunk the jnp oracle to bound memory at O(chunk * N).
         chunk = fit_block(n_pad, 256) if n_pad > 4096 else None
 
         def step(state: SimState, dt, G) -> SimState:
-            acc = accel_direct(state.pos_mass, G, eps2=config.eps2, chunk=chunk)
-            return INTEGRATORS[config.integrator](state, acc, dt, n_real=n_real)
+            def accum(pm_):
+                return accel_direct(pm_, G, eps2=config.eps2, chunk=chunk)
+
+            return integrate_state(
+                config.integrator, accum, state, dt, n_real=n_real
+            )
 
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -32,7 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from nbody3d_tpu.config import SimConfig
 from nbody3d_tpu.ops import diagnostics as diag
 from nbody3d_tpu.ops.force_jnp import accel_partial
-from nbody3d_tpu.ops.integrate import apply_integrator
+from nbody3d_tpu.ops.integrate import integrate_from_accum
 from nbody3d_tpu.ops.pallas_force import (
     NO_DIAG,
     accel_pallas,
@@ -151,16 +151,21 @@ def make_sharded_step(
         # Local shards (shard, 4); dt/G replicated scalars.
         my = lax.axis_index(axis)
 
-        if config.strategy == "gather" or d == 1:
-            all_pm = lax.all_gather(pos_mass, axis, axis=0, tiled=True)  # (n_pad, 4)
-            # Local row r is global my*shard + r == gathered source column:
-            # the offset depends on axis_index, so the traced-diagonal
-            # kernel handles it.
-            acc = local_force(
-                pos_mass, all_pm, G, fit_block(n_pad, config.block_source),
-                diag=my * shard,
-            )
-        elif config.strategy == "ring":
+        def accum(pm_):
+            # Full force accumulation at positions ``pm_`` — a closure so
+            # multi-evaluation integrators (yoshida4) can re-run the whole
+            # exchange schedule per sub-step.
+            if config.strategy == "gather" or d == 1:
+                all_pm = lax.all_gather(pm_, axis, axis=0, tiled=True)  # (n_pad, 4)
+                # Local row r is global my*shard + r == gathered source
+                # column: the offset depends on axis_index, so the
+                # traced-diagonal kernel handles it.
+                return local_force(
+                    pm_, all_pm, G, fit_block(n_pad, config.block_source),
+                    diag=my * shard,
+                )
+            if config.strategy != "ring":
+                raise ValueError(f"unknown strategy {config.strategy!r}")
             # Rotate the raw pos_mass shard (16 B/body over ICI); the kernel
             # input layouts (srcT / limb matrix) are recomputed locally per
             # hop — O(shard) work vs O(shard^2) force math.  Self-pairs
@@ -176,29 +181,27 @@ def make_sharded_step(
                 # Issue the permute first: no data dependency with the force
                 # kernel on `src`, so XLA can run the ICI transfer async.
                 nxt = lax.ppermute(src, axis, ring_perm)
-                acc = acc + local_force(pos_mass, src, G, bs, static_diag=sd)
+                acc = acc + local_force(pm_, src, G, bs, static_diag=sd)
                 return acc, nxt
 
-            acc = jnp.zeros_like(pos_mass)
+            acc = jnp.zeros_like(pm_)
             if d <= _MAX_UNROLL:
-                carry = (acc, pos_mass)
+                carry = (acc, pm_)
                 for k in range(d):
                     carry = ring_body(SELF if k == 0 else DISJOINT, carry)
-                acc = carry[0]
-            else:
-                # rolled fallback: hop 0 (the only masked one) outside the loop
-                carry = ring_body(SELF, (acc, pos_mass))
-                acc, _ = lax.fori_loop(
-                    1, d, lambda k, c: ring_body(DISJOINT, c), carry
-                )
-        else:
-            raise ValueError(f"unknown strategy {config.strategy!r}")
+                return carry[0]
+            # rolled fallback: hop 0 (the only masked one) outside the loop
+            carry = ring_body(SELF, (acc, pm_))
+            acc, _ = lax.fori_loop(
+                1, d, lambda k, c: ring_body(DISJOINT, c), carry
+            )
+            return acc
 
-        # Local Verlet/Euler with the global ``index < nBodies`` guard.
+        # Local integration with the global ``index < nBodies`` guard.
         rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
         valid = rows < n_real if n_real < n_pad else None
-        new_pos, new_vel, new_acc = apply_integrator(
-            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        new_pos, new_vel, new_acc = integrate_from_accum(
+            config.integrator, accum, pos_mass, vel, accel, dt, valid
         )
         return new_pos, new_vel, new_acc, step + 1
 
@@ -315,66 +318,70 @@ def make_ringsym_step(
 
     def local_step(pos_mass, vel, accel, step, dt, G):
         my = lax.axis_index(axis)
-        acc = self_force(pos_mass, G)
-        # the resident shard's target-side operand pack is hop-invariant
-        tgt_pack = (
-            sym_operands(pos_mass, G, b) if backend == "pallas" else None
-        )
 
-        def fwd_hop(k, acc, src):
-            src = lax.ppermute(src, axis, fwd_perm)  # now shard of my-k
-            at, ar = pair_force(pos_mass, src, G, tgt_pack)
-            if even:
-                # shared half-hop: pair {i, i+d/2} computed only by i < d/2
-                keep = jnp.where(
-                    jnp.logical_or(k != n_hops, my < d // 2), 1.0, 0.0
-                ).astype(at.dtype)
-                at = at * keep
-                ar = ar * keep
-            return acc + at, ar, src
-
-        carry = jnp.zeros_like(pos_mass)
-        if n_hops <= _MAX_UNROLL:
-            revs = []
-            src = pos_mass
-            for k in range(1, n_hops + 1):
-                acc, ar, src = fwd_hop(k, acc, src)
-                revs.append(ar)
-            for k in range(n_hops, 0, -1):
-                carry = lax.ppermute(carry + revs[k - 1], axis, bwd_perm)
-        elif n_hops > 0:
-            # rolled fallback for big meshes (the plain ring does the same
-            # beyond _MAX_UNROLL): stash per-hop reverse partials in a
-            # stacked buffer, then run the backward carry over it.
-            revs0 = jnp.zeros((n_hops,) + pos_mass.shape, pos_mass.dtype)
-
-            def fwd_body(k, st):
-                acc_, revs_, src_ = st
-                acc_, ar, src_ = fwd_hop(k, acc_, src_)
-                revs_ = lax.dynamic_update_slice_in_dim(
-                    revs_, ar[None], k - 1, axis=0
-                )
-                return acc_, revs_, src_
-
-            acc, revs_arr, _ = lax.fori_loop(
-                1, n_hops + 1, fwd_body, (acc, revs0, pos_mass)
+        def accum(pm_):
+            # Whole Newton-3 schedule at positions ``pm_`` (closure so
+            # multi-eval integrators re-run the exchange per sub-step).
+            acc = self_force(pm_, G)
+            # the resident shard's target-side operand pack is hop-invariant
+            tgt_pack = (
+                sym_operands(pm_, G, b) if backend == "pallas" else None
             )
 
-            def bwd_body(t, carry_):
-                k = n_hops - t  # k = n_hops .. 1
-                return lax.ppermute(
-                    carry_ + lax.dynamic_index_in_dim(revs_arr, k - 1, 0, False),
-                    axis,
-                    bwd_perm,
+            def fwd_hop(k, acc, src):
+                src = lax.ppermute(src, axis, fwd_perm)  # now shard of my-k
+                at, ar = pair_force(pm_, src, G, tgt_pack)
+                if even:
+                    # shared half-hop: pair {i, i+d/2} computed only by i < d/2
+                    keep = jnp.where(
+                        jnp.logical_or(k != n_hops, my < d // 2), 1.0, 0.0
+                    ).astype(at.dtype)
+                    at = at * keep
+                    ar = ar * keep
+                return acc + at, ar, src
+
+            carry = jnp.zeros_like(pm_)
+            if n_hops <= _MAX_UNROLL:
+                revs = []
+                src = pm_
+                for k in range(1, n_hops + 1):
+                    acc, ar, src = fwd_hop(k, acc, src)
+                    revs.append(ar)
+                for k in range(n_hops, 0, -1):
+                    carry = lax.ppermute(carry + revs[k - 1], axis, bwd_perm)
+            elif n_hops > 0:
+                # rolled fallback for big meshes (the plain ring does the same
+                # beyond _MAX_UNROLL): stash per-hop reverse partials in a
+                # stacked buffer, then run the backward carry over it.
+                revs0 = jnp.zeros((n_hops,) + pm_.shape, pm_.dtype)
+
+                def fwd_body(k, st):
+                    acc_, revs_, src_ = st
+                    acc_, ar, src_ = fwd_hop(k, acc_, src_)
+                    revs_ = lax.dynamic_update_slice_in_dim(
+                        revs_, ar[None], k - 1, axis=0
+                    )
+                    return acc_, revs_, src_
+
+                acc, revs_arr, _ = lax.fori_loop(
+                    1, n_hops + 1, fwd_body, (acc, revs0, pm_)
                 )
 
-            carry = lax.fori_loop(0, n_hops, bwd_body, carry)
-        acc = acc + carry
+                def bwd_body(t, carry_):
+                    k = n_hops - t  # k = n_hops .. 1
+                    return lax.ppermute(
+                        carry_ + lax.dynamic_index_in_dim(revs_arr, k - 1, 0, False),
+                        axis,
+                        bwd_perm,
+                    )
+
+                carry = lax.fori_loop(0, n_hops, bwd_body, carry)
+            return acc + carry
 
         rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
         valid = rows < n_real if n_real < n_pad else None
-        new_pos, new_vel, new_acc = apply_integrator(
-            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        new_pos, new_vel, new_acc = integrate_from_accum(
+            config.integrator, accum, pos_mass, vel, accel, dt, valid
         )
         return new_pos, new_vel, new_acc, step + 1
 
@@ -448,37 +455,40 @@ def make_grid2d_step(
     def local_step(pos_mass, vel, accel, step, dt, G):
         r = lax.axis_index(ax_r)
         c = lax.axis_index(ax_c)
-        tgt_seg = lax.all_gather(pos_mass, ax_c, axis=0, tiled=True)  # (seg_t, 4)
-        src_set = lax.all_gather(pos_mass, ax_r, axis=0, tiled=True)  # (seg_s, 4)
-        diag = (r - c) * m
-        lo, hi = c * m, (c + 1) * m  # target rows with true self-pairs
-        srcT = src_transposed(src_set, G)
-        if backend == "pallas":
-            src10 = src_limbs(src_set, G) if fast else None
-            part = accel_pallas(
-                tgt_seg,
-                srcT,
-                src10,
-                diag,
-                eps2=config.eps2,
-                block_target=bt,
-                block_source=bs,
-                mode=mode,
-                interpret=interpret,
-                diag_lo=lo,
-                diag_hi=hi,
-                static_diag=None,  # offset depends on axis_index (traced)
-            )
-        else:
-            part = accel_partial(
-                tgt_seg, srcT, diag, eps2=config.eps2, diag_lo=lo, diag_hi=hi
-            )
-        acc = lax.psum_scatter(part, ax_c, scatter_dimension=0, tiled=True)  # (m, 4)
+
+        def accum(pm_):
+            tgt_seg = lax.all_gather(pm_, ax_c, axis=0, tiled=True)  # (seg_t, 4)
+            src_set = lax.all_gather(pm_, ax_r, axis=0, tiled=True)  # (seg_s, 4)
+            diag = (r - c) * m
+            lo, hi = c * m, (c + 1) * m  # target rows with true self-pairs
+            srcT = src_transposed(src_set, G)
+            if backend == "pallas":
+                src10 = src_limbs(src_set, G) if fast else None
+                part = accel_pallas(
+                    tgt_seg,
+                    srcT,
+                    src10,
+                    diag,
+                    eps2=config.eps2,
+                    block_target=bt,
+                    block_source=bs,
+                    mode=mode,
+                    interpret=interpret,
+                    diag_lo=lo,
+                    diag_hi=hi,
+                    static_diag=None,  # offset depends on axis_index (traced)
+                )
+            else:
+                part = accel_partial(
+                    tgt_seg, srcT, diag, eps2=config.eps2, diag_lo=lo, diag_hi=hi
+                )
+            # -> exactly shard (r, c)'s rows, (m, 4)
+            return lax.psum_scatter(part, ax_c, scatter_dimension=0, tiled=True)
 
         rows = lax.broadcasted_iota(jnp.int32, (m, 1), 0) + (r * ncols + c) * m
         valid = rows < n_real if n_real < n_pad else None
-        new_pos, new_vel, new_acc = apply_integrator(
-            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        new_pos, new_vel, new_acc = integrate_from_accum(
+            config.integrator, accum, pos_mass, vel, accel, dt, valid
         )
         return new_pos, new_vel, new_acc, step + 1
 
@@ -541,29 +551,33 @@ def make_pm_sharded_step(
         my = jnp.int32(0)
         for a in axes:  # flattened shard index (row-major over mesh axes)
             my = my * mesh.shape[a] + lax.axis_index(a)
-        pos = pos_mass[:, :3]
         rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
         validf = rows < n_real
-        # Global bounding box over REAL bodies only (padding sits at the
-        # origin with mass 0 and must not shape the grid).
-        big = jnp.float32(3.0e38)
-        lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
-        hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
-        lo_w = lax.pmin(lo_l, axis)
-        hi_w = lax.pmax(hi_l, axis)
-        lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
 
-        rho = pm_ops.cic_deposit(pos, pos_mass[:, 3], lo, h, grid)
-        rho = lax.psum(rho, axis)
-        phi = pm_ops.solve_potential(rho, h, eps2)
-        grids = pm_ops.force_grids(phi, h)
-        i0, f = pm_ops._cic_cells(pos, lo, h, grid)
-        acc3 = pm_ops.cic_gather(grids, i0, f, grid) * jnp.float32(G)
-        acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)
+        def accum(pm_):
+            pos = pm_[:, :3]
+            # Global bounding box over REAL bodies only (padding sits at the
+            # origin with mass 0 and must not shape the grid).
+            big = jnp.float32(3.0e38)
+            lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
+            hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
+            lo_w = lax.pmin(lo_l, axis)
+            hi_w = lax.pmax(hi_l, axis)
+            lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
+
+            rho = pm_ops.cic_deposit(pos, pm_[:, 3], lo, h, grid)
+            rho = lax.psum(rho, axis)
+            phi = pm_ops.solve_potential(rho, h, eps2)
+            grids = pm_ops.force_grids(phi, h)
+            i0, f = pm_ops._cic_cells(pos, lo, h, grid)
+            acc3 = pm_ops.cic_gather(grids, i0, f, grid) * jnp.float32(G)
+            return jnp.concatenate(
+                [acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1
+            )
 
         valid = validf if n_real < n_pad else None
-        new_pos, new_vel, new_acc = apply_integrator(
-            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        new_pos, new_vel, new_acc = integrate_from_accum(
+            config.integrator, accum, pos_mass, vel, accel, dt, valid
         )
         return new_pos, new_vel, new_acc, step + 1
 
@@ -649,115 +663,121 @@ def make_p3m_sharded_step(
         my = jnp.int32(0)
         for a in axes:  # flattened shard index (row-major over mesh axes)
             my = my * mesh.shape[a] + lax.axis_index(a)
-        pos = pos_mass[:, :3]
         rows = lax.broadcasted_iota(jnp.int32, (shard, 1), 0) + my * shard
         validf = rows < n_real
-        big = jnp.float32(3.0e38)
-        lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
-        hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
-        lo_w = lax.pmin(lo_l, axis)
-        hi_w = lax.pmax(hi_l, axis)
-        lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
-        sigma = sigma_cells * h
-        rcut = rcut_sigmas * sigma
 
-        # Mass-hierarchy split (p3m_ops.heavy_split): replicated and
-        # deterministic — every chip derives the same heavy set from the
-        # same gathered array.
-        full = lax.all_gather(pos_mass, axis, axis=0, tiled=True)
-        hidx, mass_mesh = p3m_ops.heavy_split(full, heavy_k)
-        full_mesh = jnp.concatenate(
-            [full[:, :3], mass_mesh[:, None]], axis=1
-        )
-        # Global Morton order: replicated and deterministic — every chip
-        # derives the same sorted layout, and each owns the contiguous
-        # slice of ``shard`` rows (= ``tiles_per`` tiles) at its index.
-        keys = morton_keys(full, n_real)
-        order = jnp.argsort(keys, stable=True)
-        ps = full_mesh[order]
-        ps_mine = lax.dynamic_slice_in_dim(ps, my * shard, shard)
-        pos_s, mass_s = ps_mine[:, :3], ps_mine[:, 3]
+        def accum(pos_mass):
+            # Full P3M accumulation at these positions (closure so
+            # multi-eval integrators re-run the pipeline per sub-step;
+            # the parameter shadows the resident state on purpose).
+            pos = pos_mass[:, :3]
+            big = jnp.float32(3.0e38)
+            lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
+            hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
+            lo_w = lax.pmin(lo_l, axis)
+            hi_w = lax.pmax(hi_l, axis)
+            lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
+            sigma = sigma_cells * h
+            rcut = rcut_sigmas * sigma
 
-        # Long range (PM pattern, TSC order) over this chip's SORTED
-        # slice: the slice is Morton-tiled, so the MXU tile kernels
-        # (ops/mesh_pallas.py) replace the XLA deposit/gather on the
-        # Pallas backend; deposits from all chips meet in one grid psum
-        # either way.  Wire-neutral vs the old resident-rows layout: the
-        # all-gather of per-row sorted values below already existed for
-        # the short-range pass, and now carries mesh+short together.
-        c, w, f = p3m_ops._tsc_cells(pos_s, lo, h, grid)
-        if use_tiles:
-            corners, validp, dirty = mp.tile_corners(c, block, grid)
-            rho = mp.deposit_tiles(c, f, mass_s, corners, grid, block,
-                                   interpret=interpret)
-            rho = mp.repair_deposit(rho, c, w, mass_s, validp, dirty, rt,
-                                    grid, block)
-        else:
-            rho = p3m_ops.tsc_deposit(pos_s, mass_s, lo, h, grid)
-        rho = lax.psum(rho, axis)
-        grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
-        if use_tiles:
-            acc_m = mp.gather_tiles(grids, c, f, corners, grid, block,
-                                    interpret=interpret)
-            acc_m = mp.repair_gather(acc_m, grids, c, w, validp, dirty, rt,
-                                     grid, block)
-        else:
-            acc_m = p3m_ops.tsc_gather(grids, c, w, grid)
-        # Net-force projection (see accel_p3m): momentum-restoring frame
-        # correction for the deconv-amplified FFT noise; reductions span
-        # the mesh via psum (sorted slices partition the same rows).
-        msum = jnp.maximum(
-            lax.psum(jnp.sum(mass_s), axis), jnp.float32(1e-30)
-        )
-        wsum = lax.psum(jnp.sum(mass_s[:, None] * acc_m, axis=0), axis)
-        acc_m = acc_m - wsum[None, :] / msum
+            # Mass-hierarchy split (p3m_ops.heavy_split): replicated and
+            # deterministic — every chip derives the same heavy set from the
+            # same gathered array.
+            full = lax.all_gather(pos_mass, axis, axis=0, tiled=True)
+            hidx, mass_mesh = p3m_ops.heavy_split(full, heavy_k)
+            full_mesh = jnp.concatenate(
+                [full[:, :3], mass_mesh[:, None]], axis=1
+            )
+            # Global Morton order: replicated and deterministic — every chip
+            # derives the same sorted layout, and each owns the contiguous
+            # slice of ``shard`` rows (= ``tiles_per`` tiles) at its index.
+            keys = morton_keys(full, n_real)
+            order = jnp.argsort(keys, stable=True)
+            ps = full_mesh[order]
+            ps_mine = lax.dynamic_slice_in_dim(ps, my * shard, shard)
+            pos_s, mass_s = ps_mine[:, :3], ps_mine[:, 3]
 
-        # Short range over the same sorted-tile slice (light sources).
-        lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
-        kth_mine, neg, nbr_idx = p3m_ops._select_neighbors(
-            lo_b, hi_b, my * tiles_per, tiles_per, h, nbr_k
-        )
-        # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
-        kth_all = lax.all_gather(kth_mine, axis, axis=0, tiled=True)
-        nbr_mask = p3m_ops.mutual_neighbor_mask(neg, nbr_idx, kth_all)
-        # The resolved backend picks the block-sparse Pallas kernel or the
-        # jnp form — identical pair sets either way.
-        acc_s_mine = p3m_ops.short_range_tiles(
-            ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,
-            nbr_mask=nbr_mask, backend="pallas" if use_pallas else "jnp",
-            interpret=interpret,
-        )
-        acc_full = lax.all_gather(acc_m + acc_s_mine, axis, axis=0, tiled=True)
-        inv = jnp.argsort(order)
-        inv_mine = lax.dynamic_slice_in_dim(inv, my * shard, shard)
-        acc3 = acc_full[inv_mine]
+            # Long range (PM pattern, TSC order) over this chip's SORTED
+            # slice: the slice is Morton-tiled, so the MXU tile kernels
+            # (ops/mesh_pallas.py) replace the XLA deposit/gather on the
+            # Pallas backend; deposits from all chips meet in one grid psum
+            # either way.  Wire-neutral vs the old resident-rows layout: the
+            # all-gather of per-row sorted values below already existed for
+            # the short-range pass, and now carries mesh+short together.
+            c, w, f = p3m_ops._tsc_cells(pos_s, lo, h, grid)
+            if use_tiles:
+                corners, validp, dirty = mp.tile_corners(c, block, grid)
+                rho = mp.deposit_tiles(c, f, mass_s, corners, grid, block,
+                                       interpret=interpret)
+                rho = mp.repair_deposit(rho, c, w, mass_s, validp, dirty, rt,
+                                        grid, block)
+            else:
+                rho = p3m_ops.tsc_deposit(pos_s, mass_s, lo, h, grid)
+            rho = lax.psum(rho, axis)
+            grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
+            if use_tiles:
+                acc_m = mp.gather_tiles(grids, c, f, corners, grid, block,
+                                        interpret=interpret)
+                acc_m = mp.repair_gather(acc_m, grids, c, w, validp, dirty, rt,
+                                         grid, block)
+            else:
+                acc_m = p3m_ops.tsc_gather(grids, c, w, grid)
+            # Net-force projection (see accel_p3m): momentum-restoring frame
+            # correction for the deconv-amplified FFT noise; reductions span
+            # the mesh via psum (sorted slices partition the same rows).
+            msum = jnp.maximum(
+                lax.psum(jnp.sum(mass_s), axis), jnp.float32(1e-30)
+            )
+            wsum = lax.psum(jnp.sum(mass_s[:, None] * acc_m, axis=0), axis)
+            acc_m = acc_m - wsum[None, :] / msum
 
-        # Exact heavy pairs: local targets vs the replicated heavy set;
-        # the force ON each heavy body reduces over all chips' residents
-        # with one psum, then heavy rows owned here are overwritten.
-        hp = full[hidx]  # (K, 4)
-        dvec = hp[None, :, :3] - pos[:, None, :]  # (shard, K, 3)
-        r2 = jnp.sum(dvec * dvec, axis=-1)
-        inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
-        wgt = inv_s * inv_s * inv_s * (r2 > 0)
-        a_from_heavy = jnp.einsum("nk,nkc->nc", wgt * hp[None, :, 3], dvec)
-        a_on_heavy = lax.psum(
-            -jnp.einsum("nk,nkc->kc", wgt * pos_mass[:, 3][:, None], dvec),
-            axis,
-        )
-        rows1 = rows[:, 0]  # (shard,) global row ids
-        match = rows1[:, None] == hidx[None, :]  # (shard, K)
-        repl = jnp.einsum("rk,kc->rc", match.astype(jnp.float32), a_on_heavy)
-        acc3 = jnp.where(
-            jnp.any(match, axis=1)[:, None], repl, acc3 + a_from_heavy
-        )
+            # Short range over the same sorted-tile slice (light sources).
+            lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
+            kth_mine, neg, nbr_idx = p3m_ops._select_neighbors(
+                lo_b, hi_b, my * tiles_per, tiles_per, h, nbr_k
+            )
+            # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
+            kth_all = lax.all_gather(kth_mine, axis, axis=0, tiled=True)
+            nbr_mask = p3m_ops.mutual_neighbor_mask(neg, nbr_idx, kth_all)
+            # The resolved backend picks the block-sparse Pallas kernel or the
+            # jnp form — identical pair sets either way.
+            acc_s_mine = p3m_ops.short_range_tiles(
+                ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,
+                nbr_mask=nbr_mask, backend="pallas" if use_pallas else "jnp",
+                interpret=interpret,
+            )
+            acc_full = lax.all_gather(acc_m + acc_s_mine, axis, axis=0, tiled=True)
+            inv = jnp.argsort(order)
+            inv_mine = lax.dynamic_slice_in_dim(inv, my * shard, shard)
+            acc3 = acc_full[inv_mine]
 
-        acc3 = acc3 * jnp.float32(G)
-        acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)
+            # Exact heavy pairs: local targets vs the replicated heavy set;
+            # the force ON each heavy body reduces over all chips' residents
+            # with one psum, then heavy rows owned here are overwritten.
+            hp = full[hidx]  # (K, 4)
+            dvec = hp[None, :, :3] - pos[:, None, :]  # (shard, K, 3)
+            r2 = jnp.sum(dvec * dvec, axis=-1)
+            inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
+            wgt = inv_s * inv_s * inv_s * (r2 > 0)
+            a_from_heavy = jnp.einsum("nk,nkc->nc", wgt * hp[None, :, 3], dvec)
+            a_on_heavy = lax.psum(
+                -jnp.einsum("nk,nkc->kc", wgt * pos_mass[:, 3][:, None], dvec),
+                axis,
+            )
+            rows1 = rows[:, 0]  # (shard,) global row ids
+            match = rows1[:, None] == hidx[None, :]  # (shard, K)
+            repl = jnp.einsum("rk,kc->rc", match.astype(jnp.float32), a_on_heavy)
+            acc3 = jnp.where(
+                jnp.any(match, axis=1)[:, None], repl, acc3 + a_from_heavy
+            )
+
+            acc3 = acc3 * jnp.float32(G)
+            acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)
+            return acc
 
         valid = validf if n_real < n_pad else None
-        new_pos, new_vel, new_acc = apply_integrator(
-            config.integrator, pos_mass, vel, accel, acc, dt, valid
+        new_pos, new_vel, new_acc = integrate_from_accum(
+            config.integrator, accum, pos_mass, vel, accel, dt, valid
         )
         return new_pos, new_vel, new_acc, step + 1
 

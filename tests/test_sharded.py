@@ -314,3 +314,27 @@ def test_ringsym_source_chunked_pair_hops(mesh, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out.accel), np.asarray(ref.accel), rtol=1e-4, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("method,strategy", [("direct", "ring"), ("pm", "ring")])
+def test_sharded_yoshida4_matches_single_device(mesh, method, strategy):
+    """Multi-eval integrators re-run the whole exchange schedule per
+    sub-step (3 force evaluations): the sharded closure must reproduce the
+    single-device composition exactly (jnp backend, f32 tolerance)."""
+    n = 512
+    cfg = SimConfig(
+        backend="jnp", block_target=64, block_source=64,
+        strategy=strategy, integrator="yoshida4",
+        method="direct" if method == "direct" else method, pm_grid=16,
+    )
+    s = random_state(3, n)
+    ref = make_step_fn(cfg, n, n, "cpu")(s, DT, G)
+    step = make_sharded_step(cfg, n, n, mesh, "cpu")
+    out = jax.jit(step)(shard_state(s, mesh, "x"), DT, G)
+    np.testing.assert_allclose(
+        np.asarray(out.pos_mass), np.asarray(ref.pos_mass), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.vel), np.asarray(ref.vel), rtol=1e-5, atol=1e-7
+    )
+    assert int(out.step) == 1

@@ -59,3 +59,22 @@ def test_fused_engine_matches_unfused():
     np.testing.assert_allclose(
         sim_f.arrays()[0], sim_u.arrays()[0], rtol=1e-6, atol=1e-7
     )
+
+
+def test_engine_yoshida4_pallas_matches_jnp():
+    """yoshida4 through the sym Pallas path (interpret) vs the jnp engine:
+    the composition calls the force kernel 3x per step."""
+    pm, vel, _ = uniform_sphere(128, rng=np.random.default_rng(1))
+    kw = dict(block_target=64, block_source=64, integrator="yoshida4")
+    sim_p = Simulation(
+        SimConfig(backend="pallas", force_mode="sym", **kw), pm, vel,
+        platform="cpu",
+    )
+    sim_j = Simulation(SimConfig(backend="jnp", **kw), pm, vel, platform="cpu")
+    sim_p.step(2)
+    sim_j.step(2)
+    np.testing.assert_allclose(
+        sim_p.arrays()[0], sim_j.arrays()[0], rtol=2e-3, atol=2e-3
+    )
+    # the engine's work metric accounts 3 force evals per step
+    assert sim_p.pair_interactions_per_step == 3 * (128 * 128 - 128)

@@ -316,7 +316,9 @@ def test_ringsym_source_chunked_pair_hops(mesh, monkeypatch):
     )
 
 
-@pytest.mark.parametrize("method,strategy", [("direct", "ring"), ("pm", "ring")])
+@pytest.mark.parametrize(
+    "method,strategy", [("direct", "ring"), ("pm", "ring"), ("p3m", "ring")]
+)
 def test_sharded_yoshida4_matches_single_device(mesh, method, strategy):
     """Multi-eval integrators re-run the whole exchange schedule per
     sub-step (3 force evaluations): the sharded closure must reproduce the

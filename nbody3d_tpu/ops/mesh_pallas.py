@@ -191,13 +191,15 @@ def _deposit_kernel(
 
 def _gather_kernel(
     corn_ref, c_ref, fm_ref, g_ref, out_ref, *, block, grid, bx, by, bz,
-    order
+    order, ncomp
 ):
-    """One Morton tile: box-local one-hot TSC interpolation of the three
+    """One Morton tile: box-local one-hot TSC interpolation of ``ncomp``
     force grids.  Per component: z-shift matmul compacts the full-lane
     box to ``bz`` columns, then ``M1 = Wx @ box`` and a ⟨M1, Wy⊗Wz⟩
     row contraction (VPU) give the per-particle values.  Corner block
-    semantics as in :func:`_deposit_kernel`."""
+    semantics as in :func:`_deposit_kernel`.  ``ncomp=1`` is the
+    split-component form used when the full 3-grid block would exceed
+    VMEM (grid > 128)."""
     cx0, cy0, cz0 = corn_ref[0, 0], corn_ref[0, 1], corn_ref[0, 2]
 
     c = c_ref[...]
@@ -217,7 +219,7 @@ def _gather_kernel(
     st = (zs == ks + cz0).astype(jnp.float32)  # (G, bz)
 
     comps = []
-    for comp in range(3):
+    for comp in range(ncomp):
         box = g_ref[comp, pl.ds(cx0, bx), pl.ds(cy0, by), :]
         boxz = lax.dot_general(
             box.reshape(bx * by, grid), st, (((1,), (0,)), ((), ())),
@@ -230,7 +232,7 @@ def _gather_kernel(
         comps.append(jnp.sum(m1 * wyz, axis=1))
     acc = jnp.stack(comps, axis=1) * gate[:, None]
     out_ref[...] = jnp.concatenate(
-        [acc, jnp.zeros((block, 1), jnp.float32)], axis=1
+        [acc, jnp.zeros((block, 4 - ncomp), jnp.float32)], axis=1
     )
 
 
@@ -298,6 +300,12 @@ def deposit_tiles(
     )(_corners4(corners), c4, fm)
 
 
+# One VMEM-resident input block of all 3 force grids is the fast form;
+# past this byte size (grid > 128) the gather splits into one call per
+# component so each block is a single G³ grid (28 MB at 192).
+_GATHER_SPLIT_BYTES = 32 * 1024 * 1024
+
+
 def gather_tiles(
     grids: jax.Array,
     c: jax.Array,
@@ -315,42 +323,53 @@ def gather_tiles(
     nt = n // block
     c4, fm = _mesh_call_args(c, f, None)
     g4 = grids.reshape(3, grid, grid, grid)
-    kernel = functools.partial(
-        _gather_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz,
-        order=order,
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda t: (t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, 4), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4), lambda t: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (3, grid, grid, grid), lambda t: (0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+    split = 3 * grid**3 * 4 > _GATHER_SPLIT_BYTES
+
+    def call(ncomp: int, comp0: int):
+        kernel = functools.partial(
+            _gather_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz,
+            order=order, ncomp=ncomp,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(nt,),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda t: (t, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((block, 4), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 4), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (ncomp, grid, grid, grid),
+                    lambda t: (comp0, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (block, 4), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
-        ],
-        out_specs=pl.BlockSpec(
-            (block, 4), lambda t: (t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=6 * nt * block * bx * by * bz
-            + 6 * nt * bx * by * bz * grid,
-            bytes_accessed=nt * block * 32 + 3 * grid**3 * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(_corners4(corners), c4, fm, g4)
-    return out[:, :3]
+            out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ncomp * nt * block * bx * by * bz
+                + 2 * ncomp * nt * bx * by * bz * grid,
+                bytes_accessed=nt * block * 32 + ncomp * grid**3 * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(_corners4(corners), c4, fm, g4)
+
+    if not split:
+        return call(3, 0)[:, :3]
+    # blocked index maps address in units of the block shape: with a
+    # (1, G, G, G) component block, block index ``comp0`` IS the component.
+    return jnp.concatenate(
+        [call(1, comp)[:, :1] for comp in range(3)], axis=1
+    )
 
 
 def _offsets(order: int):
@@ -555,8 +574,9 @@ def mesh_accel(
     interpret: bool = False,
 ) -> jax.Array:
     """Mesh long-range dispatch.  ``backend="auto"`` runs the Pallas tile
-    kernels on TPU whenever they apply (order 3, 32 ≤ grid ≤ 128 so the
-    f32 grid is VMEM-resident and full-z fits the lane dim, block ≥ 8)
+    kernels on TPU whenever they apply (order 3, 32 ≤ grid ≤ 192 so the
+    f32 grid is VMEM-resident — component-split gather above 128 — and
+    full-z fits the lane dim, block ≥ 8)
     and the XLA form elsewhere.  ``"pallas_interpret"`` exercises the
     kernels through the Pallas interpreter (CPU tests)."""
     if backend == "pallas_interpret":
@@ -566,7 +586,7 @@ def mesh_accel(
             "pallas"
             if jax.default_backend() == "tpu"
             and order == 3
-            and 32 <= grid <= 128
+            and 32 <= grid <= 192
             and block >= 8
             else "jnp"
         )
@@ -694,14 +714,14 @@ def pm_accel(
 ) -> jax.Array:
     """PM mesh dispatch (the order-2 sibling of :func:`mesh_accel`).
     ``backend="auto"`` runs the tile kernels on TPU whenever they apply
-    (32 ≤ grid ≤ 128, block ≥ 8) and the XLA form elsewhere."""
+    (32 ≤ grid ≤ 192, block ≥ 8) and the XLA form elsewhere."""
     if backend == "pallas_interpret":
         backend, interpret = "pallas", True
     if backend == "auto":
         backend = (
             "pallas"
             if jax.default_backend() == "tpu"
-            and 32 <= grid <= 128
+            and 32 <= grid <= 192
             and block >= 8
             else "jnp"
         )

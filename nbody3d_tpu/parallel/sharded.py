@@ -652,11 +652,11 @@ def make_p3m_sharded_step(
     rcut_sigmas = float(config.p3m_rcut_sigmas)
     # Kernel dispatch follows the resolved backend (interpret=True runs
     # the Pallas kernels through the interpreter on the virtual CPU mesh
-    # — the dryrun/test coverage path).  grid ≤ 128 is the VMEM-residency
-    # bound of the tile mesh kernels.
+    # — the dryrun/test coverage path).  grid ≤ 192 is the VMEM-residency
+    # bound of the tile mesh kernels (component-split gather above 128).
     backend, interpret = resolve_backend(config, platform)
     use_pallas = backend == "pallas"
-    use_tiles = use_pallas and grid <= 128
+    use_tiles = use_pallas and grid <= 192
     rt = min(mp.default_rt(tiles_per), tiles_per)
 
     def local_step(pos_mass, vel, accel, step, dt, G):

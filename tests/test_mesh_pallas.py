@@ -279,3 +279,48 @@ class TestTileMesh:
         np.testing.assert_allclose(
             np.asarray(a_p), np.asarray(a_j), atol=1e-5 * scale
         )
+
+
+class TestSplitGather:
+    @pytest.mark.slow  # interpret-mode 160^3 FFT dominates (~1 min)
+    def test_mesh_accel_matches_jnp_at_split_grid(self):
+        """grid > 128 takes the component-split gather (one G^3 grid per
+        VMEM block instead of all three): oracle equality end to end —
+        the split must change nothing but the blocking."""
+        grid = 160
+        assert 3 * grid**3 * 4 > mp._GATHER_SPLIT_BYTES
+        rng = np.random.default_rng(7)
+        n = 2048
+        pos = rng.normal(size=(n, 3)).astype(np.float32)
+        pos[:32] *= 40.0
+        m = rng.uniform(0.5, 1.5, size=(n,)).astype(np.float32)
+        pmj = jnp.asarray(np.concatenate([pos, m[:, None]], axis=1))
+        ps = pmj[jnp.argsort(morton_keys(pmj, n), stable=True)]
+        lo, h = _box(ps[:, :3], grid)
+        sigma = 1.5 * h
+        a_p = mp.mesh_accel_pallas(ps, lo, h, sigma, grid=grid, eps2=EPS2,
+                                   block=128, interpret=True)
+        a_j = mp.mesh_accel_jnp(ps, lo, h, sigma, grid=grid, eps2=EPS2)
+        scale = float(jnp.max(jnp.abs(a_j)))
+        np.testing.assert_allclose(
+            np.asarray(a_p), np.asarray(a_j), atol=5e-6 * scale
+        )
+
+    def test_gather_split_equals_unsplit(self):
+        """The split path must be bit-comparable to the single-call form
+        on the same inputs (same kernel math, different blocking)."""
+        ps, lo, h = _sorted_cloud()
+        c, w, f = _tsc_cells(ps[:, :3], lo, h, GRID)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID)
+        rho = tsc_deposit(ps[:, :3], ps[:, 3], lo, h, GRID)
+        grids = solve_accel_long(rho, h, EPS2, 1.5 * h, order=3)
+        one = mp.gather_tiles(grids, c, f, corners, GRID, BLOCK,
+                              interpret=True)
+        old = mp._GATHER_SPLIT_BYTES
+        try:
+            mp._GATHER_SPLIT_BYTES = 0  # force the split at GRID=64
+            split = mp.gather_tiles(grids, c, f, corners, GRID, BLOCK,
+                                    interpret=True)
+        finally:
+            mp._GATHER_SPLIT_BYTES = old
+        np.testing.assert_array_equal(np.asarray(one), np.asarray(split))

@@ -176,3 +176,15 @@ def test_resumed_checkpoint_strategy_drives_mesh_shape(tmp_path, capsys):
         "--devices", "8",  # no --strategy: must come from the checkpoint
     ])
     assert rc == 0
+
+
+def test_run_yoshida4_integrator(tmp_path, capsys):
+    rc = run_cli([
+        "run", "--preset", "uniform-sphere", "--n", "64", "--steps", "3",
+        "--integrator", "yoshida4", "--log-every", "3", "--diagnostics",
+        "--outdir", str(tmp_path / "out"),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "step=3" in text and "E=" in text

@@ -28,7 +28,19 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=500_010)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--resolve", default="auto",
+                    choices=["auto", "native", "numpy", "device"],
+                    help="'device' = on-accelerator scatter-min resolve "
+                         "(only the framebuffer crosses the wire)")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="frames per camera pose (last rep reported — "
+                         "first pays jit compile for the device resolve)")
     args = ap.parse_args()
+
+    if args.resolve == "device" or args.n >= 1 << 20:
+        from nbody3d_tpu.utils.devwait import wait_for_device
+
+        wait_for_device(float(os.environ.get("NBODY_BENCH_WAIT_S", "1800")))
 
     rng = np.random.default_rng(0)
     # two-galaxy-ish cloud with reference masses incl. heavy centrals
@@ -41,11 +53,13 @@ def main() -> int:
 
     for radius, label in [(5.0, "default distance"), (1.0, "close-up")]:
         cam = Camera(target=np.zeros(3), radius=radius)
-        t0 = time.perf_counter()
-        img = render_points(
-            pos_mass, vel, cam, width=args.width, height=args.height
-        )
-        dt = time.perf_counter() - t0
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            img = render_points(
+                pos_mass, vel, cam, width=args.width, height=args.height,
+                resolve=args.resolve,
+            )
+            dt = time.perf_counter() - t0
         lit = float((img.sum(axis=2) > 0).mean())
         print(
             f"{label:17s}: {dt:6.2f} s/frame  ({args.n} bodies, "

@@ -317,7 +317,8 @@ def cmd_render(args) -> int:
     from nbody3d_tpu.render.image import save_png
 
     sim = _load_sim(args.checkpoint, args)
-    img = sim.render_frame(width=args.width, height=args.height, color_mode=args.color_mode)
+    img = sim.render_frame(width=args.width, height=args.height,
+                           color_mode=args.color_mode, resolve=args.resolve)
     save_png(args.output, img)
     print(f"wrote {args.output}")
     return 0
@@ -383,6 +384,7 @@ def cmd_serve(args) -> int:
         height=args.height,
         steps_per_frame=args.steps_per_frame,
         diagnostics_every=args.diagnostics_every,
+        resolve=args.resolve,
     )
     viewer.serve_forever(args.host, args.port)
     return 0
@@ -450,6 +452,11 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--color-mode", default="magnitude", choices=["magnitude", "direction"],
                    help="velocity magnitude colormap (nbody3d.js:380) or direction (:381)")
+    p.add_argument("--resolve", default="auto",
+                   choices=["auto", "native", "numpy", "device"],
+                   help="depth-resolve path; 'device' rasterizes on the "
+                        "accelerator (fetches only the framebuffer, not "
+                        "20 B/body — the 16M-body mode)")
     _add_common(p)
     p.set_defaults(fn=cmd_render)
 
@@ -472,6 +479,10 @@ def main(argv=None) -> int:
     p.add_argument("--steps-per-frame", type=int, default=20)
     p.add_argument("--diagnostics-every", type=int, default=0,
                    help="compute total energy every this many frames (0 = off)")
+    p.add_argument("--resolve", default="auto",
+                   choices=["auto", "native", "numpy", "device"],
+                   help="depth-resolve path; 'device' keeps per-body data "
+                        "on the accelerator (large-N live viewing)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
 

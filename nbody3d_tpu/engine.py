@@ -340,12 +340,26 @@ class Simulation:
         width: int = 1024,
         height: int = 768,
         color_mode: str = "magnitude",
+        resolve: str = "auto",
     ):
-        """Headless point-splat frame of the current state (SURVEY P3)."""
+        """Headless point-splat frame of the current state (SURVEY P3).
+
+        ``resolve="device"`` rasterizes on the accelerator (small splats
+        scatter-min into the framebuffer; render/rasterize.py) — the
+        state never leaves the device except as the 4 B/pixel image, the
+        practical mode at 16M bodies on a relay-attached TPU.
+        """
         from nbody3d_tpu.render.rasterize import render_points
         from nbody3d_tpu.utils.camera import Camera
 
-        pos_mass, vel, _ = self.arrays()
+        if resolve == "device":
+            # device slices, not host copies: the whole point is to keep
+            # per-body data off the host (padding excluded — mass-0 pad
+            # bodies would still splat through the min-size clamp).
+            pos_mass = self.state.pos_mass[: self.n_real]
+            vel = self.state.vel[: self.n_real]
+        else:
+            pos_mass, vel, _ = self.arrays()
         if camera is None:
             camera = Camera(target=self.camera_target)
         t0 = time.perf_counter()
@@ -357,6 +371,7 @@ class Simulation:
             height=height,
             size_factor=self.config.size_factor,
             color_mode=color_mode,
+            resolve=resolve,
         )
         # The HUD's separated render-pass timing + live camera pose
         # (nbody3d.js:497-501, camera.js:73-78): renders run host-side here,

@@ -225,10 +225,11 @@ def _prep_device_jit():
 _prep_device_cache = []
 
 
-def _prep_device(pos_mass, vel, camera, width, height, size_factor,
-                 max_radius_px, color_mode):
-    """Device (jnp, f32) prep — same contract as :func:`_prep_host`."""
-    import jax
+def _prep_device_raw(pos_mass, vel, camera, width, height, size_factor,
+                     max_radius_px, color_mode):
+    """Run the jitted device prep; returns the ON-DEVICE sorted arrays
+    ``(cx, cy, depth_bits, rgb24, r, nvis)`` (radius-descending, visible
+    bodies first)."""
     import jax.numpy as jnp
 
     if not _prep_device_cache:
@@ -236,7 +237,7 @@ def _prep_device(pos_mass, vel, camera, width, height, size_factor,
     prep = _prep_device_cache[0]
     aspect = width / height
     vp, f = camera.view_proj(aspect)
-    out = prep(
+    return prep(
         jnp.asarray(pos_mass, jnp.float32),
         jnp.asarray(vel, jnp.float32),
         jnp.asarray(vp, jnp.float32),
@@ -246,10 +247,157 @@ def _prep_device(pos_mass, vel, camera, width, height, size_factor,
         width=width, height=height,
         max_radius_px=max_radius_px, color_mode=color_mode,
     )
+
+
+def _prep_device(pos_mass, vel, camera, width, height, size_factor,
+                 max_radius_px, color_mode):
+    """Device (jnp, f32) prep — same contract as :func:`_prep_host`."""
+    import jax
+
+    out = _prep_device_raw(pos_mass, vel, camera, width, height,
+                           size_factor, max_radius_px, color_mode)
     cx, cy, depth_bits, rgb24, r, nvis = map(np.asarray, jax.device_get(out))
     k = int(nvis)
     keys = (depth_bits[:k].astype(np.uint64) << 32) | rgb24[:k]
     return cx[:k].astype(np.int64), cy[:k].astype(np.int64), keys, r[:k]
+
+
+# --- Device resolve -------------------------------------------------------
+#
+# The host resolve needs the per-body arrays on the host: ~20 B/body of
+# device->host traffic, which through a relay-attached TPU dominates a
+# 16M-body frame (BASELINE.md: 75 s/frame at 1-8 MB/s).  The device
+# resolve rasterizes the SMALL splats (r < 2 px — the bulk at viewer
+# scale) on the accelerator with one scatter-min per stamp offset into a
+# (H*W,) uint32 buffer, so the host only fetches the framebuffer
+# (8 MB at 1080p) plus the few large splats (prefix of the
+# radius-descending sort), which keep full stamp semantics on the host.
+# This is SURVEY §7 hard-part 5's "sort by pixel id / scatter" design.
+#
+# Precision contract (vs the exact host resolve): the scatter value is
+# depth16 << 16 | rgb565 — 16-bit depth test, 5/6/5 color.  Depth ties
+# within 2^-16 of the [0,1] depth range may pick a different (still
+# deterministic: min over color bits) winner; colors quantize to
+# rgb565 and decode by bit replication (<= 4/255 per channel).
+
+# Stamp offsets covering every splat with r < 2 px (inclusion is
+# |offset| <= r and the largest needed offset is |(1,1)| = 1.415).
+_DEVICE_OFFSETS = [
+    (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+    (1, 1), (1, -1), (-1, 1), (-1, -1),
+]
+_DEVICE_RESOLVE_RMAX = 2.0
+_EMPTY32 = 0xFFFFFFFF  # depth16 sentinel: real depths are <= 0x3F80....
+
+
+def _rgb565_device(rgb24):
+    import jax.numpy as jnp
+
+    r = (rgb24 >> jnp.uint32(19)) & jnp.uint32(0x1F)
+    g = (rgb24 >> jnp.uint32(10)) & jnp.uint32(0x3F)
+    b = (rgb24 >> jnp.uint32(3)) & jnp.uint32(0x1F)
+    return (r << jnp.uint32(11)) | (g << jnp.uint32(5)) | b
+
+
+def _rgb565_host(rgb24: np.ndarray) -> np.ndarray:
+    rgb24 = rgb24.astype(np.uint32)
+    r = (rgb24 >> 19) & 0x1F
+    g = (rgb24 >> 10) & 0x3F
+    b = (rgb24 >> 3) & 0x1F
+    return (r << 11) | (g << 5) | b
+
+
+def _decode565(v: np.ndarray) -> np.ndarray:
+    """(K,) uint16 rgb565 -> (K, 3) uint8 by bit replication."""
+    r5 = (v >> 11) & 0x1F
+    g6 = (v >> 5) & 0x3F
+    b5 = v & 0x1F
+    return np.stack(
+        [(r5 << 3) | (r5 >> 2), (g6 << 2) | (g6 >> 4), (b5 << 3) | (b5 >> 2)],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _scatter_resolve_jit():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("width", "height"))
+    def resolve(cx, cy, depth_bits, rgb24, r, nvis, *, width, height):
+        n = cx.shape[0]
+        valid = jnp.arange(n) < nvis
+        small = valid & (r < _DEVICE_RESOLVE_RMAX)
+        value = ((depth_bits >> jnp.uint32(16)) << jnp.uint32(16)) | (
+            _rgb565_device(rgb24)
+        )
+        buf = jnp.full(width * height, jnp.uint32(_EMPTY32))
+        for dx, dy in _DEVICE_OFFSETS:
+            need = math.hypot(dx, dy)
+            m = small if need == 0.0 else small & (r >= jnp.float32(need))
+            x = cx + dx
+            y = cy + dy
+            m = m & (x >= 0) & (x < width) & (y >= 0) & (y < height)
+            idx = jnp.where(m, y * width + x, width * height)  # OOB -> drop
+            buf = buf.at[idx].min(value, mode="drop")
+        n_large = jnp.sum(valid & (r >= _DEVICE_RESOLVE_RMAX))
+        return buf, n_large
+
+    return resolve
+
+
+_scatter_resolve_cache = []
+
+
+def _render_device_resolve(pos_mass, vel, camera, width, height, size_factor,
+                           max_radius_px, color_mode, background):
+    """Full device-resolve frame (see contract above)."""
+    import jax
+
+    out = _prep_device_raw(pos_mass, vel, camera, width, height,
+                           size_factor, max_radius_px, color_mode)
+    cx_d, cy_d, depth_d, rgb_d, r_d, nvis = out
+    if not _scatter_resolve_cache:
+        _scatter_resolve_cache.append(_scatter_resolve_jit())
+    buf_d, n_large = _scatter_resolve_cache[0](
+        cx_d, cy_d, depth_d, rgb_d, r_d, nvis, width=width, height=height
+    )
+    k = int(jax.device_get(n_large))
+    # Large splats are the prefix of the radius-descending sort: fetch
+    # only those rows and stamp them host-side with full disc semantics.
+    cx, cy, depth_bits, rgb24, r = (
+        np.asarray(jax.device_get(a[:k]))
+        for a in (cx_d, cy_d, depth_d, rgb_d, r_d)
+    )
+    buf = np.asarray(jax.device_get(buf_d)).astype(np.uint64)
+
+    if k:
+        keys = (((depth_bits.astype(np.uint64) >> 16) << 16)
+                | _rgb565_host(rgb24))
+        from nbody3d_tpu import native
+
+        if native.raster is not None:
+            native.raster.stamp_discs(
+                buf, height, width,
+                np.ascontiguousarray(cx.astype(np.int64)),
+                np.ascontiguousarray(cy.astype(np.int64)),
+                np.ascontiguousarray(r.astype(np.float64)),
+                np.ascontiguousarray(keys),
+            )
+        else:
+            buf2d = buf.reshape(height, width)
+            for i in range(k):
+                _stamp_disc(buf2d, int(cx[i]), int(cy[i]), float(r[i]),
+                            keys[i], height, width)
+
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    img[:] = np.asarray(background, dtype=np.uint8)
+    hit = buf != np.uint64(_EMPTY32)
+    img.reshape(-1, 3)[hit] = _decode565(
+        (buf[hit] & np.uint64(0xFFFF)).astype(np.uint16)
+    )
+    return img
 
 
 def render_points(
@@ -274,8 +422,17 @@ def render_points(
     jnp projection/color/sort on the accelerator — viewer-scale N), or
     "auto" (device above ``_DEVICE_PREP_MIN`` bodies).
     ``resolve``: "native" (C stamp loop), "numpy", or "auto" (native when
-    the compiled module is available) — bit-identical either way.
+    the compiled module is available) — bit-identical either way — or
+    "device": small splats scatter-min rasterized ON the accelerator so
+    the host only fetches the framebuffer, not 20 B/body (the 16M-body
+    relay-attached path; 16-bit depth / rgb565 color contract — see the
+    device-resolve block above).
     """
+    if resolve == "device":
+        return _render_device_resolve(
+            pos_mass, vel, camera, width, height, size_factor,
+            max_radius_px, color_mode, background,
+        )
     if prep == "auto":
         prep = "device" if pos_mass.shape[0] >= _DEVICE_PREP_MIN else "host"
     prep_fn = _prep_device if prep == "device" else _prep_host

@@ -148,6 +148,7 @@ class LiveViewer:
         steps_per_frame: int = 20,
         diagnostics_every: int = 0,
         quality: int = 85,
+        resolve: str = "auto",
     ):
         from nbody3d_tpu.utils.camera import Camera
 
@@ -156,6 +157,7 @@ class LiveViewer:
         self.steps_per_frame = max(1, steps_per_frame)
         self.diagnostics_every = diagnostics_every
         self.quality = quality
+        self.resolve = resolve  # "device" = on-accelerator rasterization
         self.camera = Camera(target=sim.camera_target)
         self._lock = threading.Lock()  # camera mutations vs render
         # Held while the loop thread advances the (donated) device state;
@@ -201,7 +203,8 @@ class LiveViewer:
         with self._lock:
             cam = Camera.from_dict(self.camera.to_dict())
         img = self.sim.render_frame(
-            camera=cam, width=self.width, height=self.height
+            camera=cam, width=self.width, height=self.height,
+            resolve=self.resolve,
         )
         buf = io.BytesIO()
         Image.fromarray(img, mode="RGB").save(buf, "JPEG", quality=self.quality)

@@ -201,3 +201,47 @@ def test_device_prep_matches_host():
     b = render_points(pos_mass, vel, cam, prep="device", **kw)
     agree = (a == b).all(axis=2).mean()
     assert agree > 0.999, agree
+
+
+def test_device_resolve_matches_host():
+    """The on-accelerator scatter-min resolve (the relay-friendly 16M
+    path) reproduces the exact host resolve up to its stated contract:
+    16-bit depth test, rgb565 color (<= 4/255 per channel after bit
+    replication).  Pixel winners only differ where two splats land
+    within 2^-16 of the depth range."""
+    rng = np.random.default_rng(13)
+    n = 20_000
+    pos_mass = np.concatenate(
+        [rng.normal(scale=2.5, size=(n, 3)), rng.uniform(10, 50, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    pos_mass[:2, 3] = 1e7  # large splats exercise the host-prefix path
+    vel = rng.normal(scale=5.0, size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3), radius=4.0)
+    kw = dict(width=320, height=240)
+    a = render_points(pos_mass, vel, cam, prep="device", **kw)
+    b = render_points(pos_mass, vel, cam, resolve="device", **kw)
+    # background and lit sets agree except for rare depth-tie flips
+    lit_a = a.any(axis=2)
+    lit_b = b.any(axis=2)
+    assert (lit_a == lit_b).mean() > 0.999
+    both = lit_a & lit_b
+    diff = np.abs(a[both].astype(int) - b[both].astype(int))
+    close = (diff <= 8).all(axis=1)  # rgb565 quantization band
+    assert close.mean() > 0.995, close.mean()
+    # determinism: same call twice is bit-identical
+    c = render_points(pos_mass, vel, cam, resolve="device", **kw)
+    np.testing.assert_array_equal(b, c)
+
+
+def test_device_resolve_single_body():
+    """A single small body lands on the same pixel with the same
+    (quantized) color through the device resolve."""
+    cam = centered_camera()
+    pos_mass = np.array([[0, 0, 0, 100.0]], np.float32)
+    vel = np.zeros((1, 4), np.float32)
+    kw = dict(width=128, height=128, size_factor=1000.0)
+    a = render_points(pos_mass, vel, cam, **kw)
+    b = render_points(pos_mass, vel, cam, resolve="device", **kw)
+    assert a[64, 64].any() and b[64, 64].any()
+    assert np.abs(a[64, 64].astype(int) - b[64, 64].astype(int)).max() <= 8

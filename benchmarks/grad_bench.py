@@ -93,7 +93,7 @@ def main() -> int:
         t_vjp_sym = timeit(vjp_sym_fn, pm, abar)
 
     # (b) + (c): forward step and grad of a k-step rollout loss
-    step = make_step_fn(cfg, n_pad, n, platform="tpu")
+    step = make_step_fn(cfg, n_pad, n, platform=jax.default_backend())
     k = args.k
 
     @jax.jit

@@ -17,7 +17,21 @@ import time
 
 def wait_for_device(budget_s: float = 1800.0, probe_timeout_s: float = 180.0) -> bool:
     """Probe device acquisition in a subprocess until it succeeds or the
-    budget runs out.  Returns True if a probe succeeded."""
+    budget runs out.  Returns True if a probe succeeded.
+
+    Skipped (returns True immediately) when the calling process has
+    pinned itself to CPU via ``jax.config.update("jax_platforms",
+    "cpu")`` — a CPU smoke run must not sit out a TPU relay outage —
+    or when the budget is <= 0."""
+    if budget_s <= 0:
+        return True
+    try:
+        import jax
+
+        if str(jax.config.jax_platforms or "").startswith("cpu"):
+            return True
+    except Exception:
+        pass
     deadline = time.monotonic() + budget_s
     attempt = 0
     while True:

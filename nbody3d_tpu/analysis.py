@@ -1,0 +1,250 @@
+"""Structural analysis of a particle state: the astronomer's report.
+
+The reference's only inspection tools are the HUD timings and full-state
+JSON export (``nbody3d.js:508-514``, SURVEY §4); anything quantitative
+about the *physics* — is the cluster in equilibrium? how concentrated?
+is it evaporating? — has to be done by hand on the exported state.  This
+module ships those measurements as first-class, device-side (jnp)
+functions plus one ``summary`` entry point behind ``cli analyze``:
+
+- center-of-mass frame (position + velocity);
+- Lagrangian radii (radii enclosing given mass fractions);
+- spherically-averaged density profile;
+- radial velocity-dispersion profile (bulk-subtracted, mass-weighted);
+- virial ratio 2T/|U| (T in the COM frame; U from
+  :mod:`nbody3d_tpu.ops.diagnostics`, same Plummer softening as the
+  force kernel so equilibrium reads exactly 1 for the simulated
+  Hamiltonian).
+
+All functions are jit-compatible (static bin counts / fraction tuples;
+radii and masses may be traced) and mass-0 padding-invariant: padding
+bodies carry zero weight in every mass-weighted statistic, so callers
+may pass padded or unpadded states.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nbody3d_tpu.ops import diagnostics as diag_mod
+
+DEFAULT_FRACTIONS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def com_frame(pos_mass: jax.Array, vel: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Mass-weighted center of mass and bulk velocity: ``((3,), (3,))``."""
+    m = pos_mass[:, 3:4]
+    tot = jnp.maximum(jnp.sum(m), 1e-30)
+    com = jnp.sum(m * pos_mass[:, :3], axis=0) / tot
+    vcom = jnp.sum(m * vel[:, :3], axis=0) / tot
+    return com, vcom
+
+
+def _radii_and_mass(
+    pos_mass: jax.Array, center: jax.Array | None
+) -> tuple[jax.Array, jax.Array]:
+    if center is None:
+        center, _ = com_frame(pos_mass, jnp.zeros_like(pos_mass))
+    d = pos_mass[:, :3] - center[None, :]
+    return jnp.sqrt(jnp.sum(d * d, axis=1)), pos_mass[:, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("fractions",))
+def lagrangian_radii(
+    pos_mass: jax.Array,
+    fractions: tuple[float, ...] = DEFAULT_FRACTIONS,
+    center: jax.Array | None = None,
+) -> jax.Array:
+    """Radii about ``center`` (default: COM) enclosing each mass fraction.
+
+    Weighted-quantile of the radius distribution: sort by radius, walk the
+    mass cumsum.  ``r50`` is the half-mass radius (Plummer: 1.305 a
+    untruncated).  Returns ``(len(fractions),) f32``.
+    """
+    r, m = _radii_and_mass(pos_mass, center)
+    order = jnp.argsort(r)
+    r_sorted = r[order]
+    cum = jnp.cumsum(m[order])
+    targets = jnp.asarray(fractions, jnp.float32) * cum[-1]
+    # first index where enclosed mass reaches the target
+    idx = jnp.searchsorted(cum, targets, side="left")
+    return r_sorted[jnp.clip(idx, 0, r.shape[0] - 1)]
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def density_profile(
+    pos_mass: jax.Array,
+    nbins: int = 64,
+    rmax: jax.Array | float | None = None,
+    center: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Spherically-averaged mass density about ``center`` (default COM).
+
+    ``rmax`` defaults to the 99% Lagrangian radius.  Returns
+    ``(edges (nbins+1,), rho (nbins,), count (nbins,))`` with ``rho`` in
+    mass / volume of each linear shell ``[edges[i], edges[i+1])``; bodies
+    past ``rmax`` land in no bin.
+    """
+    r, m = _radii_and_mass(pos_mass, center)
+    if rmax is None:
+        rmax = lagrangian_radii(pos_mass, (0.99,), center)[0]
+    rmax = jnp.maximum(jnp.float32(rmax), 1e-30)
+    edges = jnp.linspace(0.0, rmax, nbins + 1)
+    b = jnp.clip((r / rmax * nbins).astype(jnp.int32), 0, nbins)  # nbins = overflow
+    mass_in = jax.ops.segment_sum(m, b, num_segments=nbins + 1)[:nbins]
+    count = jax.ops.segment_sum(
+        jnp.ones_like(m), b, num_segments=nbins + 1
+    )[:nbins]
+    vol = 4.0 / 3.0 * jnp.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    return edges, mass_in / jnp.maximum(vol, 1e-30), count
+
+
+@functools.partial(jax.jit, static_argnames=("nbins",))
+def velocity_dispersion_profile(
+    pos_mass: jax.Array,
+    vel: jax.Array,
+    nbins: int = 64,
+    rmax: jax.Array | float | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Mass-weighted 3-D velocity dispersion per radial shell about the COM.
+
+    Per shell: ``sigma = sqrt(<|v|^2>_m - |<v>_m|^2)`` with the shell's own
+    bulk velocity subtracted (so rotating disks report dispersion, not
+    rotation).  Returns ``(edges (nbins+1,), sigma (nbins,))``; empty
+    shells report 0.
+    """
+    com, _ = com_frame(pos_mass, vel)
+    r, m = _radii_and_mass(pos_mass, com)
+    if rmax is None:
+        rmax = lagrangian_radii(pos_mass, (0.99,), com)[0]
+    rmax = jnp.maximum(jnp.float32(rmax), 1e-30)
+    edges = jnp.linspace(0.0, rmax, nbins + 1)
+    b = jnp.clip((r / rmax * nbins).astype(jnp.int32), 0, nbins)
+    v = vel[:, :3]
+    msum = jax.ops.segment_sum(m, b, num_segments=nbins + 1)[:nbins]
+    safe = jnp.maximum(msum, 1e-30)
+    mv = jax.ops.segment_sum(m[:, None] * v, b, num_segments=nbins + 1)[:nbins]
+    mv2 = jax.ops.segment_sum(
+        m * jnp.sum(v * v, axis=1), b, num_segments=nbins + 1
+    )[:nbins]
+    var = mv2 / safe - jnp.sum((mv / safe[:, None]) ** 2, axis=1)
+    sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+    return edges, jnp.where(msum > 0, sigma, 0.0)
+
+
+def kinetic_energy_com(pos_mass: jax.Array, vel: jax.Array) -> jax.Array:
+    """Kinetic energy in the center-of-momentum frame (the T of 2T/|U| —
+    bulk translation is not 'temperature')."""
+    _, vcom = com_frame(pos_mass, vel)
+    m = pos_mass[:, 3]
+    dv = vel[:, :3] - vcom[None, :]
+    return 0.5 * jnp.sum(m * jnp.sum(dv * dv, axis=1))
+
+
+def virial_ratio(
+    pos_mass: jax.Array,
+    vel: jax.Array,
+    G: jax.Array | float,
+    *,
+    eps2: float = 1e-4,
+    chunk: int | None = 1024,
+) -> jax.Array:
+    """``2T/|U|`` with T in the COM frame and U the softened pair potential
+    (:func:`nbody3d_tpu.ops.diagnostics.potential_energy`).  1 in virial
+    equilibrium; > 1 unbound/expanding, < 1 collapsing.  O(N^2)."""
+    t = kinetic_energy_com(pos_mass, vel)
+    u = diag_mod.potential_energy(pos_mass, G, eps2=eps2, chunk=chunk)
+    return 2.0 * t / jnp.maximum(jnp.abs(u), 1e-30)
+
+
+def summary(
+    pos_mass,
+    vel,
+    G: float,
+    *,
+    eps2: float = 1e-4,
+    fractions: tuple[float, ...] = DEFAULT_FRACTIONS,
+    nbins: int = 64,
+    potential: bool = True,
+    pe_chunk: int | None = 1024,
+) -> dict:
+    """One-call analysis report (host dict of Python floats/lists).
+
+    ``potential=False`` skips the O(N^2) terms (PE, total E, virial) —
+    the structural statistics stay O(N log N) and run at any N.
+    """
+    pos_mass = jnp.asarray(pos_mass)
+    vel = jnp.asarray(vel)
+    com, vcom = com_frame(pos_mass, vel)
+    lag = lagrangian_radii(pos_mass, fractions, com)
+    edges, rho, count = density_profile(pos_mass, nbins, center=com)
+    _, sigma = velocity_dispersion_profile(pos_mass, vel, nbins)
+    ke = diag_mod.kinetic_energy(pos_mass, vel)
+    out = {
+        "n_massive": int(jnp.sum(pos_mass[:, 3] > 0)),
+        "total_mass": float(jnp.sum(pos_mass[:, 3])),
+        "com": [float(x) for x in com],
+        "com_velocity": [float(x) for x in vcom],
+        "momentum": [float(x) for x in diag_mod.momentum(pos_mass, vel)],
+        "angular_momentum": [
+            float(x) for x in diag_mod.angular_momentum(pos_mass, vel)
+        ],
+        "kinetic": float(ke),
+        "kinetic_com": float(kinetic_energy_com(pos_mass, vel)),
+        "lagrangian_radii": {
+            f"r{round(f * 100):02d}": float(v) for f, v in zip(fractions, lag)
+        },
+        "density_profile": {
+            "edges": [float(x) for x in edges],
+            "rho": [float(x) for x in rho],
+            "count": [float(x) for x in count],
+        },
+        "velocity_dispersion": [float(x) for x in sigma],
+    }
+    if potential:
+        n = pos_mass.shape[0]
+        chunk = pe_chunk if pe_chunk and n % pe_chunk == 0 else None
+        pe = diag_mod.potential_energy(pos_mass, G, eps2=eps2, chunk=chunk)
+        out["potential"] = float(pe)
+        out["total_energy"] = float(ke + pe)
+        out["virial_ratio"] = float(
+            2.0 * out["kinetic_com"] / max(abs(float(pe)), 1e-30)
+        )
+    return out
+
+
+def format_report(s: dict) -> str:
+    """Human-readable rendering of :func:`summary` (the ``cli analyze``
+    default output)."""
+    lines = [
+        f"bodies (massive)   {s['n_massive']:,}",
+        f"total mass         {s['total_mass']:.6e}",
+        "com                [" + " ".join(f"{x:.4g}" for x in s["com"]) + "]",
+        "com velocity       ["
+        + " ".join(f"{x:.4g}" for x in s["com_velocity"]) + "]",
+        f"|momentum|         {sum(x * x for x in s['momentum']) ** 0.5:.6e}",
+        f"|angular momentum| "
+        f"{sum(x * x for x in s['angular_momentum']) ** 0.5:.6e}",
+        f"kinetic energy     {s['kinetic']:.6e}"
+        f"  (com frame {s['kinetic_com']:.6e})",
+    ]
+    if "potential" in s:
+        lines += [
+            f"potential energy   {s['potential']:.6e}",
+            f"total energy       {s['total_energy']:.6e}",
+            f"virial ratio 2T/|U| {s['virial_ratio']:.4f}"
+            "  (1 = equilibrium)",
+        ]
+    lag = "  ".join(f"{k}={v:.4g}" for k, v in s["lagrangian_radii"].items())
+    lines.append(f"lagrangian radii   {lag}")
+    sig = s["velocity_dispersion"]
+    nz = [x for x in sig if x > 0]
+    if nz:
+        lines.append(
+            f"velocity dispersion  central {sig[0]:.4g}  "
+            f"median shell {sorted(nz)[len(nz) // 2]:.4g}"
+        )
+    return "\n".join(lines)

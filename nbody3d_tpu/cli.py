@@ -333,6 +333,47 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Physics analysis report of a checkpoint (nbody3d_tpu.analysis):
+    COM frame, conservation vector norms, Lagrangian radii, density and
+    velocity-dispersion profiles, virial ratio.  The quantitative
+    counterpart of eyeballing the reference's canvas."""
+    import json as _json
+
+    _build_config(args)  # applies --platform before backend use
+    from nbody3d_tpu import analysis
+
+    sim = _load_sim(args.checkpoint, args)
+    pos_mass, vel, _ = sim.arrays()
+    n = pos_mass.shape[0]
+    pe = args.pe == "exact" or (args.pe == "auto" and n <= 131072)
+    s = analysis.summary(
+        pos_mass, vel, sim.config.G, eps2=sim.config.eps2,
+        nbins=args.bins, potential=pe, pe_chunk=args.pe_chunk,
+    )
+    s["step"] = sim.step_count
+    if args.profile:
+        edges = s["density_profile"]["edges"]
+        with open(args.profile, "w") as f:
+            f.write("r_lo,r_hi,rho,count,sigma_v\n")
+            for i in range(args.bins):
+                f.write(
+                    f"{edges[i]:.8g},{edges[i + 1]:.8g},"
+                    f"{s['density_profile']['rho'][i]:.8g},"
+                    f"{s['density_profile']['count'][i]:.0f},"
+                    f"{s['velocity_dispersion'][i]:.8g}\n"
+                )
+        print(f"wrote {args.profile}")
+    if args.json:
+        print(_json.dumps(s))
+    else:
+        print(f"step               {sim.step_count}")
+        print(analysis.format_report(s))
+        if not pe:
+            print("(potential/virial skipped at this N; --pe exact to force)")
+    return 0
+
+
 def cmd_animate(args) -> int:
     """Frame sequence with a scripted orbital camera — the headless stand-in
     for the reference's interactive orbit (camera.js:143-168), optionally
@@ -459,6 +500,20 @@ def main(argv=None) -> int:
                         "20 B/body — the 16M-body mode)")
     _add_common(p)
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("analyze", help="physics analysis report of a checkpoint")
+    p.add_argument("checkpoint")
+    p.add_argument("--bins", type=int, default=64,
+                   help="radial bins for the density/dispersion profiles")
+    p.add_argument("--pe", default="auto", choices=["auto", "exact", "skip"],
+                   help="O(N^2) potential/virial terms: auto skips above "
+                        "128k bodies")
+    p.add_argument("--pe-chunk", type=int, default=1024)
+    p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("--profile", default="",
+                   help="also write the radial profiles as CSV to this path")
+    _add_common(p)
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("convert", help="convert checkpoint formats (.json <-> .npz)")
     p.add_argument("input")

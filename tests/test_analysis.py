@@ -1,0 +1,140 @@
+"""Physics-analysis module: structural statistics of a particle state.
+
+The reference's only inspection tool is the HUD + raw JSON export
+(nbody3d.js:508-514, util.js:160-208); nbody3d_tpu.analysis is the
+quantitative replacement.  Tests validate each statistic against the
+analytic Plummer model the IC generator samples from.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from nbody3d_tpu import analysis
+from nbody3d_tpu.models.plummer import plummer_sphere
+
+G = 1e-4
+A = 1.0  # Plummer scale radius
+M = 1.0e6
+
+
+@pytest.fixture(scope="module")
+def plummer_state():
+    rng = np.random.default_rng(42)
+    pos_mass, vel, _ = plummer_sphere(
+        20_000, G=G, total_mass=M, scale_radius=A,
+        max_radius_factor=50.0, rng=rng,
+    )
+    return np.asarray(pos_mass), np.asarray(vel)
+
+
+def test_com_frame(plummer_state):
+    pos_mass, vel = plummer_state
+    com, vcom = analysis.com_frame(pos_mass, vel)
+    # isotropic sampling: COM near origin relative to the scale radius
+    assert np.linalg.norm(np.asarray(com)) < 0.05 * A
+    assert np.linalg.norm(np.asarray(vcom)) < 0.05 * np.sqrt(G * M / A)
+
+
+def test_lagrangian_radii_match_plummer(plummer_state):
+    """Plummer enclosed mass M(r) = M r^3/(r^2+a^2)^{3/2}; the f-mass
+    radius is r_f = a / sqrt(f^{-2/3} - 1).  r50 = 1.3048 a."""
+    pos_mass, _ = plummer_state
+    fr = (0.1, 0.5, 0.9)
+    lag = np.asarray(analysis.lagrangian_radii(pos_mass, fr))
+    expect = A / np.sqrt(np.asarray(fr) ** (-2.0 / 3.0) - 1.0)
+    # 20k-body sampling noise: a few percent (r90 is the noisiest)
+    np.testing.assert_allclose(lag, expect, rtol=0.08)
+    assert lag[0] < lag[1] < lag[2]
+
+
+def test_density_profile_matches_plummer(plummer_state):
+    """rho(r) = (3M/4pi a^3) (1 + r^2/a^2)^{-5/2} inside ~2a where the
+    shells are well populated."""
+    pos_mass, _ = plummer_state
+    edges, rho, count = analysis.density_profile(pos_mass, nbins=32, rmax=3.0)
+    edges, rho, count = map(np.asarray, (edges, rho, count))
+    mid = 0.5 * (edges[:-1] + edges[1:])
+    rho0 = 3.0 * M / (4.0 * np.pi * A**3)
+    expect = rho0 * (1.0 + (mid / A) ** 2) ** (-2.5)
+    sel = (count > 300) & (mid < 2.0 * A)
+    assert sel.sum() >= 8
+    np.testing.assert_allclose(rho[sel], expect[sel], rtol=0.25)
+    # total binned mass <= total mass (overflow bin dropped)
+    vol = 4.0 / 3.0 * np.pi * (edges[1:] ** 3 - edges[:-1] ** 3)
+    assert np.sum(rho * vol) <= M * (1 + 1e-5)
+
+
+def test_velocity_dispersion_declines_outward(plummer_state):
+    """Plummer sigma^2(r) = GM / (6 sqrt(r^2+a^2)): central value
+    sqrt(GM/6a), monotone declining."""
+    pos_mass, vel = plummer_state
+    edges, sigma = analysis.velocity_dispersion_profile(
+        pos_mass, vel, nbins=16, rmax=3.0
+    )
+    sigma = np.asarray(sigma)
+    expect0 = np.sqrt(G * M / (6.0 * A))  # 1-D; 3-D dispersion = sqrt(3)x
+    assert sigma[0] == pytest.approx(np.sqrt(3) * expect0, rel=0.15)
+    assert sigma[0] > sigma[-1] > 0
+
+
+def test_virial_ratio_near_unity(plummer_state):
+    """plummer_sphere samples the self-consistent DF: 2T/|U| ~ 1."""
+    pos_mass, vel = plummer_state
+    q = float(analysis.virial_ratio(pos_mass, vel, G, eps2=1e-4, chunk=1000))
+    assert q == pytest.approx(1.0, abs=0.06)
+
+
+def test_padding_invariance(plummer_state):
+    """Mass-0 padding rows change no mass-weighted statistic."""
+    pos_mass, vel = plummer_state
+    pad = 48
+    pm2 = np.concatenate(
+        [pos_mass, np.full((pad, 4), 7.0, np.float32) * [1, 1, 1, 0]]
+    ).astype(np.float32)
+    v2 = np.concatenate([vel, np.ones((pad, 4), np.float32)])
+    lag = np.asarray(analysis.lagrangian_radii(pos_mass))
+    lag2 = np.asarray(analysis.lagrangian_radii(pm2))
+    np.testing.assert_allclose(lag2, lag, rtol=1e-6)
+    _, s1 = analysis.velocity_dispersion_profile(pos_mass, vel, 8, rmax=3.0)
+    _, s2 = analysis.velocity_dispersion_profile(pm2, v2, 8, rmax=3.0)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-4)
+
+
+def test_summary_and_report(plummer_state):
+    pos_mass, vel = plummer_state
+    s = analysis.summary(pos_mass, vel, G, nbins=16, pe_chunk=1000)
+    assert s["n_massive"] == 20_000
+    assert s["total_mass"] == pytest.approx(M, rel=1e-4)
+    assert s["virial_ratio"] == pytest.approx(1.0, abs=0.06)
+    assert s["total_energy"] < 0  # bound system
+    assert len(s["density_profile"]["rho"]) == 16
+    text = analysis.format_report(s)
+    assert "virial ratio" in text and "lagrangian radii" in text
+    json.dumps(s)  # fully serializable
+
+
+def test_cli_analyze(tmp_path, capsys):
+    from nbody3d_tpu.cli import main
+
+    outdir = tmp_path / "out"
+    assert main([
+        "run", "--preset", "plummer", "--n", "512", "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ]) == 0
+    capsys.readouterr()
+    csv = tmp_path / "profile.csv"
+    rc = main([
+        "analyze", str(outdir / "final.npz"), "--json", "--bins", "8",
+        "--profile", str(csv), "--backend", "jnp",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    s = json.loads(out.strip().splitlines()[-1])
+    assert s["step"] == 2
+    assert s["n_massive"] == 512
+    assert "virial_ratio" in s  # auto PE at small N
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("r_lo,") and len(lines) == 9

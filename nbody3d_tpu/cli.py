@@ -242,6 +242,7 @@ def _run_loop(args, sim) -> int:
     done = 0
     next_ckpt = args.checkpoint_every or 0
     next_frame = args.render_every or 0
+    next_analysis = args.analyze_every or 0
     frame_idx = 0
     if args.render_every:
         from nbody3d_tpu.render.image import save_png
@@ -266,6 +267,25 @@ def _run_loop(args, sim) -> int:
             sim.save(path)
             print(f"  checkpoint -> {path}", flush=True)
             next_ckpt += args.checkpoint_every
+        if args.analyze_every and done >= next_analysis:
+            from nbody3d_tpu import analysis
+
+            pm_a, v_a, _ = sim.arrays()
+            s = analysis.summary(
+                pm_a, v_a, sim.G, eps2=sim.config.eps2,
+                nbins=16, potential=False,
+            )
+            s["step"] = sim.step_count
+            with open(os.path.join(args.outdir, "analysis.jsonl"), "a") as f:
+                f.write(json.dumps(s) + "\n")
+            lr = s["lagrangian_radii"]
+            print(
+                f"  r10={lr['r10']:.4g} r50={lr['r50']:.4g} "
+                f"r90={lr['r90']:.4g} "
+                f"sigma_c={s['velocity_dispersion'][0]:.4g}",
+                flush=True,
+            )
+            next_analysis += args.analyze_every
         if args.render_every and done >= next_frame:
             from nbody3d_tpu.render.image import save_png
 
@@ -450,6 +470,10 @@ def main(argv=None) -> int:
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--render-every", type=int, default=0)
+    p.add_argument("--analyze-every", type=int, default=0,
+                   help="append a structural-analysis record (Lagrangian "
+                        "radii, central dispersion — O(N log N) terms only) "
+                        "to <outdir>/analysis.jsonl every K steps")
     p.add_argument("--diagnostics", action="store_true")
     p.add_argument("--outdir", default="out")
     p.add_argument("--metrics", default=None, help="append JSONL metrics to this file")

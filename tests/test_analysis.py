@@ -115,6 +115,25 @@ def test_summary_and_report(plummer_state):
     json.dumps(s)  # fully serializable
 
 
+def test_cli_run_analyze_every(tmp_path, capsys):
+    """--analyze-every appends structural records to analysis.jsonl."""
+    from nbody3d_tpu.cli import main
+
+    outdir = tmp_path / "out"
+    assert main([
+        "run", "--preset", "plummer", "--n", "256", "--steps", "4",
+        "--log-every", "2", "--analyze-every", "2", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ]) == 0
+    recs = [
+        json.loads(l)
+        for l in (outdir / "analysis.jsonl").read_text().splitlines()
+    ]
+    assert [r["step"] for r in recs] == [2, 4]
+    assert all("lagrangian_radii" in r and "potential" not in r for r in recs)
+    assert "r50=" in capsys.readouterr().out
+
+
 def test_cli_analyze(tmp_path, capsys):
     from nbody3d_tpu.cli import main
 

@@ -1,0 +1,162 @@
+"""Ewald summation: the exact-force oracle for periodic gravity.
+
+The reference simulates isolated systems only (its WGSL kernel sums bare
+pairs, ``nbody3d.js:232-237``); ``boundary="periodic"`` extends the
+framework to the triply-periodic box — the natural habitat of a P3M
+solver (cosmological volumes).  This module holds
+
+1. the **periodic force split** shared by the P3M solver and the oracle:
+   Gaussian charge shaping with width ``sigma`` splits the (Plummer-
+   softened) pair interaction into a short-range real-space scalar
+   (:func:`k_short_periodic`, summed over nearest images within a cutoff)
+   and a smooth long-range remainder whose reciprocal-space form is the
+   elementary ``-4*pi/k^2 * exp(-k^2 sigma^2 / 2)`` — exactly the Ewald
+   reciprocal term, no Bessel functions;
+2. :func:`ewald_accel_reference` — the brute-force oracle: real-space sum
+   over (2*n_images+1)^3 image boxes plus a direct reciprocal-space sum
+   over all |n| <= kmax modes.  O(N^2) in both terms; for tests at small
+   N.  The physical softening lives entirely in the short-range term, so
+   the modeled interaction is the periodized Plummer law: the result is
+   **independent of sigma** (the split parameter), which is the oracle's
+   own correctness test (``tests/test_ewald.py``).
+
+Conventions: box ``[0, L)^3``, accelerations per unit G (caller scales by
+the runtime ``G`` slider value, ``util.js:48-54`` semantics), mass in the
+``w`` lane of ``pos_mass`` exactly as everywhere else.  The mean (DC)
+mass component is removed by the ``k != 0`` restriction — the standard
+neutralizing background (Jeans swindle) that makes the periodic potential
+of a non-neutral mass distribution finite.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import erf
+
+_SQRT2 = 1.4142135623730951
+_TWO_OVER_SQRT_PI = 1.1283791670955126
+
+
+def k_long_gauss(r2: jax.Array, sigma: jax.Array) -> jax.Array:
+    """Long-range pair scalar of the Gaussian split, UNSOFTENED:
+    ``(erf(u) - (2/sqrt(pi)) u exp(-u^2)) / r^3`` with
+    ``u = r / (sqrt(2) sigma)`` — the radial force factor of the
+    Gaussian-filtered point mass (potential ``-erf(u)/r``).  Smooth and
+    finite through r=0 (→ analytic limit by oddness of the force), which
+    is what lets the mesh represent it.  Double-``where`` so gradients
+    survive the r2=0 branch."""
+    mask = r2 > 0
+    r2s = jnp.where(mask, r2, 1.0)
+    inv_r = lax.rsqrt(r2s)
+    r = r2s * inv_r
+    u = r / (_SQRT2 * sigma)
+    g = erf(u) - _TWO_OVER_SQRT_PI * u * jnp.exp(-u * u)
+    return jnp.where(mask, g * inv_r * inv_r * inv_r, 0.0)
+
+
+def k_short_periodic(
+    r2: jax.Array, eps2: float, sigma: jax.Array
+) -> jax.Array:
+    """Short-range pair scalar of the periodic split:
+    ``k_exact_soft - k_long_gauss`` — the Plummer-softened exact force
+    factor minus what the mesh's Gaussian kernel will deliver.  Decays
+    like erfc past a few sigma (plus a ``-(3/2) eps^2 / r^5`` softening
+    tail, relative size ``(eps/rcut)^2`` at the cutoff — the documented
+    truncation term; rcut >> eps in every sane configuration)."""
+    mask = r2 > 0
+    r2s = jnp.where(mask, r2, 1.0)
+    inv_s = lax.rsqrt(r2s + jnp.float32(eps2))
+    k = inv_s * inv_s * inv_s - k_long_gauss(r2s, sigma)
+    return jnp.where(mask, k, 0.0)
+
+
+def _k_modes(kmax: int) -> jnp.ndarray:
+    """Integer reciprocal modes with ``0 < |n|_inf <= kmax``, deduplicated
+    to half-space (lexicographically positive) — the sin/cos sum below
+    doubles them.  Static (numpy) construction."""
+    import numpy as np
+
+    r = np.arange(-kmax, kmax + 1)
+    n = np.stack(np.meshgrid(r, r, r, indexing="ij"), axis=-1).reshape(-1, 3)
+    n = n[np.any(n != 0, axis=1)]
+    # keep one of each +/- pair: first nonzero component positive
+    key = (n[:, 0], n[:, 1], n[:, 2])
+    pos = (key[0] > 0) | ((key[0] == 0) & ((key[1] > 0) | ((key[1] == 0) & (key[2] > 0))))
+    return jnp.asarray(n[pos], jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "n_images", "kmax")
+)
+def ewald_accel_reference(
+    pos_mass: jax.Array,
+    L: jax.Array | float,
+    sigma: jax.Array | float,
+    *,
+    eps2: float = 1e-4,
+    n_images: int = 2,
+    kmax: int = 8,
+) -> jax.Array:
+    """Exact periodic accelerations per unit G, ``(N, 3)`` — the oracle.
+
+    real space:  sum over image offsets n in [-n_images, n_images]^3 of
+                 ``k_short_periodic(|d + nL|) * (d + nL)`` for every pair
+                 (i != j in the home image; all j for shifted images —
+                 a body interacts with its own periodic copies);
+    reciprocal:  ``a_i = (4 pi / L^3) sum_{k != 0} (k_vec / k^2)
+                 e^{-k^2 sigma^2 / 2} [cos(k.x_i) S_s(k) - sin(k.x_i)
+                 S_c(k)]`` with structure factors ``S_c = sum_j m_j
+                 cos(k.x_j)``, ``S_s = sum_j m_j sin(k.x_j)`` — the i=j
+                 self-term contributes zero force by symmetry, no self
+                 correction needed for forces.
+
+    Converges like ``erfc(n_images L / (sqrt(2) sigma))`` in real space
+    and ``exp(-(2 pi kmax / L)^2 sigma^2 / 2)`` in reciprocal space;
+    the defaults are ample for ``sigma ~ L/16``.  Independent of sigma
+    (the split parameter) — asserted in tests.
+    """
+    x = pos_mass[:, :3]
+    m = pos_mass[:, 3]
+    n = x.shape[0]
+    dt = x.dtype
+    L = jnp.asarray(L, dt)
+    sigma = jnp.asarray(sigma, dt)
+
+    # --- real space: images of the minimum-image-wrapped separation.
+    d0 = x[None, :, :] - x[:, None, :]  # (N, N, 3) source - target
+    d0 = d0 - L * jnp.round(d0 / L)
+
+    r = jnp.arange(-n_images, n_images + 1, dtype=dt) * L
+    shifts = jnp.stack(
+        jnp.meshgrid(r, r, r, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+
+    def one_shift(acc, s):
+        d = d0 + s[None, None, :]
+        r2 = jnp.sum(d * d, axis=-1)
+        w = k_short_periodic(r2, eps2, sigma) * m[None, :]
+        return acc + jnp.einsum("ij,ijc->ic", w, d), None
+
+    a_real, _ = lax.scan(one_shift, jnp.zeros((n, 3), dt), shifts)
+
+    # --- reciprocal space: half-space modes, doubled by the identity
+    # cos(a-b) = cos a cos b + sin a sin b applied to +/-k jointly.
+    modes = _k_modes(kmax).astype(dt)  # (K, 3) integer triples
+    kvec = (2.0 * jnp.pi / L) * modes  # (K, 3)
+    k2 = jnp.sum(kvec * kvec, axis=1)  # (K,)
+    damp = jnp.exp(-0.5 * k2 * sigma * sigma) / k2  # (K,)
+    phase = x @ kvec.T  # (N, K)
+    c = jnp.cos(phase)
+    s = jnp.sin(phase)
+    Sc = m @ c  # (K,)
+    Ss = m @ s
+    # d/dx_i of the pair sum; factor 2 restores the skipped -k half.
+    coef = 2.0 * (4.0 * jnp.pi) / (L * L * L)
+    proj = damp[None, :] * (c * Ss[None, :] - s * Sc[None, :])  # (N, K)
+    a_recip = coef * (proj @ kvec)
+
+    return a_real + a_recip

@@ -78,6 +78,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="P3M short-range neighbor-tile budget (default 32)",
     )
     p.add_argument(
+        "--boundary", default=None, choices=["isolated", "periodic"],
+        help="isolated = open space (the reference's mode); periodic = "
+        "triply-periodic box [0, box-size)^3 — Ewald-class gravity via "
+        "the mesh solvers (requires --method pm|p3m and --box-size)",
+    )
+    p.add_argument(
+        "--box-size", type=float, default=None,
+        help="periodic box edge length L (with --boundary periodic)",
+    )
+    p.add_argument(
         "--morton-every",
         type=int,
         default=None,
@@ -124,6 +134,8 @@ def _config_overrides(args) -> dict:
         ("method", args.method),
         ("pm_grid", args.pm_grid),
         ("p3m_nbr_k", args.p3m_nbr_k),
+        ("boundary", args.boundary),
+        ("box_size", args.box_size),
         ("morton_every", args.morton_every),
         ("integrator", args.integrator),
         ("block_target", args.block_target),
@@ -215,6 +227,8 @@ def _make_sim(args, config, mesh):
             min_bodies=args.min_bodies,
             max_bodies=args.max_bodies,
         )
+    elif args.preset == "uniform-box" and config.box_size > 0:
+        kw = dict(box_size=config.box_size)
     return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh, **kw)
 
 

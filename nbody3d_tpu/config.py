@@ -70,6 +70,13 @@ class SimConfig:
     # near-PM cost.
     method: str = "direct"
     pm_grid: int = 128  # PM/P3M mesh cells per axis (M); memory ~ 24*(2M)^3 B
+    # Boundary condition: "isolated" = open space (the reference's only
+    # mode) or "periodic" = the triply-periodic torus [0, box_size)^3 —
+    # Ewald-class gravity for the mesh solvers (ops/ewald.py): P3M
+    # periodic matches the brute-force Ewald sum to ~1e-3, PM periodic is
+    # CIC-aliasing-limited (~1.5%).  method="direct" is isolated-only.
+    boundary: str = "isolated"
+    box_size: float = 0.0  # required > 0 when boundary="periodic"
     # P3M split/short-range knobs (ops/p3m.py defaults; 0 = auto tiles).
     p3m_sigma_cells: float = 1.5
     p3m_rcut_sigmas: float = 4.5

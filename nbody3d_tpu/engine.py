@@ -15,6 +15,7 @@ import time
 from typing import Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nbody3d_tpu.config import SimConfig
@@ -179,6 +180,7 @@ class Simulation:
             return self.state
         remaining = n_steps
         while remaining > 0:
+            self._maybe_wrap_box()
             self._maybe_morton_sort()
             k = min(chunk, remaining)
             t0 = time.perf_counter()
@@ -214,6 +216,25 @@ class Simulation:
 
     def step(self, n: int = 1) -> SimState:
         return self.run(n, chunk=n)
+
+    def _maybe_wrap_box(self) -> None:
+        """Periodic boundary: re-wrap positions into [0, L)^3 at chunk
+        boundaries.  The solvers wrap internally every step (physics is
+        exact regardless of drift); this host-cadence wrap keeps the
+        STORED state in-box so checkpoints, renders, and analysis see
+        canonical coordinates, and bounds f32 position magnitudes."""
+        if self.config.boundary != "periodic":
+            return
+        from nbody3d_tpu.ops.ewald import wrap_box
+
+        p = self.state.pos_mass
+        wrapped = jnp.concatenate(
+            [wrap_box(p[:, :3], jnp.float32(self.config.box_size)), p[:, 3:4]],
+            axis=1,
+        )
+        self.state = SimState(
+            wrapped, self.state.vel, self.state.accel, self.state.step
+        )
 
     def _maybe_morton_sort(self) -> None:
         """Re-sort bodies along the Z-order curve every
@@ -288,6 +309,32 @@ class Simulation:
             # N=2M an unchecked 1024-chunk would need 16 GB per temp.
             mem_cap = max(8, (1 << 28) // max(self.n_pad, 1))
             chunk = fit_block(self.n_pad, min(chunk, mem_cap))
+        if self.config.boundary == "periodic":
+            # The conserved energy on the torus is the EWALD potential
+            # (ops/ewald.py) — the isolated pair sum is not a constant of
+            # the periodic motion.  Padding rows carry zero mass, so they
+            # drop from every term.
+            from nbody3d_tpu.ops.ewald import ewald_potential_energy
+
+            ke = diag_mod.kinetic_energy(self.state.pos_mass, self.state.vel)
+            pe = jnp.float32(self.G) * ewald_potential_energy(
+                self.state.pos_mass, jnp.float32(self.config.box_size),
+                eps2=self.config.eps2, chunk=chunk,
+            )
+            return jax.device_get(
+                diag_mod.Diagnostics(
+                    kinetic=ke,
+                    potential=pe,
+                    total_energy=ke + pe,
+                    momentum=diag_mod.momentum(
+                        self.state.pos_mass, self.state.vel
+                    ),
+                    angular_momentum=diag_mod.angular_momentum(
+                        self.state.pos_mass, self.state.vel
+                    ),
+                    total_mass=jnp.sum(self.state.pos_mass[:, 3]),
+                )
+            )
         return jax.device_get(
             diag_mod.compute(
                 self.state.pos_mass,

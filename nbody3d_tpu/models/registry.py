@@ -75,6 +75,24 @@ def _fib(seed: int, G: float, n: int | None, size_factor: float) -> MakerResult:
     return fibonacci_shell(n or 4096, rng=np.random.default_rng(seed))
 
 
+def _uniform_box(
+    seed: int, G: float, n: int | None, size_factor: float,
+    *, box_size: float = 10.0,
+) -> MakerResult:
+    """Cold uniform periodic box: the cosmological-style start for
+    ``boundary="periodic"`` (gravitational instability grows structure
+    from the seed noise).  Masses U(10, 50) as the reference's disk
+    bodies (``nbody3d.js:63-64``); zero initial velocities."""
+    rng = np.random.default_rng(seed)
+    count = n or 16384
+    pos = rng.uniform(0.0, box_size, (count, 3))
+    pm = np.concatenate(
+        [pos, rng.uniform(10.0, 50.0, (count, 1))], axis=1
+    ).astype(np.float32)
+    vel = np.zeros((count, 4), np.float32)
+    return pm, vel, np.full((3,), box_size / 2.0)
+
+
 PRESETS: dict[str, Callable[..., MakerResult]] = {
     "two-galaxy": _two_galaxy,
     "reference-random": _reference_random,
@@ -82,6 +100,7 @@ PRESETS: dict[str, Callable[..., MakerResult]] = {
     "plummer": _plummer,
     "uniform-sphere": _uniform,
     "fibonacci-shell": _fib,
+    "uniform-box": _uniform_box,
 }
 
 

@@ -74,6 +74,153 @@ def k_short_periodic(
     return jnp.where(mask, k, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("eps2", "kmax", "chunk"))
+def ewald_potential_energy(
+    pos_mass: jax.Array,
+    L: jax.Array | float,
+    *,
+    eps2: float = 1e-4,
+    sigma: jax.Array | float | None = None,
+    kmax: int | None = None,
+    chunk: int | None = None,
+) -> jax.Array:
+    """Total potential energy of the periodized softened interaction per
+    unit G — the conserved-energy counterpart of
+    :func:`ewald_accel_reference` (its exact integral: tested by
+    ``jax.grad`` cross-check).  O(N²) + O(N·kmax³/2); diagnostics scale.
+
+    Terms (pair potential ``-1/sqrt(r²+eps²)`` periodized):
+    real-space ``Σ_{i<j} m_i m_j ψ_s(min-image r)`` with
+    ``ψ_s = -1/sqrt(r²+eps²) + erf(u)/r`` (no image shells needed for
+    ``sigma <= L/12``: ψ_s(L/2) ~ erfc(4.8) ~ 1e-11; the ``-eps²/2r³``
+    softening tail is by convention truncated at the minimum image —
+    matching the P3M solver's rcut-bounded softened short range — since
+    its full image sum diverges logarithmically); reciprocal
+    ``-(4π/L³) Σ_half e^{-k²σ²/2}/k² |S(k)|²`` (tinfoil boundary);
+    Gaussian self-energy removal ``+½ Σ m² sqrt(2/π)/σ``;
+    neutralizing-background constant ``+π σ² (Σm)²/L³``.  The last two
+    are constants of the motion — included so the value is the physical
+    Ewald energy (sigma-independent to 1e-8, tested), not just a drift
+    gauge."""
+    x = pos_mass[:, :3]
+    m = pos_mass[:, 3]
+    dt = x.dtype
+    L = jnp.asarray(L, dt)
+    if sigma is None:
+        sigma = L / 16.0
+        kmax = 16 if kmax is None else kmax
+    sigma = jnp.asarray(sigma, dt)
+    if kmax is None:
+        kmax = 16
+
+    # real space (min-image, i < j via half the i != j sum); ``chunk``
+    # bounds the (chunk, N) pair temporaries like diagnostics.potential_energy
+    def chunk_real(xt, mt):
+        d = x[None, :, :] - xt[:, None, :]
+        d = d - L * jnp.round(d / L)
+        r2 = jnp.sum(d * d, axis=-1)
+        mask = r2 > 0
+        r2s = jnp.where(mask, r2, 1.0)
+        inv_r = lax.rsqrt(r2s)
+        u = (r2s * inv_r) / (_SQRT2 * sigma)
+        psi_s = -lax.rsqrt(r2s + jnp.asarray(eps2, dt)) + erf(u) * inv_r
+        return jnp.sum(jnp.where(mask, psi_s, 0.0) * m[None, :] * mt[:, None])
+
+    n = x.shape[0]
+    if chunk is None or chunk >= n:
+        u_real = 0.5 * chunk_real(x, m)
+    else:
+        if n % chunk != 0:
+            raise ValueError(f"chunk {chunk} must divide N {n}")
+        k = n // chunk
+        u_real = 0.5 * jnp.sum(
+            lax.map(
+                lambda t: chunk_real(t[0], t[1]),
+                (x.reshape(k, chunk, 3), m.reshape(k, chunk)),
+            )
+        )
+
+    # reciprocal space
+    modes = _k_modes(kmax).astype(dt)
+    kvec = (2.0 * jnp.pi / L) * modes
+    k2 = jnp.sum(kvec * kvec, axis=1)
+    damp = jnp.exp(-0.5 * k2 * sigma * sigma) / k2
+    phase = x @ kvec.T
+    Sc = m @ jnp.cos(phase)
+    Ss = m @ jnp.sin(phase)
+    u_k = -(4.0 * jnp.pi / (L * L * L)) * jnp.sum(damp * (Sc * Sc + Ss * Ss))
+
+    # Gaussian self-energy removal + neutralizing background
+    u_self = 0.5 * jnp.sum(m * m) * jnp.sqrt(2.0 / jnp.pi) / sigma
+    msum = jnp.sum(m)
+    u_bg = jnp.pi * sigma * sigma * msum * msum / (L * L * L)
+    return u_real + u_k + u_self + u_bg
+
+
+def spectral_accel_grids(
+    rho: jax.Array,
+    L: jax.Array | float,
+    sigma: jax.Array | float,
+    order: int = 3,
+) -> jax.Array:
+    """Ewald reciprocal-space term on the mesh: ``(M, M, M)`` deposited
+    mass → ``(3, M³)`` long-range acceleration grids per unit G.
+
+    One spectral Poisson solve on the PERIODIC box (no padding — half the
+    FFT volume of the isolated solver's Hockney-Eastwood doubling):
+    ``phi_hat = rho_hat · deconv^(2·order) · (-4π/k²) e^{-k²σ²/2} / h³``
+    with the DC mode zeroed (neutralizing background), then spectral
+    differentiation ``a_hat = -i k_a · phi_hat`` with the Nyquist plane of
+    the differentiated axis zeroed (its +k/-k alias cannot carry an odd
+    derivative).  The ``1/h³`` converts the cell-mass DFT to the
+    continuous structure factor; ``deconv`` divides out the order-p
+    B-spline assignment window once for the deposit and once for the
+    gather (``sinc(f)^(-2p)`` per axis, as in
+    :func:`p3m.solve_accel_long`)."""
+    m = rho.shape[0]
+    dt = rho.dtype
+    L = jnp.asarray(L, dt)
+    sigma = jnp.asarray(sigma, dt)
+    h = L / m
+    f1 = jnp.fft.fftfreq(m).astype(dt)  # cycles/sample
+    fr = jnp.fft.rfftfreq(m).astype(dt)
+    two_pi_h = 2.0 * jnp.pi / h
+    kx = two_pi_h * f1
+    ky = two_pi_h * f1
+    kz = two_pi_h * fr
+    k2 = (
+        kx[:, None, None] ** 2
+        + ky[None, :, None] ** 2
+        + kz[None, None, :] ** 2
+    )
+    deconv = (
+        jnp.sinc(f1)[:, None, None]
+        * jnp.sinc(f1)[None, :, None]
+        * jnp.sinc(fr)[None, None, :]
+    ) ** (-2 * order)
+    nz = k2 > 0
+    k2s = jnp.where(nz, k2, 1.0)
+    green = jnp.where(
+        nz, -4.0 * jnp.pi * jnp.exp(-0.5 * k2 * sigma * sigma) / k2s, 0.0
+    ) / (h * h * h)
+    phi_hat = jnp.fft.rfftn(rho) * (deconv * green)
+    # odd spectral gradient: zero the Nyquist plane of each axis
+    gx = jnp.where(jnp.abs(f1) >= 0.5, 0.0, kx)[:, None, None]
+    gy = jnp.where(jnp.abs(f1) >= 0.5, 0.0, ky)[None, :, None]
+    gz = jnp.where(jnp.abs(fr) >= 0.5, 0.0, kz)[None, None, :]
+    out = []
+    for g in (gx, gy, gz):
+        a = jnp.fft.irfftn(-1j * g * phi_hat, s=(m, m, m))
+        out.append(a.reshape(-1))
+    return jnp.stack(out, axis=0)
+
+
+def wrap_box(pos: jax.Array, L: jax.Array | float) -> jax.Array:
+    """Wrap positions into ``[0, L)`` (per component)."""
+    L = jnp.asarray(L, pos.dtype)
+    return pos - L * jnp.floor(pos / L)
+
+
 def _k_modes(kmax: int) -> jnp.ndarray:
     """Integer reciprocal modes with ``0 < |n|_inf <= kmax``, deduplicated
     to half-space (lexicographically positive) — the sin/cos sum below

@@ -149,6 +149,7 @@ def _select_neighbors(
     nrows: int,
     h: jax.Array,
     nbr_k: int,
+    L: jax.Array | None = None,
 ):
     """Top-``nbr_k`` nearest source tiles (jittered AABB distance, see
     :func:`_sym_jitter`) for target tile rows ``[row0, row0+nrows)``.
@@ -164,7 +165,9 @@ def _select_neighbors(
     instead of O(nb²) (VERDICT r2 #1)."""
     nb = lo_b.shape[0]
     if nb > _FLAT_MAX_TILES:
-        return _select_neighbors_hier(lo_b, hi_b, row0, nrows, h, nbr_k)
+        return _select_neighbors_hier(
+            lo_b, hi_b, row0, nrows, h, nbr_k, L=L
+        )
     chunk = min(nrows, _NBR_ROW_CHUNK)
     while nrows % chunk != 0:
         chunk //= 2
@@ -173,7 +176,7 @@ def _select_neighbors(
         r0 = row0 + i * chunk
         lo_t = lax.dynamic_slice_in_dim(lo_b, r0, chunk)
         hi_t = lax.dynamic_slice_in_dim(hi_b, r0, chunk)
-        d2 = _aabb_dist2(lo_t, hi_t, lo_b, hi_b) + _sym_jitter(
+        d2 = _aabb_dist2(lo_t, hi_t, lo_b, hi_b, L=L) + _sym_jitter(
             chunk, nb, r0, h
         )
         d2 = _prefer_self(
@@ -200,6 +203,7 @@ def _select_neighbors_hier(
     h: jax.Array,
     nbr_k: int,
     sup_k: int = DEFAULT_SUP_K,
+    L: jax.Array | None = None,
 ):
     """Two-level (super-tile) neighbor selection — same contract as
     :func:`_select_neighbors`, candidate set restricted hierarchically.
@@ -246,7 +250,7 @@ def _select_neighbors_hier(
         r0 = i * chunk
         lo_t = lax.dynamic_slice_in_dim(lo_s, r0, chunk)
         hi_t = lax.dynamic_slice_in_dim(hi_s, r0, chunk)
-        d2 = _aabb_dist2(lo_t, hi_t, lo_s, hi_s) + _sym_jitter(
+        d2 = _aabb_dist2(lo_t, hi_t, lo_s, hi_s, L=L) + _sym_jitter(
             chunk, nsup, r0, h
         )
         d2 = _prefer_self(
@@ -277,7 +281,7 @@ def _select_neighbors_hier(
         t0 = A * sup
         lo_t = lax.dynamic_slice_in_dim(lo_b, t0, sup)
         hi_t = lax.dynamic_slice_in_dim(hi_b, t0, sup)
-        d2 = _aabb_dist2(lo_t, hi_t, lo_c, hi_c)
+        d2 = _aabb_dist2(lo_t, hi_t, lo_c, hi_c, L=L)
         i_ids = t0 + lax.broadcasted_iota(jnp.int32, (sup, 1), 0)
         d2 = d2 + _sym_jitter_ids(i_ids, cand[None, :], h)
         d2 = jnp.where(cmask[None, :], d2, jnp.float32(1e30))
@@ -298,7 +302,10 @@ def _select_neighbors_hier(
     )
 
 
-def _tsc_cells(pos: jax.Array, lo: jax.Array, h: jax.Array, grid: int):
+def _tsc_cells(
+    pos: jax.Array, lo: jax.Array, h: jax.Array, grid: int,
+    periodic: bool = False,
+):
     """TSC (triangular-shaped-cloud, order-3 B-spline) stencil: nearest
     cell center ``c`` and offset ``f = s - c`` in [-1/2, 1/2], with per-axis
     weights ``{0.5(0.5-f)², 0.75-f², 0.5(0.5+f)²}`` on cells c-1, c, c+1.
@@ -308,8 +315,22 @@ def _tsc_cells(pos: jax.Array, lo: jax.Array, h: jax.Array, grid: int):
     tile kernels' one-hot weights (``ops/mesh_pallas.py``): the kernel
     weights (built from ``f``) and the repair pass's weights (``w``) must
     stay bit-identical for the valid/invalid particle partition to be
-    exact, so callers must never re-derive ``f`` by hand."""
+    exact, so callers must never re-derive ``f`` by hand.
+
+    ``periodic``: the nearest cell wraps mod ``grid`` (its +/-1 stencil
+    neighbors wrap through the roll-based deposit/gather tables) and
+    ``f`` is taken against the UNwrapped cell so it stays in
+    [-1/2, 1/2]."""
     s = (pos - lo) / h - 0.5
+    if periodic:
+        raw = jnp.floor(s + 0.5)
+        f = jnp.clip(s - raw, -0.5, 0.5)
+        c = jnp.mod(raw.astype(jnp.int32), grid)
+        w = jnp.stack(
+            [0.5 * (0.5 - f) ** 2, 0.75 - f * f, 0.5 * (0.5 + f) ** 2],
+            axis=0,
+        )
+        return c, w, f
     c = jnp.clip(jnp.floor(s + 0.5).astype(jnp.int32), 1, grid - 2)
     f = jnp.clip(s - c.astype(jnp.float32), -0.5, 0.5)
     w = jnp.stack(
@@ -319,7 +340,8 @@ def _tsc_cells(pos: jax.Array, lo: jax.Array, h: jax.Array, grid: int):
 
 
 def tsc_deposit(
-    pos: jax.Array, mass: jax.Array, lo: jax.Array, h: jax.Array, grid: int
+    pos: jax.Array, mass: jax.Array, lo: jax.Array, h: jax.Array, grid: int,
+    periodic: bool = False,
 ) -> jax.Array:
     """Order-3 B-spline mass deposit → ``(grid, grid, grid)``.
 
@@ -327,8 +349,8 @@ def tsc_deposit(
     ids (a naive 27N contribution ``lax.sort`` was 62% of the whole P3M
     step at 2M bodies), one vectorized (27, N) segmented scan, 27 dense
     rolls (base cells are clipped to [1, grid-2], so no roll ever wraps
-    real mass)."""
-    c, w, _ = _tsc_cells(pos, lo, h, grid)
+    real mass; in ``periodic`` mode the wrap IS the torus topology)."""
+    c, w, _ = _tsc_cells(pos, lo, h, grid, periodic)
     cid = (c[:, 0] * grid + c[:, 1]) * grid + c[:, 2]
     cols = []
     offsets = []
@@ -507,13 +529,37 @@ def _aabb_dist2(
     hi_t: jax.Array,
     lo_s: jax.Array | None = None,
     hi_s: jax.Array | None = None,
+    L: jax.Array | None = None,
 ) -> jax.Array:
     """(nt, ns) squared AABB-to-AABB gap distances (target tiles x source
     tiles; source defaults to target) — a lower bound on any body-pair
     distance between the tiles.  All-padding tiles (lo=+inf, hi=-inf) land
-    at +inf from everything, never selected."""
+    at +inf from everything, never selected.
+
+    ``L`` (periodic box size): per-axis gap on the circle of circumference
+    L — minimum-image center distance minus the two half-extents — so
+    tiles facing each other across the wrap seam are near neighbors.
+    Padding tiles are sanitized explicitly (their inf center would be
+    NaN) and pinned to 1e30."""
     if lo_s is None:
         lo_s, hi_s = lo_t, hi_t
+    if L is not None:
+        bad_t = ~(hi_t[:, 0] >= lo_t[:, 0])  # all-padding: lo=+inf, hi=-inf
+        bad_s = ~(hi_s[:, 0] >= lo_s[:, 0])
+        z = jnp.zeros_like
+        lo_tc = jnp.where(bad_t[:, None], z(lo_t), lo_t)
+        hi_tc = jnp.where(bad_t[:, None], z(hi_t), hi_t)
+        lo_sc = jnp.where(bad_s[:, None], z(lo_s), lo_s)
+        hi_sc = jnp.where(bad_s[:, None], z(hi_s), hi_s)
+        ct, et = 0.5 * (lo_tc + hi_tc), 0.5 * (hi_tc - lo_tc)
+        cs, es = 0.5 * (lo_sc + hi_sc), 0.5 * (hi_sc - lo_sc)
+        dc = jnp.abs(cs[None, :, :] - ct[:, None, :])
+        dc = jnp.minimum(dc, L - dc)
+        gap = jnp.maximum(dc - (et[:, None, :] + es[None, :, :]), 0.0)
+        d2 = jnp.sum(gap * gap, axis=-1)
+        return jnp.where(
+            bad_t[:, None] | bad_s[None, :], jnp.float32(1e30), d2
+        )
     gap = jnp.maximum(
         lo_s[None, :, :] - hi_t[:, None, :], lo_t[:, None, :] - hi_s[None, :, :]
     )
@@ -588,6 +634,7 @@ def _short_range_tiles(
     rcut: jax.Array,
     block: int,
     nbr_mask: jax.Array | None = None,
+    box: jax.Array | None = None,
 ) -> jax.Array:
     """Masked block-sparse short-range accelerations (per unit G) for the
     ``ntiles`` target tiles starting at ``tile0`` (traced — the sharded
@@ -595,7 +642,11 @@ def _short_range_tiles(
     tile, a dense (block, k*block) pair kernel over its gathered neighbor
     tiles.  ``nbr_idx`` is ``(ntiles, k)`` global tile ids; ``nbr_mask``
     (optional, (ntiles, k)) zeroes non-mutual tiles
-    (:func:`mutual_neighbor_mask`)."""
+    (:func:`mutual_neighbor_mask`).  ``box`` (periodic box size): pair
+    separations take the minimum image and the pair scalar is the
+    periodic split's :func:`ewald.k_short_periodic`."""
+    from nbody3d_tpu.ops.ewald import k_short_periodic
+
     nb = ps.shape[0] // block
     blocks = ps.reshape(nb, block, 4)
     rcut2 = rcut * rcut
@@ -607,8 +658,15 @@ def _short_range_tiles(
         if nbr_mask is not None:
             m_src = m_src * jnp.repeat(nbr_mask[i], block)
         d = src[None, :, :3] - tgt[:, None, :3]  # (B, KB, 3)
+        if box is not None:
+            d = d - box * jnp.round(d / box)
         r2 = jnp.sum(d * d, axis=-1)
-        w = k_short(r2, eps2, sigma) * m_src[None, :]
+        ks = (
+            k_short_periodic(r2, eps2, sigma)
+            if box is not None
+            else k_short(r2, eps2, sigma)
+        )
+        w = ks * m_src[None, :]
         w = jnp.where((r2 > 0) & (r2 < rcut2), w, 0.0)
         return jnp.sum(w[:, :, None] * d, axis=1)  # (B, 3)
 
@@ -650,15 +708,17 @@ _SR_SMEM_BUDGET = 768 << 10
 
 def _short_range_kernel(
     tgt_rows_ref, nbr_ref, scal_ref, mask_ref, tgt_ref, srcT_ref,
-    out_ref, acc_ref, *, b, eps2, knbr,
+    out_ref, acc_ref, *, b, eps2, knbr, periodic=False,
 ):
     """One (target tile i, neighbor slot k) block: dense (B, B) pair
     correction vs source tile ``nbr_idx[i, k]``, accumulated over k.
-    ``scal`` (SMEM f32[3]): [rcut^2, 1/(sqrt2 sigma), (2/sqrt(pi))/(sqrt2
-    sigma)]; ``mask`` is the FLAT (chunk*knbr,) mutual mask in SMEM
-    (dynamic element reads need scalar memory — a VMEM lane index must be
-    statically 128-aligned).  Pair math mirrors :func:`k_short` exactly
-    except erfc (A-S rational form, see above)."""
+    ``scal`` (SMEM f32[4]): [rcut^2, 1/(sqrt2 sigma), (2/sqrt(pi))/(sqrt2
+    sigma), box L (periodic only)]; ``mask`` is the FLAT (chunk*knbr,)
+    mutual mask in SMEM (dynamic element reads need scalar memory — a
+    VMEM lane index must be statically 128-aligned).  Pair math mirrors
+    :func:`k_short` (isolated) / :func:`ewald.k_short_periodic` (periodic:
+    minimum-image separations, ``inv_s^3 - inv_r^3 + erfc(u) inv_r^3 +
+    gauss inv_r^2`` — same one exp feeding the A-S erfc)."""
     i = pl.program_id(0)
     k = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -667,6 +727,12 @@ def _short_range_kernel(
     dx = srcT_ref[0:1, :] - tgt[:, 0:1]
     dy = srcT_ref[1:2, :] - tgt[:, 1:2]
     dz = srcT_ref[2:3, :] - tgt[:, 2:3]
+    if periodic:
+        box = scal_ref[3]
+        half = 0.5 * box
+        dx = dx - jnp.where(dx > half, box, 0.0) + jnp.where(dx < -half, box, 0.0)
+        dy = dy - jnp.where(dy > half, box, 0.0) + jnp.where(dy < -half, box, 0.0)
+        dz = dz - jnp.where(dz > half, box, 0.0) + jnp.where(dz < -half, box, 0.0)
     r2 = dx * dx + (dy * dy + dz * dz)
 
     pos = r2 > 0.0
@@ -679,9 +745,18 @@ def _short_range_kernel(
     t = 1.0 / (1.0 + _AS_P * u)
     a1, a2, a3, a4, a5 = _AS_A
     erfc_u = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * e
-    kshort = erfc_u * (inv_s * inv_s * inv_s) + (scal_ref[2] * e) * (
-        inv_s * inv_r
-    )
+    if periodic:
+        inv_r3 = inv_r * inv_r * inv_r
+        inv_s3 = inv_s * inv_s * inv_s
+        kshort = (
+            (inv_s3 - inv_r3)
+            + erfc_u * inv_r3
+            + (scal_ref[2] * e) * (inv_r * inv_r)
+        )
+    else:
+        kshort = erfc_u * (inv_s * inv_s * inv_s) + (scal_ref[2] * e) * (
+            inv_s * inv_r
+        )
     w = jnp.where(pos & (r2 < scal_ref[0]), kshort, 0.0)
     w = w * srcT_ref[3:4, :]
 
@@ -723,10 +798,12 @@ def _short_range_tiles_pallas(
     block: int,
     nbr_mask: jax.Array | None = None,
     interpret: bool = False,
+    box: jax.Array | None = None,
 ) -> jax.Array:
     """Same contract as :func:`_short_range_tiles` (the jnp oracle — the
     parity test is ``tests/test_p3m.py::test_short_range_pallas``), as a
     block-sparse Pallas kernel.  ~3x the XLA form at N=2M (BASELINE.md).
+    ``box``: periodic box size (minimum-image pair math in-kernel).
 
     The call is chunked over tile ranges so the scalar-prefetched flat
     neighbor ids stay under the ~1 MB SMEM budget at any N (a 16M-body
@@ -739,6 +816,7 @@ def _short_range_tiles_pallas(
             rcut * rcut,
             1.0 / (_SQRT2 * sigma),
             _TWO_OVER_SQRT_PI / (_SQRT2 * sigma),
+            jnp.float32(0.0) + (box if box is not None else 0.0),
         ]
     ).astype(jnp.float32)
     if nbr_mask is None:
@@ -751,7 +829,8 @@ def _short_range_tiles_pallas(
         chunk -= 1
 
     kernel = functools.partial(
-        _short_range_kernel, b=block, eps2=float(eps2), knbr=k
+        _short_range_kernel, b=block, eps2=float(eps2), knbr=k,
+        periodic=box is not None,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tgt_rows (chunk,), flat nbr ids (chunk*k,)
@@ -804,7 +883,10 @@ def _short_range_tiles_pallas(
 
 
 @functools.lru_cache(maxsize=None)
-def _make_sr_pallas_diff(ntiles: int, eps2: float, block: int, interpret: bool):
+def _make_sr_pallas_diff(
+    ntiles: int, eps2: float, block: int, interpret: bool,
+    periodic: bool = False,
+):
     """Differentiable pairing for the short-range kernel: Pallas primal,
     jnp-oracle backward — ``jax.grad`` through a ``short_backend="pallas"``
     P3M step works at kernel speed forward and oracle speed backward (the
@@ -815,31 +897,35 @@ def _make_sr_pallas_diff(ntiles: int, eps2: float, block: int, interpret: bool):
     selection, constant almost everywhere in positions."""
 
     @jax.custom_vjp
-    def f(ps, nbr_idx, tile0, sigma, rcut, nbr_mask):
+    def f(ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box):
         return _short_range_tiles_pallas(
             ps, nbr_idx, tile0, ntiles, eps2, sigma, rcut, block,
             nbr_mask=nbr_mask, interpret=interpret,
+            box=box if periodic else None,
         )
 
-    def fwd(ps, nbr_idx, tile0, sigma, rcut, nbr_mask):
-        return f(ps, nbr_idx, tile0, sigma, rcut, nbr_mask), (
-            ps, nbr_idx, tile0, sigma, rcut, nbr_mask,
+    def fwd(ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box):
+        return f(ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box), (
+            ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box,
         )
 
     def bwd(res, g):
         import numpy as _np
 
-        ps, nbr_idx, tile0, sigma, rcut, nbr_mask = res
+        ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box = res
         _, vjp = jax.vjp(
             lambda ps_, sigma_, rcut_: _short_range_tiles(
                 ps_, nbr_idx, tile0, ntiles, eps2, sigma_, rcut_, block,
-                nbr_mask=nbr_mask,
+                nbr_mask=nbr_mask, box=box if periodic else None,
             ),
             ps, sigma, rcut,
         )
         dps, dsig, drc = vjp(g)
         zi = lambda x: _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
-        return dps, zi(nbr_idx), zi(tile0), dsig, drc, jnp.zeros_like(nbr_mask)
+        return (
+            dps, zi(nbr_idx), zi(tile0), dsig, drc,
+            jnp.zeros_like(nbr_mask), jnp.zeros_like(box),
+        )
 
     f.defvjp(fwd, bwd)
     return f
@@ -857,24 +943,113 @@ def short_range_tiles(
     nbr_mask: jax.Array | None = None,
     backend: str = "auto",
     interpret: bool = False,
+    box: jax.Array | None = None,
 ) -> jax.Array:
     """Short-range correction dispatch: ``backend="auto"`` runs the Pallas
     kernel on TPU and the jnp form elsewhere.  The Pallas path carries a
     custom VJP (jnp-oracle backward, :func:`_make_sr_pallas_diff`) so
-    P3M stays differentiable on every backend."""
+    P3M stays differentiable on every backend.  ``box``: periodic box
+    size — minimum-image pair math with the periodic split scalar."""
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     if backend == "pallas":
         if nbr_mask is None:
             nbr_mask = jnp.ones(nbr_idx.shape, jnp.float32)
-        f = _make_sr_pallas_diff(ntiles, float(eps2), block, interpret)
+        f = _make_sr_pallas_diff(
+            ntiles, float(eps2), block, interpret, periodic=box is not None
+        )
         return f(
-            ps, nbr_idx, jnp.asarray(tile0, jnp.int32), sigma, rcut, nbr_mask
+            ps, nbr_idx, jnp.asarray(tile0, jnp.int32), sigma, rcut,
+            nbr_mask,
+            box if box is not None else jnp.float32(0.0),
         )
     return _short_range_tiles(
         ps, nbr_idx, tile0, ntiles, eps2, sigma, rcut, block,
-        nbr_mask=nbr_mask,
+        nbr_mask=nbr_mask, box=box,
     )
+
+
+def _accel_p3m_periodic(
+    pos_mass: jax.Array,
+    G: jax.Array | float,
+    *,
+    grid: int,
+    eps2: float,
+    n_real: int,
+    sigma_cells: float,
+    rcut_sigmas: float,
+    block: int,
+    nbr_k: int,
+    order: int,
+    short_backend: str,
+    box_size: float,
+) -> jax.Array:
+    """Periodic-box P3M (see :func:`accel_p3m` ``boundary="periodic"``).
+    Ewald's method on the mesh: reciprocal-space sum by FFT
+    (:func:`ewald.spectral_accel_grids`, Gaussian split width
+    ``sigma = sigma_cells·L/grid``) + minimum-image short-range pairs of
+    :func:`ewald.k_short_periodic` over the same Morton-sorted
+    block-sparse tile machinery as the isolated solver."""
+    from nbody3d_tpu.ops.ewald import spectral_accel_grids, wrap_box
+
+    if box_size <= 0:
+        raise ValueError("boundary='periodic' requires box_size > 0")
+    rcut_static = rcut_sigmas * sigma_cells * box_size / grid
+    if rcut_static >= 0.5 * box_size:
+        raise ValueError(
+            f"P3M periodic: rcut {rcut_static:.3g} >= L/2 "
+            f"{0.5 * box_size:.3g} — minimum image needs rcut < L/2; "
+            "raise grid or lower sigma_cells/rcut_sigmas"
+        )
+
+    n = pos_mass.shape[0]
+    L = jnp.float32(box_size)
+    h = L / grid
+    lo = jnp.zeros((3,), jnp.float32)
+    sigma = sigma_cells * h
+    rcut = rcut_sigmas * sigma
+
+    pos = wrap_box(pos_mass[:, :3], L)
+    pm_w = jnp.concatenate([pos, pos_mass[:, 3:4]], axis=1)
+
+    keys = morton_keys(pm_w, n_real)
+    perm = jnp.argsort(keys, stable=True)
+    inv = jnp.argsort(perm)
+    ps = pm_w[perm]
+
+    # Long range: TSC deposit on the torus -> one spectral Poisson
+    # solve -> TSC gather (same assignment function both ways: momentum).
+    if order == 3:
+        rho = tsc_deposit(ps[:, :3], ps[:, 3], lo, h, grid, periodic=True)
+        grids = spectral_accel_grids(rho, L, sigma, order=3)
+        c, w, _ = _tsc_cells(ps[:, :3], lo, h, grid, periodic=True)
+        acc = tsc_gather(grids, c, w, grid)
+    else:
+        from nbody3d_tpu.ops import pm as pm_mod
+
+        rho = pm_mod.cic_deposit(
+            ps[:, :3], ps[:, 3], lo, h, grid, periodic=True
+        )
+        grids = spectral_accel_grids(rho, L, sigma, order=2)
+        i0, fr = pm_mod._cic_cells(ps[:, :3], lo, h, grid, periodic=True)
+        acc = pm_mod.cic_gather(grids, i0, fr, grid)
+
+    # Project out the mesh's f32-FFT-noise net force (see accel_p3m).
+    mass_s = ps[:, 3]
+    msum = jnp.maximum(jnp.sum(mass_s), jnp.float32(1e-30))
+    acc = acc - jnp.sum(mass_s[:, None] * acc, axis=0)[None, :] / msum
+
+    # Short range: periodic tile selection + minimum-image pair blocks.
+    lo_b, hi_b = _sorted_aabbs(ps, n_real, block)
+    nb = n // block
+    kth, neg, nbr_idx = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k, L=L)
+    nbr_mask = mutual_neighbor_mask(neg, nbr_idx, kth)
+    acc_s = short_range_tiles(
+        ps, nbr_idx, 0, nb, float(eps2), sigma, rcut, block,
+        nbr_mask=nbr_mask, backend=short_backend, box=L,
+    )
+    acc = (acc + acc_s)[inv] * jnp.float32(G)
+    return jnp.concatenate([acc, jnp.zeros((n, 1), jnp.float32)], axis=1)
 
 
 @functools.partial(
@@ -882,6 +1057,7 @@ def short_range_tiles(
     static_argnames=(
         "grid", "eps2", "n_real", "sigma_cells", "rcut_sigmas", "block",
         "nbr_k", "order", "heavy_k", "short_backend", "mesh_backend",
+        "boundary", "box_size",
     ),
 )
 def accel_p3m(
@@ -899,6 +1075,8 @@ def accel_p3m(
     heavy_k: int = DEFAULT_HEAVY_K,
     short_backend: str = "auto",
     mesh_backend: str = "auto",
+    boundary: str = "isolated",
+    box_size: float = 0.0,
 ) -> jax.Array:
     """P3M accelerations ``(N, 4)`` (w lane zero): PM far field + exact
     short-range correction + exact direct pairs for the ``heavy_k`` most
@@ -908,7 +1086,21 @@ def accel_p3m(
     tiles (:func:`p3m_block`).  ``short_backend`` dispatches the
     short-range pass (:func:`short_range_tiles`) and ``mesh_backend``
     the deposit/gather (:func:`mesh_pallas.mesh_accel`); every form is
-    differentiable (the Pallas paths pair jnp-oracle backwards)."""
+    differentiable (the Pallas paths pair jnp-oracle backwards).
+
+    ``boundary="periodic"`` (requires ``box_size > 0``) computes the
+    EXACT periodized Plummer interaction on the torus ``[0, box_size)³``
+    — Ewald's method with the mesh as the reciprocal-space sum
+    (:func:`ewald.spectral_accel_grids`) and minimum-image short-range
+    pairs (:func:`ewald.k_short_periodic`); accuracy vs the brute-force
+    Ewald oracle is gated in ``tests/test_periodic.py``.  Differences
+    from the isolated path: the box is FIXED (``h = L/grid`` — a static
+    kernel, no per-step box fit), the mass-hierarchy split is off
+    (``heavy_k`` ignored: exact heavy pairs have no periodic form without
+    their own Ewald sum, and periodic volumes are mass-uniform use
+    cases), and the mesh runs the XLA deposit/gather (the MXU tile
+    kernels assume the non-wrapping layout; a wrap-aware variant is
+    future work)."""
     from nbody3d_tpu.ops.mesh_pallas import mesh_accel
 
     n = pos_mass.shape[0]
@@ -917,6 +1109,16 @@ def accel_p3m(
     block = p3m_block(n, block)
     nbr_k = min(nbr_k, n // block)
     heavy_k = min(heavy_k, n)
+
+    if boundary == "periodic":
+        return _accel_p3m_periodic(
+            pos_mass, G, grid=grid, eps2=eps2, n_real=n_real,
+            sigma_cells=sigma_cells, rcut_sigmas=rcut_sigmas, block=block,
+            nbr_k=nbr_k, order=order, short_backend=short_backend,
+            box_size=box_size,
+        )
+    if boundary != "isolated":
+        raise ValueError(f"unknown boundary {boundary!r}")
 
     pos = pos_mass[:, :3]
     lo, h = _box(pos[:n_real], grid)

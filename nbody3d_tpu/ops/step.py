@@ -148,6 +148,14 @@ def make_step_fn(
 
     force_mode = config.force_mode
 
+    if config.boundary == "periodic" and config.method not in ("pm", "p3m"):
+        raise ValueError(
+            "boundary='periodic' needs a mesh solver (method='pm'|'p3m'): "
+            "the direct kernels sum bare pairs, which is ill-defined on "
+            "the torus without an Ewald sum (ops/ewald.py has the O(N^2) "
+            "oracle for validation only)"
+        )
+
     if config.method == "pm":
         # Particle-mesh FFT solver (ops/pm.py) — O(N + M^3 log M) grid
         # gravity.  The mesh deposit/gather follows the resolved backend
@@ -163,6 +171,7 @@ def make_step_fn(
                     pm_, G,
                     grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
                     mesh_backend=mesh_be,
+                    boundary=config.boundary, box_size=config.box_size,
                 )
 
             return integrate_state(
@@ -190,6 +199,7 @@ def make_step_fn(
                     block=config.p3m_block, nbr_k=config.p3m_nbr_k,
                     heavy_k=config.p3m_heavy_k, short_backend=short,
                     mesh_backend=short,
+                    boundary=config.boundary, box_size=config.box_size,
                 )
 
             return integrate_state(

@@ -294,7 +294,11 @@ class Simulation:
         keeps the O(N^2/chunk) blocking aligned (an unchunked (N, N)
         pair matrix would be gigabytes at the reference-default N).
         """
-        if self.mesh is not None:
+        if self.mesh is not None and self.config.boundary != "periodic":
+            # (periodic falls through to the Ewald branch below: the
+            # sharded diagnostics compute the ISOLATED pair potential,
+            # which is not the torus's conserved energy.  The jnp ops
+            # below accept sharded global arrays.)
             from nbody3d_tpu.parallel.sharded import make_sharded_diagnostics
 
             if not hasattr(self, "_sharded_diag"):
@@ -313,12 +317,20 @@ class Simulation:
             # The conserved energy on the torus is the EWALD potential
             # (ops/ewald.py) — the isolated pair sum is not a constant of
             # the periodic motion.  Padding rows carry zero mass, so they
-            # drop from every term.
+            # drop from every term.  A SHARDED state is gathered to host
+            # first: the real-space term's (chunk, N) pair matrix cannot
+            # be formed from two axis-sharded operands (illegal
+            # N@x x N@x sharding), and diagnostics run per chunk, not
+            # per step.
             from nbody3d_tpu.ops.ewald import ewald_potential_energy
 
-            ke = diag_mod.kinetic_energy(self.state.pos_mass, self.state.vel)
+            pm_d, vel_d = self.state.pos_mass, self.state.vel
+            if self.mesh is not None:
+                pm_d = jnp.asarray(jax.device_get(pm_d))
+                vel_d = jnp.asarray(jax.device_get(vel_d))
+            ke = diag_mod.kinetic_energy(pm_d, vel_d)
             pe = jnp.float32(self.G) * ewald_potential_energy(
-                self.state.pos_mass, jnp.float32(self.config.box_size),
+                pm_d, jnp.float32(self.config.box_size),
                 eps2=self.config.eps2, chunk=chunk,
             )
             return jax.device_get(
@@ -326,13 +338,9 @@ class Simulation:
                     kinetic=ke,
                     potential=pe,
                     total_energy=ke + pe,
-                    momentum=diag_mod.momentum(
-                        self.state.pos_mass, self.state.vel
-                    ),
-                    angular_momentum=diag_mod.angular_momentum(
-                        self.state.pos_mass, self.state.vel
-                    ),
-                    total_mass=jnp.sum(self.state.pos_mass[:, 3]),
+                    momentum=diag_mod.momentum(pm_d, vel_d),
+                    angular_momentum=diag_mod.angular_momentum(pm_d, vel_d),
+                    total_mass=jnp.sum(pm_d[:, 3]),
                 )
             )
         return jax.device_get(

@@ -546,6 +546,10 @@ def make_pm_sharded_step(
     shard = n_pad // d
     grid = config.pm_grid
     eps2 = float(config.eps2)
+    periodic = config.boundary == "periodic"
+    boxL = float(config.box_size)
+    if periodic and boxL <= 0:
+        raise ValueError("boundary='periodic' requires box_size > 0")
 
     def local_step(pos_mass, vel, accel, step, dt, G):
         my = jnp.int32(0)
@@ -556,6 +560,28 @@ def make_pm_sharded_step(
 
         def accum(pm_):
             pos = pm_[:, :3]
+            if periodic:
+                # Fixed torus: wrap the shard, deposit with the wrapped
+                # stencil, one spectral Ewald solve (ops/ewald.py) —
+                # same shard-local deposit + grid psum pattern.
+                from nbody3d_tpu.ops.ewald import (
+                    spectral_accel_grids, wrap_box,
+                )
+
+                L = jnp.float32(boxL)
+                h = L / grid
+                lo = jnp.zeros((3,), jnp.float32)
+                pos = wrap_box(pos, L)
+                rho = pm_ops.cic_deposit(
+                    pos, pm_[:, 3], lo, h, grid, periodic=True
+                )
+                rho = lax.psum(rho, axis)
+                grids = spectral_accel_grids(rho, L, 1.5 * h, order=2)
+                i0, f = pm_ops._cic_cells(pos, lo, h, grid, periodic=True)
+                acc3 = pm_ops.cic_gather(grids, i0, f, grid) * jnp.float32(G)
+                return jnp.concatenate(
+                    [acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1
+                )
             # Global bounding box over REAL bodies only (padding sits at the
             # origin with mass 0 and must not shape the grid).
             big = jnp.float32(3.0e38)
@@ -625,6 +651,11 @@ def make_p3m_sharded_step(
     1/D share of both the mesh deposit/gather and the short-range pair
     work; the wire is identical to a resident-rows mesh layout (the
     all-gather already existed for the short-range pass).
+
+    ``config.boundary == "periodic"``: same schedule on the torus —
+    fixed box, wrapped assignment, spectral Ewald solve, minimum-image
+    short range with wrap-aware tile selection (see
+    ``ops/p3m.py::_accel_p3m_periodic``); heavy split off, XLA mesh path.
     """
     from nbody3d_tpu.ops import mesh_pallas as mp
     from nbody3d_tpu.ops import p3m as p3m_ops
@@ -658,6 +689,18 @@ def make_p3m_sharded_step(
     use_pallas = backend == "pallas"
     use_tiles = use_pallas and grid <= 192
     rt = min(mp.default_rt(tiles_per), tiles_per)
+    periodic = config.boundary == "periodic"
+    boxL = float(config.box_size)
+    if periodic:
+        if boxL <= 0:
+            raise ValueError("boundary='periodic' requires box_size > 0")
+        rcut_static = rcut_sigmas * sigma_cells * boxL / grid
+        if rcut_static >= 0.5 * boxL:
+            raise ValueError(
+                f"P3M periodic: rcut {rcut_static:.3g} >= L/2 — raise grid"
+            )
+        heavy_k = 0  # no periodic form for exact heavy pairs (DESIGN.md)
+        use_tiles = False  # MXU mesh tile kernels assume non-wrapping layout
 
     def local_step(pos_mass, vel, accel, step, dt, G):
         my = jnp.int32(0)
@@ -671,23 +714,38 @@ def make_p3m_sharded_step(
             # multi-eval integrators re-run the pipeline per sub-step;
             # the parameter shadows the resident state on purpose).
             pos = pos_mass[:, :3]
-            big = jnp.float32(3.0e38)
-            lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
-            hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
-            lo_w = lax.pmin(lo_l, axis)
-            hi_w = lax.pmax(hi_l, axis)
-            lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
+            if periodic:
+                L = jnp.float32(boxL)
+                h = L / grid
+                lo = jnp.zeros((3,), jnp.float32)
+            else:
+                big = jnp.float32(3.0e38)
+                lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
+                hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
+                lo_w = lax.pmin(lo_l, axis)
+                hi_w = lax.pmax(hi_l, axis)
+                lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
             sigma = sigma_cells * h
             rcut = rcut_sigmas * sigma
 
             # Mass-hierarchy split (p3m_ops.heavy_split): replicated and
             # deterministic — every chip derives the same heavy set from the
-            # same gathered array.
+            # same gathered array.  Periodic: no split (heavy_k = 0) and
+            # every chip wraps the gathered positions identically.
             full = lax.all_gather(pos_mass, axis, axis=0, tiled=True)
-            hidx, mass_mesh = p3m_ops.heavy_split(full, heavy_k)
-            full_mesh = jnp.concatenate(
-                [full[:, :3], mass_mesh[:, None]], axis=1
-            )
+            if periodic:
+                from nbody3d_tpu.ops.ewald import wrap_box
+
+                full = jnp.concatenate(
+                    [wrap_box(full[:, :3], L), full[:, 3:4]], axis=1
+                )
+            if heavy_k:
+                hidx, mass_mesh = p3m_ops.heavy_split(full, heavy_k)
+                full_mesh = jnp.concatenate(
+                    [full[:, :3], mass_mesh[:, None]], axis=1
+                )
+            else:
+                full_mesh = full
             # Global Morton order: replicated and deterministic — every chip
             # derives the same sorted layout, and each owns the contiguous
             # slice of ``shard`` rows (= ``tiles_per`` tiles) at its index.
@@ -704,7 +762,7 @@ def make_p3m_sharded_step(
             # either way.  Wire-neutral vs the old resident-rows layout: the
             # all-gather of per-row sorted values below already existed for
             # the short-range pass, and now carries mesh+short together.
-            c, w, f = p3m_ops._tsc_cells(pos_s, lo, h, grid)
+            c, w, f = p3m_ops._tsc_cells(pos_s, lo, h, grid, periodic)
             if use_tiles:
                 corners, validp, dirty = mp.tile_corners(c, block, grid)
                 rho = mp.deposit_tiles(c, f, mass_s, corners, grid, block,
@@ -712,9 +770,16 @@ def make_p3m_sharded_step(
                 rho = mp.repair_deposit(rho, c, w, mass_s, validp, dirty, rt,
                                         grid, block)
             else:
-                rho = p3m_ops.tsc_deposit(pos_s, mass_s, lo, h, grid)
+                rho = p3m_ops.tsc_deposit(
+                    pos_s, mass_s, lo, h, grid, periodic
+                )
             rho = lax.psum(rho, axis)
-            grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
+            if periodic:
+                from nbody3d_tpu.ops.ewald import spectral_accel_grids
+
+                grids = spectral_accel_grids(rho, L, sigma, order=3)
+            else:
+                grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
             if use_tiles:
                 acc_m = mp.gather_tiles(grids, c, f, corners, grid, block,
                                         interpret=interpret)
@@ -734,7 +799,8 @@ def make_p3m_sharded_step(
             # Short range over the same sorted-tile slice (light sources).
             lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
             kth_mine, neg, nbr_idx = p3m_ops._select_neighbors(
-                lo_b, hi_b, my * tiles_per, tiles_per, h, nbr_k
+                lo_b, hi_b, my * tiles_per, tiles_per, h, nbr_k,
+                L=L if periodic else None,
             )
             # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
             kth_all = lax.all_gather(kth_mine, axis, axis=0, tiled=True)
@@ -744,7 +810,7 @@ def make_p3m_sharded_step(
             acc_s_mine = p3m_ops.short_range_tiles(
                 ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,
                 nbr_mask=nbr_mask, backend="pallas" if use_pallas else "jnp",
-                interpret=interpret,
+                interpret=interpret, box=L if periodic else None,
             )
             acc_full = lax.all_gather(acc_m + acc_s_mine, axis, axis=0, tiled=True)
             inv = jnp.argsort(order)
@@ -754,22 +820,30 @@ def make_p3m_sharded_step(
             # Exact heavy pairs: local targets vs the replicated heavy set;
             # the force ON each heavy body reduces over all chips' residents
             # with one psum, then heavy rows owned here are overwritten.
-            hp = full[hidx]  # (K, 4)
-            dvec = hp[None, :, :3] - pos[:, None, :]  # (shard, K, 3)
-            r2 = jnp.sum(dvec * dvec, axis=-1)
-            inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
-            wgt = inv_s * inv_s * inv_s * (r2 > 0)
-            a_from_heavy = jnp.einsum("nk,nkc->nc", wgt * hp[None, :, 3], dvec)
-            a_on_heavy = lax.psum(
-                -jnp.einsum("nk,nkc->kc", wgt * pos_mass[:, 3][:, None], dvec),
-                axis,
-            )
-            rows1 = rows[:, 0]  # (shard,) global row ids
-            match = rows1[:, None] == hidx[None, :]  # (shard, K)
-            repl = jnp.einsum("rk,kc->rc", match.astype(jnp.float32), a_on_heavy)
-            acc3 = jnp.where(
-                jnp.any(match, axis=1)[:, None], repl, acc3 + a_from_heavy
-            )
+            # (Skipped entirely when heavy_k == 0 — periodic mode.)
+            if heavy_k:
+                hp = full[hidx]  # (K, 4)
+                dvec = hp[None, :, :3] - pos[:, None, :]  # (shard, K, 3)
+                r2 = jnp.sum(dvec * dvec, axis=-1)
+                inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
+                wgt = inv_s * inv_s * inv_s * (r2 > 0)
+                a_from_heavy = jnp.einsum(
+                    "nk,nkc->nc", wgt * hp[None, :, 3], dvec
+                )
+                a_on_heavy = lax.psum(
+                    -jnp.einsum(
+                        "nk,nkc->kc", wgt * pos_mass[:, 3][:, None], dvec
+                    ),
+                    axis,
+                )
+                rows1 = rows[:, 0]  # (shard,) global row ids
+                match = rows1[:, None] == hidx[None, :]  # (shard, K)
+                repl = jnp.einsum(
+                    "rk,kc->rc", match.astype(jnp.float32), a_on_heavy
+                )
+                acc3 = jnp.where(
+                    jnp.any(match, axis=1)[:, None], repl, acc3 + a_from_heavy
+                )
 
             acc3 = acc3 * jnp.float32(G)
             acc = jnp.concatenate([acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1)

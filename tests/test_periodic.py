@@ -248,6 +248,78 @@ class TestPeriodicEndToEnd:
         assert arr[:, :3].min() >= 0 and arr[:, :3].max() < 5.0
 
 
+class TestShardedPeriodic:
+    @pytest.mark.parametrize("method", ["pm", "p3m"])
+    def test_matches_single_device(self, method):
+        """Sharded periodic step over the virtual 8-device mesh == the
+        single-device periodic step (same wrapped layout, same pair
+        sets; f32 reduction-order tolerance)."""
+        import jax as _jax
+
+        from nbody3d_tpu.config import SimConfig
+        from nbody3d_tpu.ops.step import make_step_fn
+        from nbody3d_tpu.parallel.mesh import default_mesh
+        from nbody3d_tpu.parallel.sharded import (
+            make_sharded_step, shard_state,
+        )
+        from nbody3d_tpu.state import init_state
+
+        # nbr_k=8: the sharded path tiles n_pad=512 into 8 tiles of 64
+        # (shard-aligned) vs 2 of 256 single-device — the budget must
+        # cover ALL tiles in both tilings or truncation (not math)
+        # differs.  rcut = 0.42 L here, so every tile pair is in range.
+        cfg = SimConfig(
+            method=method, boundary="periodic", box_size=1.0, pm_grid=16,
+            p3m_nbr_k=8, backend="jnp", dt=2e-4, G=2e-3,
+        )
+        n_pad = 512
+        n_real = 500  # exercise padding through the wrap too
+        pm0 = _rand_pm(n_real, seed=3)
+        vel0 = np.zeros((n_real, 4), np.float32)
+
+        st1 = init_state(pm0, vel0, n_pad=n_pad)
+        step1 = make_step_fn(cfg, n_pad, n_real)
+        out1 = st1
+        for _ in range(3):
+            out1 = _jax.jit(step1)(out1, np.float32(cfg.dt), np.float32(cfg.G))
+
+        mesh = default_mesh(8, axis=cfg.mesh_axis)
+        st2 = shard_state(init_state(pm0, vel0, n_pad=n_pad), mesh, cfg.mesh_axis)
+        step2 = make_sharded_step(cfg, n_pad, n_real, mesh)
+        out2 = st2
+        for _ in range(3):
+            out2 = _jax.jit(step2)(out2, np.float32(cfg.dt), np.float32(cfg.G))
+
+        p1 = np.asarray(out1.pos_mass)[:n_real]
+        p2 = np.asarray(out2.pos_mass)[:n_real]
+        v1 = np.asarray(out1.vel)[:n_real, :3]
+        v2 = np.asarray(out2.vel)[:n_real, :3]
+        np.testing.assert_allclose(p2, p1, atol=2e-6)
+        vs = np.abs(v1).max()
+        np.testing.assert_allclose(v2 / vs, v1 / vs, atol=2e-5)
+
+    def test_sharded_diagnostics_use_ewald_energy(self):
+        """Engine diagnostics on a sharded periodic sim: the Ewald energy
+        path must gather the sharded state (regression: the (chunk, N)
+        pair matrix is an illegal sharding of two axis-sharded operands)
+        and agree with the same sim run single-device."""
+        from nbody3d_tpu.config import SimConfig
+        from nbody3d_tpu.engine import Simulation
+        from nbody3d_tpu.parallel.mesh import default_mesh
+
+        cfg = SimConfig(
+            method="p3m", boundary="periodic", box_size=1.0, pm_grid=16,
+            p3m_nbr_k=8, backend="jnp", dt=2e-4, G=2e-3,
+        )
+        sim1 = Simulation.from_preset("uniform-box", cfg, n=500, box_size=1.0)
+        sim8 = Simulation.from_preset(
+            "uniform-box", cfg, n=500, box_size=1.0, mesh=default_mesh(8)
+        )
+        e1 = float(sim1.diagnostics().total_energy)
+        e8 = float(sim8.diagnostics().total_energy)
+        assert e1 == pytest.approx(e8, rel=1e-5)
+
+
 class TestPMPeriodic:
     def test_momentum_conservation(self):
         pm = _rand_pm(2048, seed=2)

@@ -17,6 +17,12 @@ design"; every shipped solver has an executable bound):
                                        zero overflow at N=16k) removes
                                        the force-error random walk that
                                        the r2 budget-starved config had
+  p3m-periodic 1e-3 1e-5    —         Ewald-class torus gravity
+                                       (uniform-box preset; energy =
+                                       the Ewald potential,
+                                       ops/ewald.py); angular momentum
+                                       EXCLUDED by physics — the box
+                                       has no rotational symmetry
   pm      —        1e-5      —         energy/angular EXCLUDED by
                                        design: the mesh grid-smooths
                                        close encounters (a collapsing
@@ -56,13 +62,20 @@ GATES = {
     "exact": {"energy": 1e-3, "momentum": 1e-5, "angular": 1e-5},
     "p3m": {"energy": 1e-3, "momentum": 1e-5, "angular": 1e-5},
     "pm": {"energy": None, "momentum": 1e-5, "angular": None},
+    # Periodic box (uniform-box preset, Ewald energy via the engine's
+    # periodic diagnostics).  Angular momentum EXCLUDED by physics: the
+    # torus has no rotational symmetry, so L is not a conserved quantity
+    # of the periodic Hamiltonian (momentum still is — translations
+    # remain symmetries).
+    "p3m-periodic": {"energy": 1e-3, "momentum": 1e-5, "angular": None},
 }
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="exact",
-                    choices=["exact", "fast", "sym", "jnp", "pm", "p3m"])
+                    choices=["exact", "fast", "sym", "jnp", "pm", "p3m",
+                             "p3m-periodic"])
     ap.add_argument("n", nargs="?", type=int, default=16384)
     ap.add_argument("steps", nargs="?", type=int, default=10000)
     ap.add_argument("--gate", choices=sorted(GATES),
@@ -83,7 +96,9 @@ def main() -> int:
                          "--integrator yoshida4 to demonstrate its bound)")
     args = ap.parse_args()
     mode, n, steps = args.mode, args.n, args.steps
-    gate_name = args.gate or (mode if mode in ("pm", "p3m") else "exact")
+    gate_name = args.gate or (
+        mode if mode in ("pm", "p3m", "p3m-periodic") else "exact"
+    )
     gate = GATES[gate_name]
 
     from nbody3d_tpu.config import SimConfig
@@ -93,6 +108,14 @@ def main() -> int:
         config = SimConfig(backend="jnp")
     elif mode == "pm":
         config = SimConfig(method="pm", pm_grid=args.grid)
+    elif mode == "p3m-periodic":
+        # Ewald-class P3M on the torus: cold uniform box, early infall
+        # (10k reference-dt steps ~ 0.2 dynamical times at L=10), energy
+        # measured by the Ewald potential (ops/ewald.py).
+        config = SimConfig(
+            method="p3m", pm_grid=args.grid, p3m_nbr_k=args.nbr_k or 32,
+            boundary="periodic", box_size=10.0,
+        )
     elif mode == "p3m":
         # Shipped gate config: nbr_k=64 covers all 64 tiles at N=16k /
         # block 256 — zero neighbor overflow, so the short range is the
@@ -106,7 +129,12 @@ def main() -> int:
     config = config.replace(
         integrator=args.integrator, dt=config.dt * args.dt_scale
     )
-    sim = Simulation.from_preset("plummer", config, n=n)
+    if mode == "p3m-periodic":
+        sim = Simulation.from_preset(
+            "uniform-box", config, n=n, box_size=config.box_size
+        )
+    else:
+        sim = Simulation.from_preset("plummer", config, n=n)
 
     d0 = sim.diagnostics()
     e0 = float(d0.total_energy)

@@ -14,7 +14,11 @@ functions plus one ``summary`` entry point behind ``cli analyze``:
 - virial ratio 2T/|U| (T in the COM frame; U from
   :mod:`nbody3d_tpu.ops.diagnostics`, same Plummer softening as the
   force kernel so equilibrium reads exactly 1 for the simulated
-  Hamiltonian).
+  Hamiltonian);
+- spherically-averaged mass density power spectrum P(k)
+  (:func:`power_spectrum` — CIC deposit + FFT, riding the PM solver's
+  mesh machinery; the standard clustering statistic for the periodic
+  cosmology-style boxes the torus boundary enables).
 
 All functions are jit-compatible (static bin counts / fraction tuples;
 radii and masses may be traced) and mass-0 padding-invariant: padding
@@ -214,6 +218,101 @@ def summary(
             2.0 * out["kinetic_com"] / max(abs(float(pe)), 1e-30)
         )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "nbins", "deconvolve"))
+def power_spectrum(
+    pos_mass: jax.Array,
+    grid: int = 128,
+    *,
+    box_size: jax.Array | float | None = None,
+    nbins: int | None = None,
+    deconvolve: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Spherically-averaged mass density power spectrum ``P(k)``.
+
+    The mass overdensity ``delta = rho/rho_bar - 1`` is CIC-deposited on a
+    ``grid**3`` mesh (:func:`nbody3d_tpu.ops.pm.cic_deposit` — the PM
+    solver's assignment function) and Fourier-transformed;
+    ``P(k) = V <|delta_k|^2>`` is averaged over spherical shells of
+    ``|k|``, with ``delta_k`` the volume-normalized DFT (so a Poisson
+    sample of N equal masses reads the shot-noise plateau
+    ``P = V/N`` — :func:`shot_noise` for the general mass-weighted
+    value).  ``deconvolve`` divides out the CIC assignment window
+    ``W(k) = prod_i sinc^2(k_i h / 2pi)`` (order-2 alias correction);
+    pass False when the deposit is exact (e.g. lattice states).
+
+    ``box_size``: periodic box edge — positions are wrapped onto the
+    ``[0, L)`` torus and the fundamental mode is ``2 pi / L``.  ``None``:
+    the isolated bounding cube of the *massive* bodies (mass-0 padding is
+    ignored, so padded states measure identically to unpadded ones).
+
+    Returns ``(k_centers (nbins,), P (nbins,), n_modes (nbins,))`` —
+    linear bins from 0 to the mesh Nyquist ``pi * grid / L``; corner
+    modes past Nyquist and the DC mode are excluded.  ``nbins`` defaults
+    to ``grid // 2``.
+    """
+    from nbody3d_tpu.ops import pm as pm_mod
+
+    if nbins is None:
+        nbins = grid // 2
+    pos = pos_mass[:, :3]
+    m = pos_mass[:, 3]
+    if box_size is None:
+        big = (m > 0)[:, None]
+        lo_w = jnp.min(jnp.where(big, pos, jnp.inf), axis=0)
+        hi_w = jnp.max(jnp.where(big, pos, -jnp.inf), axis=0)
+        lo, h = pm_mod.box_from_bounds(lo_w, hi_w, grid)
+        periodic = False
+    else:
+        L_box = jnp.float32(box_size)
+        h = L_box / jnp.float32(grid)
+        lo = jnp.zeros((3,), jnp.float32)
+        pos = pos - L_box * jnp.floor(pos / L_box)  # wrap onto [0, L)
+        periodic = True
+    L = h * jnp.float32(grid)
+    volume = L**3
+
+    rho = pm_mod.cic_deposit(pos, m, lo, h, grid, periodic=periodic)
+    mean = jnp.sum(m) / jnp.float32(grid**3)
+    delta = rho / jnp.maximum(mean, 1e-30) - 1.0
+    dk = jnp.fft.fftn(delta)
+
+    k1 = (2.0 * jnp.pi * jnp.fft.fftfreq(grid)).astype(jnp.float32) / h
+    if deconvolve:
+        # CIC window per axis: sinc(k h / 2) with sinc(x) = sin(x)/x;
+        # jnp.sinc carries the pi convention, so the argument is k h/(2 pi).
+        w1 = jnp.sinc(k1 * h / (2.0 * jnp.pi)) ** 2
+        dk = dk / (
+            w1[:, None, None] * w1[None, :, None] * w1[None, None, :]
+        )
+    p_mode = (jnp.abs(dk) ** 2) * (volume / jnp.float32(grid**3) ** 2)
+
+    k2 = (
+        k1[:, None, None] ** 2 + k1[None, :, None] ** 2 + k1[None, None, :] ** 2
+    )
+    kk = jnp.sqrt(k2)
+    k_nyq = jnp.pi / h
+    b = jnp.floor(kk / k_nyq * nbins).astype(jnp.int32)
+    valid = (k2 > 0) & (kk <= k_nyq)
+    b = jnp.where(valid, jnp.clip(b, 0, nbins - 1), nbins)  # nbins = discard
+    psum = jax.ops.segment_sum(
+        p_mode.reshape(-1), b.reshape(-1), num_segments=nbins + 1
+    )[:nbins]
+    count = jax.ops.segment_sum(
+        jnp.ones((grid**3,), jnp.float32), b.reshape(-1), num_segments=nbins + 1
+    )[:nbins]
+    k_centers = (jnp.arange(nbins, dtype=jnp.float32) + 0.5) * (k_nyq / nbins)
+    return k_centers, psum / jnp.maximum(count, 1.0), count
+
+
+def shot_noise(pos_mass: jax.Array, volume: jax.Array | float) -> jax.Array:
+    """Poisson shot-noise plateau of the mass-weighted power spectrum:
+    ``P_shot = V * sum(m^2) / (sum m)^2`` (``V/N`` for N equal masses).
+    Subtract from :func:`power_spectrum` output to isolate clustering."""
+    m = pos_mass[:, 3]
+    tot = jnp.maximum(jnp.sum(m), 1e-30)
+    return jnp.float32(volume) * jnp.sum(m * m) / (tot * tot)
 
 
 def format_report(s: dict) -> str:

@@ -386,6 +386,36 @@ def cmd_analyze(args) -> int:
         nbins=args.bins, potential=pe, pe_chunk=args.pe_chunk,
     )
     s["step"] = sim.step_count
+    if args.power_spectrum:
+        box = (
+            sim.config.box_size
+            if sim.config.boundary == "periodic"
+            else None
+        )
+        k, p, cnt = analysis.power_spectrum(
+            pos_mass, grid=args.power_spectrum, box_size=box
+        )
+        if box is not None:
+            vol = float(box) ** 3
+        else:
+            # the measurement box the autobox used: Nyquist pins grid/L
+            vol = (args.power_spectrum * 3.14159265 / float(k[-1] + k[0])) ** 3
+        s["power_spectrum"] = {
+            "k": [float(x) for x in k],
+            "P": [float(x) for x in p],
+            "n_modes": [float(x) for x in cnt],
+            "shot_noise": float(analysis.shot_noise(pos_mass, vol)),
+        }
+    if args.ps_out:
+        if "power_spectrum" not in s:
+            print("--ps-out requires --power-spectrum GRID", file=sys.stderr)
+            return 2
+        ps = s["power_spectrum"]
+        with open(args.ps_out, "w") as f:
+            f.write("k,P,n_modes\n")
+            for k_i, p_i, c_i in zip(ps["k"], ps["P"], ps["n_modes"]):
+                f.write(f"{k_i:.8g},{p_i:.8g},{c_i:.0f}\n")
+        print(f"wrote {args.ps_out}")
     if args.profile:
         edges = s["density_profile"]["edges"]
         with open(args.profile, "w") as f:
@@ -403,6 +433,19 @@ def cmd_analyze(args) -> int:
     else:
         print(f"step               {sim.step_count}")
         print(analysis.format_report(s))
+        if "power_spectrum" in s:
+            ps = s["power_spectrum"]
+            occupied = [
+                (k_i, p_i) for k_i, p_i, c_i
+                in zip(ps["k"], ps["P"], ps["n_modes"]) if c_i > 0
+            ]
+            lo_k, lo_p = occupied[0]
+            hi_k, hi_p = occupied[-1]
+            print(
+                f"power spectrum     P({lo_k:.4g})={lo_p:.4g}  "
+                f"P({hi_k:.4g})={hi_p:.4g}  "
+                f"shot noise {ps['shot_noise']:.4g}"
+            )
         if not pe:
             print("(potential/virial skipped at this N; --pe exact to force)")
     return 0
@@ -550,6 +593,12 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true", help="machine-readable output")
     p.add_argument("--profile", default="",
                    help="also write the radial profiles as CSV to this path")
+    p.add_argument("--power-spectrum", type=int, default=0, metavar="GRID",
+                   help="measure the mass density power spectrum P(k) on a "
+                        "GRID^3 CIC mesh (periodic runs use the torus box; "
+                        "isolated runs the massive bodies' bounding cube)")
+    p.add_argument("--ps-out", default="",
+                   help="write the P(k) table as CSV to this path")
     _add_common(p)
     p.set_defaults(fn=cmd_analyze)
 

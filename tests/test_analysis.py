@@ -157,3 +157,111 @@ def test_cli_analyze(tmp_path, capsys):
     assert "virial_ratio" in s  # auto PE at small N
     lines = csv.read_text().splitlines()
     assert lines[0].startswith("r_lo,") and len(lines) == 9
+
+
+# ------------------------------------------------------------ power spectrum
+
+
+def test_power_spectrum_plane_wave_closed_form():
+    """Lattice of cell-centered bodies with masses 1 + A cos(k0 x): the
+    CIC deposit is exact (zero fractional offset), so P(k) is a single
+    spike of height A^2 V / 4 in the bin containing k0 = 2 pi q / L."""
+    g, L, q, amp = 32, 1.0, 4, 0.1
+    h = L / g
+    ax = (np.arange(g) + 0.5) * h
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3).astype(np.float32)
+    m = (1.0 + amp * np.cos(2.0 * np.pi * q * pos[:, 0] / L)).astype(np.float32)
+    pm = np.concatenate([pos, m[:, None]], axis=1)
+
+    nbins = g // 2
+    k, p, cnt = map(
+        np.asarray,
+        analysis.power_spectrum(
+            pm, grid=g, box_size=L, nbins=nbins, deconvolve=False
+        ),
+    )
+    # Shell averaging spreads the 2-mode spike over its bin's mode count,
+    # so assert on TOTAL power: sum_bins P*n_modes = 2 * A^2 V / 4, all of
+    # it concentrated in the bin holding |k0|.
+    total = p * cnt
+    expect = 2.0 * amp**2 * L**3 / 4.0
+    np.testing.assert_allclose(total.sum(), expect, rtol=1e-3)
+    b0 = int(np.argmax(total))
+    k0 = 2.0 * np.pi * q / L
+    w = np.pi * g / L / nbins  # bin width
+    assert abs(k[b0] - k0) <= w  # the spike bin brackets k0
+    assert total[b0] > 0.999 * expect
+
+
+def test_power_spectrum_shot_noise_plateau():
+    """A Poisson sample of N equal masses has P(k) = V/N at every k (shot
+    noise); CIC + window deconvolution recovers it below ~half Nyquist."""
+    rng = np.random.default_rng(7)
+    n, g, L = 65_536, 32, 2.0
+    pos = rng.uniform(0.0, L, size=(n, 3)).astype(np.float32)
+    pm = np.concatenate([pos, np.ones((n, 1), np.float32)], axis=1)
+    k, p, cnt = map(
+        np.asarray, analysis.power_spectrum(pm, grid=g, box_size=L)
+    )
+    expect = float(analysis.shot_noise(pm, L**3))
+    np.testing.assert_allclose(expect, L**3 / n, rtol=1e-6)
+    sel = (k < 0.5 * np.pi * g / L) & (cnt > 0)
+    measured = np.average(p[sel], weights=cnt[sel])
+    np.testing.assert_allclose(measured, expect, rtol=0.15)
+
+
+def test_power_spectrum_padding_invariant():
+    rng = np.random.default_rng(3)
+    n, g, L = 4096, 16, 1.0
+    pos = rng.uniform(0.0, L, size=(n, 3)).astype(np.float32)
+    pm = np.concatenate([pos, np.ones((n, 1), np.float32)], axis=1)
+    pad = np.zeros((128, 4), np.float32)  # mass-0 padding at the origin
+    k1, p1, _ = map(np.asarray, analysis.power_spectrum(pm, grid=g, box_size=L))
+    k2, p2, _ = map(
+        np.asarray,
+        analysis.power_spectrum(np.concatenate([pm, pad]), grid=g, box_size=L),
+    )
+    np.testing.assert_allclose(p1, p2, rtol=1e-5)
+    np.testing.assert_allclose(k1, k2)
+
+
+def test_power_spectrum_isolated_autobox():
+    """box_size=None measures over the massive bodies' bounding cube.  A
+    truncated Gaussian blob spanning the box has P(k) ~ V exp(-k^2 s^2):
+    strong large-scale power decaying by orders of magnitude toward
+    Nyquist (a box-resolved structure, unlike a sub-cell point mass)."""
+    rng = np.random.default_rng(11)
+    n, s = 100_000, 1.0
+    pos = rng.normal(0.0, s, size=(3 * n, 3)).astype(np.float32)
+    pos = pos[np.max(np.abs(pos), axis=1) < 3.0][:n]  # compact support
+    pm = np.concatenate([pos, np.ones((len(pos), 1), np.float32)], axis=1)
+    k, p, cnt = map(np.asarray, analysis.power_spectrum(pm, grid=32))
+    assert np.all(np.isfinite(p)) and np.all(np.isfinite(k))
+    low = p[cnt > 0][:2].mean()
+    high = p[cnt > 0][-4:].mean()
+    assert low > 50.0 * high > 0.0
+
+
+def test_cli_analyze_power_spectrum(tmp_path, capsys):
+    from nbody3d_tpu.cli import main
+
+    outdir = tmp_path / "out"
+    assert main([
+        "run", "--preset", "plummer", "--n", "512", "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ]) == 0
+    capsys.readouterr()
+    csv = tmp_path / "ps.csv"
+    rc = main([
+        "analyze", str(outdir / "final.npz"), "--json", "--bins", "8",
+        "--power-spectrum", "16", "--ps-out", str(csv), "--backend", "jnp",
+    ])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ps = s["power_spectrum"]
+    assert len(ps["k"]) == 8 and len(ps["P"]) == 8
+    assert ps["shot_noise"] > 0
+    lines = csv.read_text().splitlines()
+    assert lines[0] == "k,P,n_modes" and len(lines) == 9

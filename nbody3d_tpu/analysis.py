@@ -315,6 +315,196 @@ def shot_noise(pos_mass: jax.Array, volume: jax.Array | float) -> jax.Array:
     return jnp.float32(volume) * jnp.sum(m * m) / (tot * tot)
 
 
+# ------------------------------------------------------- friends-of-friends
+
+
+def _fof_python(pos, cell, dims, ll2, box):
+    """Pure-Python fallback of the native FOF core (native/_fof.c) — same
+    grid + union-find algorithm, ~100x slower; exercised when no C
+    compiler is available and by the equivalence test."""
+    import numpy as np
+
+    n = len(pos)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    chains: dict[tuple, list] = {}
+    for i in range(n):
+        chains.setdefault(tuple(cell[i]), []).append(i)
+    nx, ny, nz = (int(d) for d in dims)
+    periodic = box > 0
+    for i in range(n):
+        cx, cy, cz = (int(c) for c in cell[i])
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    ax, ay, az = cx + dx, cy + dy, cz + dz
+                    if periodic:
+                        ax, ay, az = ax % nx, ay % ny, az % nz
+                    elif not (0 <= ax < nx and 0 <= ay < ny and 0 <= az < nz):
+                        continue
+                    for j in chains.get((ax, ay, az), ()):
+                        if j >= i:
+                            continue
+                        d = pos[i].astype(np.float64) - pos[j]
+                        if periodic:
+                            d -= box * np.floor(d / box + 0.5)
+                        if float(d @ d) <= ll2:
+                            ri, rj = find(i), find(j)
+                            if ri != rj:
+                                parent[min(ri, rj)] = max(ri, rj)
+    return np.asarray([find(i) for i in range(n)], np.int32)
+
+
+def fof_groups(
+    pos_mass,
+    linking_length: float | None = None,
+    *,
+    box_size: float | None = None,
+    mean_sep_fraction: float = 0.2,
+) -> tuple["np.ndarray", float]:
+    """Friends-of-friends group labels: connected components of the
+    "separation <= linking length" graph — the standard halo/clump
+    finder (Davis et al. 1985 percolation).  Host-side (numpy + the
+    native union-find core :mod:`nbody3d_tpu.native` ``_fof``; pure-
+    Python fallback without a compiler).
+
+    ``linking_length`` defaults to ``mean_sep_fraction`` (the canonical
+    b = 0.2) times the mean interparticle separation ``(V / N)^(1/3)``
+    over the massive bodies' bounding volume (torus volume when
+    ``box_size`` is given; separations then use the minimum image).
+
+    Returns ``(labels (N,) int32, linking_length)`` — equal label <=>
+    same group (label values are arbitrary representatives); mass-0
+    padding bodies get label -1 and link nothing.
+    """
+    import numpy as np
+
+    pm = np.asarray(pos_mass, np.float32)
+    m = pm[:, 3]
+    sel = m > 0
+    pos = np.ascontiguousarray(pm[sel, :3], np.float32)
+    nm = len(pos)
+    out = np.full(pm.shape[0], -1, np.int32)
+    if nm == 0:
+        return out, 0.0
+
+    if box_size is not None:
+        box = float(box_size)
+        pos = pos - box * np.floor(pos / box)
+    else:
+        box = 0.0
+    if linking_length is None:
+        if box > 0:
+            vol = box**3
+        else:
+            ext = np.maximum(pos.max(0) - pos.min(0), 1e-12)
+            vol = float(np.prod(ext.astype(np.float64)))
+        linking_length = mean_sep_fraction * (vol / nm) ** (1.0 / 3.0)
+    ll = float(linking_length)
+    if ll <= 0:
+        raise ValueError("linking_length must be > 0")
+
+    if box > 0:
+        ncell = max(int(box / ll), 1)  # cell size box/ncell >= ll
+        cs = box / ncell
+        cell = np.minimum((pos / cs).astype(np.int32), ncell - 1)
+        dims = (ncell, ncell, ncell)
+    else:
+        lo = pos.min(0)
+        cell = ((pos - lo) / np.float32(ll)).astype(np.int32)
+        dims = tuple(int(d) + 1 for d in cell.max(0))
+
+    from nbody3d_tpu import native
+
+    cell = np.ascontiguousarray(cell, np.int32)
+    if native.fof is not None:
+        labels = np.empty(nm, np.int32)
+        native.fof.fof_labels(
+            pos.tobytes(), cell.tobytes(), nm,
+            dims[0], dims[1], dims[2], ll * ll, box, box, box, labels,
+        )
+    else:
+        labels = _fof_python(pos, cell, dims, ll * ll, box)
+    out[sel] = labels
+    return out, ll
+
+
+def group_catalog(
+    pos_mass,
+    vel,
+    labels,
+    *,
+    min_size: int = 20,
+    box_size: float | None = None,
+) -> list[dict]:
+    """Per-group summary of :func:`fof_groups` output, sorted by mass
+    (descending): ``{"label", "n", "mass", "com", "vcom", "rmax"}``.
+    Groups below ``min_size`` members are dropped (percolation noise).
+    Periodic boxes compute the COM as the mass-weighted circular mean
+    per axis (correct for groups straddling the torus seam) and member
+    radii by minimum image."""
+    import numpy as np
+
+    pm = np.asarray(pos_mass, np.float64)
+    v = np.asarray(vel, np.float64)
+    labels = np.asarray(labels)
+    sel = labels >= 0
+    uniq, inv, counts = np.unique(
+        labels[sel], return_inverse=True, return_counts=True
+    )
+    pos = pm[sel, :3]
+    m = pm[sel, 3]
+    vv = v[sel, :3]
+    ngroup = len(uniq)
+    msum = np.bincount(inv, weights=m, minlength=ngroup)
+    com = np.empty((ngroup, 3))
+    if box_size is not None:
+        box = float(box_size)
+        theta = 2.0 * np.pi * (pos / box)
+        for c in range(3):
+            cs = np.bincount(inv, weights=m * np.cos(theta[:, c]), minlength=ngroup)
+            sn = np.bincount(inv, weights=m * np.sin(theta[:, c]), minlength=ngroup)
+            ang = np.arctan2(sn, cs) % (2.0 * np.pi)
+            com[:, c] = ang / (2.0 * np.pi) * box
+    else:
+        for c in range(3):
+            com[:, c] = np.bincount(inv, weights=m * pos[:, c], minlength=ngroup)
+        com /= np.maximum(msum, 1e-30)[:, None]
+    vcom = np.stack(
+        [
+            np.bincount(inv, weights=m * vv[:, c], minlength=ngroup)
+            for c in range(3)
+        ],
+        axis=1,
+    ) / np.maximum(msum, 1e-30)[:, None]
+    d = pos - com[inv]
+    if box_size is not None:
+        d -= float(box_size) * np.floor(d / float(box_size) + 0.5)
+    r = np.sqrt(np.sum(d * d, axis=1))
+    rmax = np.zeros(ngroup)
+    np.maximum.at(rmax, inv, r)
+
+    keep = np.nonzero(counts >= min_size)[0]
+    order = keep[np.argsort(-msum[keep])]
+    return [
+        {
+            "label": int(uniq[g]),
+            "n": int(counts[g]),
+            "mass": float(msum[g]),
+            "com": [float(x) for x in com[g]],
+            "vcom": [float(x) for x in vcom[g]],
+            "rmax": float(rmax[g]),
+        }
+        for g in order
+    ]
+
+
 def format_report(s: dict) -> str:
     """Human-readable rendering of :func:`summary` (the ``cli analyze``
     default output)."""

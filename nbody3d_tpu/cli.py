@@ -386,6 +386,28 @@ def cmd_analyze(args) -> int:
         nbins=args.bins, potential=pe, pe_chunk=args.pe_chunk,
     )
     s["step"] = sim.step_count
+    if args.fof:
+        box = (
+            sim.config.box_size
+            if sim.config.boundary == "periodic"
+            else None
+        )
+        labels, ll = analysis.fof_groups(
+            pos_mass, args.linking_length or None, box_size=box
+        )
+        cat = analysis.group_catalog(
+            pos_mass, vel, labels,
+            min_size=args.fof_min_size, box_size=box,
+        )
+        s["fof"] = {
+            "linking_length": ll,
+            "min_size": args.fof_min_size,
+            "n_groups": len(cat),
+            "grouped_fraction": float(
+                sum(g["n"] for g in cat) / max(int((pos_mass[:, 3] > 0).sum()), 1)
+            ),
+            "groups": cat[:50],
+        }
     if args.power_spectrum:
         box = (
             sim.config.box_size
@@ -433,6 +455,19 @@ def cmd_analyze(args) -> int:
     else:
         print(f"step               {sim.step_count}")
         print(analysis.format_report(s))
+        if "fof" in s:
+            f = s["fof"]
+            print(
+                f"fof groups         {f['n_groups']} (>= {f['min_size']} "
+                f"bodies, b={f['linking_length']:.4g}, "
+                f"{100 * f['grouped_fraction']:.1f}% of mass-carrying bodies)"
+            )
+            for g in f["groups"][:5]:
+                com = " ".join(f"{x:.4g}" for x in g["com"])
+                print(
+                    f"  n={g['n']:<8,} mass={g['mass']:.4g}  "
+                    f"com=[{com}]  rmax={g['rmax']:.4g}"
+                )
         if "power_spectrum" in s:
             ps = s["power_spectrum"]
             occupied = [
@@ -593,6 +628,14 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true", help="machine-readable output")
     p.add_argument("--profile", default="",
                    help="also write the radial profiles as CSV to this path")
+    p.add_argument("--fof", action="store_true",
+                   help="friends-of-friends group catalog (native union-find "
+                        "core; periodic runs link across the torus seam)")
+    p.add_argument("--linking-length", type=float, default=0.0,
+                   help="FOF linking length (default 0 = 0.2x the mean "
+                        "interparticle separation)")
+    p.add_argument("--fof-min-size", type=int, default=20,
+                   help="drop FOF groups below this many members")
     p.add_argument("--power-spectrum", type=int, default=0, metavar="GRID",
                    help="measure the mass density power spectrum P(k) on a "
                         "GRID^3 CIC mesh (periodic runs use the torus box; "

@@ -9,6 +9,10 @@ the host-runtime pieces where Python-level loops are the bottleneck):
 - ``_raster``: the rasterizer's depth-resolve core (scatter-min of
   packed depth|rgb keys over per-body discs) — ~100x over
   ``np.minimum.at`` at viewer scale (render/rasterize.py).
+- ``_fof``: the friends-of-friends group finder's spatial-hash +
+  union-find core (analysis.py::fof_groups) — pointer-chasing and
+  data-dependent branching, the canonical "host runtime, not device
+  math" workload.
 
 Everything here is optional — callers fall back to the pure-Python path
 when no compiler is available.
@@ -67,6 +71,7 @@ def _load(name: str):
 
 fastjson = _load("_fastjson")  # None when no working compiler is present
 raster = _load("_raster")  # native depth-resolve (render/rasterize.py)
+fof = _load("_fof")  # native friends-of-friends core (analysis.py)
 
 
 def dumps_f32(arr) -> bytes | None:

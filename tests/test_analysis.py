@@ -265,3 +265,129 @@ def test_cli_analyze_power_spectrum(tmp_path, capsys):
     assert ps["shot_noise"] > 0
     lines = csv.read_text().splitlines()
     assert lines[0] == "k,P,n_modes" and len(lines) == 9
+
+
+# -------------------------------------------------------- friends-of-friends
+
+
+def _partition(labels):
+    """Canonical partition: map each body to the min index of its group."""
+    groups = {}
+    for i, l in enumerate(labels):
+        groups.setdefault(int(l), []).append(i)
+    return sorted(tuple(v) for v in groups.values())
+
+
+def test_fof_chain_linking_threshold():
+    """A 1-D chain spaced 0.9*ll is one group; spaced 1.1*ll, none link."""
+    ll = 0.5
+    for spacing, ngroups in ((0.9 * ll, 1), (1.1 * ll, 64)):
+        x = np.arange(64, dtype=np.float32) * spacing
+        pm = np.stack(
+            [x, np.zeros_like(x), np.zeros_like(x), np.ones_like(x)], axis=1
+        )
+        labels, used = analysis.fof_groups(pm, ll)
+        assert used == ll
+        assert len(np.unique(labels)) == ngroups
+
+
+def test_fof_two_clusters_and_background():
+    """Two tight Gaussian clumps in a sparse background: the two biggest
+    catalog entries are the clumps, at the right places."""
+    rng = np.random.default_rng(5)
+    c1 = rng.normal([0, 0, 0], 0.05, size=(3000, 3))
+    c2 = rng.normal([4, 0, 0], 0.05, size=(2000, 3))
+    bg = rng.uniform(-8, 8, size=(500, 3))
+    pos = np.concatenate([c1, c2, bg]).astype(np.float32)
+    pm = np.concatenate([pos, np.ones((len(pos), 1), np.float32)], axis=1)
+    vel = np.zeros_like(pm)
+    labels, ll = analysis.fof_groups(pm, 0.08)
+    cat = analysis.group_catalog(pm, vel, labels, min_size=100)
+    assert len(cat) == 2
+    assert cat[0]["n"] > cat[1]["n"]
+    np.testing.assert_allclose(cat[0]["com"], [0, 0, 0], atol=0.02)
+    np.testing.assert_allclose(cat[1]["com"], [4, 0, 0], atol=0.02)
+    assert cat[0]["n"] >= 2900 and cat[1]["n"] >= 1900
+
+
+def test_fof_periodic_seam():
+    """A clump straddling the torus seam links across it (and its COM is
+    reported ON the seam via the circular mean); without the box it
+    splits in two."""
+    rng = np.random.default_rng(9)
+    L = 2.0
+    x = rng.normal(0.0, 0.02, size=(800, 3))
+    x[:, 1:] += L / 2  # straddle the seam along x only
+    x %= L  # wraps to x ~ 0 and ~ L
+    pm = np.concatenate([x, np.ones((800, 1))], axis=1).astype(np.float32)
+    vel = np.zeros_like(pm)
+    lab_p, _ = analysis.fof_groups(pm, 0.05, box_size=L)
+    assert len(np.unique(lab_p)) == 1
+    cat = analysis.group_catalog(pm, vel, lab_p, min_size=10, box_size=L)
+    com = np.asarray(cat[0]["com"])
+    # circular-mean COM sits at the seam (0 or L), not the naive middle
+    assert min(com[0], L - com[0]) < 0.02
+    assert cat[0]["rmax"] < 0.2  # minimum-image radii, not ~L
+    lab_i, _ = analysis.fof_groups(pm, 0.05)
+    sizes = np.sort(np.unique(lab_i, return_counts=True)[1])
+    assert len(sizes) == 2 and sizes.min() > 100
+
+
+def test_fof_python_fallback_equivalence(monkeypatch):
+    """The no-compiler fallback computes the identical partition."""
+    from nbody3d_tpu import native
+
+    rng = np.random.default_rng(2)
+    pos = rng.uniform(0, 1, size=(400, 3)).astype(np.float32)
+    pm = np.concatenate([pos, np.ones((400, 1), np.float32)], axis=1)
+    labels_c, ll = analysis.fof_groups(pm, 0.08)
+    assert native.fof is not None  # the image ships a compiler
+    monkeypatch.setattr(native, "fof", None)
+    labels_py, _ = analysis.fof_groups(pm, 0.08)
+    assert _partition(labels_c) == _partition(labels_py)
+
+
+def test_fof_padding_and_auto_linking():
+    """Mass-0 padding gets label -1 and changes nothing; the default
+    linking length is 0.2x the mean separation."""
+    rng = np.random.default_rng(4)
+    pos = rng.uniform(0, 2, size=(1000, 3)).astype(np.float32)
+    pm = np.concatenate([pos, np.ones((1000, 1), np.float32)], axis=1)
+    labels, ll = analysis.fof_groups(pm, box_size=2.0)
+    assert ll == pytest.approx(0.2 * (2.0**3 / 1000) ** (1 / 3))
+    pad = np.zeros((64, 4), np.float32)
+    labels2, _ = analysis.fof_groups(
+        np.concatenate([pm, pad]), box_size=2.0
+    )
+    assert np.all(labels2[-64:] == -1)
+    assert _partition(labels) == _partition(labels2[:1000])
+
+
+def test_cli_analyze_fof(tmp_path, capsys):
+    from nbody3d_tpu.cli import main
+
+    outdir = tmp_path / "out"
+    assert main([
+        "run", "--preset", "two-galaxy", "--n", "1026", "--steps", "2",
+        "--log-every", "2", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ]) == 0
+    capsys.readouterr()
+    rc = main([
+        "analyze", str(outdir / "final.npz"), "--json", "--bins", "8",
+        "--fof", "--fof-min-size", "50", "--backend", "jnp",
+    ])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = s["fof"]
+    assert f["linking_length"] > 0
+    # the two-galaxy preset's disks are FOF-dense: >= 1 substantial group
+    assert f["n_groups"] >= 1
+    assert f["groups"][0]["n"] >= 50
+    capsys.readouterr()
+    rc = main([
+        "analyze", str(outdir / "final.npz"), "--bins", "8",
+        "--fof", "--fof-min-size", "50", "--backend", "jnp",
+    ])
+    assert rc == 0
+    assert "fof groups" in capsys.readouterr().out

@@ -84,6 +84,10 @@ def main() -> int:
                     help="PM/P3M mesh cells per axis (64 suits N=16k)")
     ap.add_argument("--nbr-k", type=int, default=None,
                     help="P3M neighbor-tile budget (default: gate config 64)")
+    ap.add_argument("--sigma-cells", type=float, default=None,
+                    help="P3M split width in mesh cells (default: config "
+                         "1.5; wider = more exact short-range coverage, "
+                         "more accuracy, more pair work)")
     ap.add_argument("--stress", action="store_true",
                     help="P3M round-2 starved config (nbr_k=32 at grid=64: "
                          "every tile overflows; momentum/angular still gate)")
@@ -129,6 +133,8 @@ def main() -> int:
     config = config.replace(
         integrator=args.integrator, dt=config.dt * args.dt_scale
     )
+    if args.sigma_cells is not None:
+        config = config.replace(p3m_sigma_cells=args.sigma_cells)
     if mode == "p3m-periodic":
         sim = Simulation.from_preset(
             "uniform-box", config, n=n, box_size=config.box_size

@@ -12,11 +12,12 @@ the P3M short-range pass already maintains:
   TSC base cells span a few mesh cells (measured on the galaxy preset at
   2M: median spread 1 cell, p99 = 12, >30 in only 0.16% of tiles), so
   each tile touches a small axis-aligned box of the grid.
-* Per tile, the separable TSC window becomes three one-hot weight
-  matrices ``Wx (P, BX)``, ``Wy (P, BY)``, ``Wz (P, BZ)`` built from
-  iota comparisons (VPU), and deposit/gather become **matmuls** against
-  a box of the grid: ``box += Wxᵀm @ (Wy ⊗ Wz)`` / ``acc = ⟨Wx @ box,
-  Wy ⊗ Wz⟩`` — MXU work instead of XLA gathers.
+* Per tile, the separable TSC window becomes one-hot weight matrices
+  ``Wxy (P, BX·BY)`` (the x⊗y Kronecker product built directly in 2-D —
+  see :func:`_kron_weights` for the hardware reshape rule) and
+  ``Wz (P, BZ)``, built from iota comparisons (VPU); deposit/gather
+  become **matmuls** against a box of the grid: ``box += (Wxy·m)ᵀ @
+  Wz`` / ``acc = ⟨Wxy @ boxz, Wz⟩`` — MXU work instead of XLA gathers.
 * The whole ``(G, G, G)`` f32 grid stays **VMEM-resident** across the
   sequential tile grid (8 MB at G=128; one output/input block with a
   constant index map), so the box read-modify-writes never touch HBM.
@@ -107,24 +108,46 @@ def tile_corners(c: jax.Array, block: int, grid: int, order: int = 3):
     return corners, valid.reshape(-1), dirty
 
 
-def _one_hot_weights(cl: jax.Array, f: jax.Array, width: int, order: int):
-    """``(P, width)`` assignment weight row per particle: TSC weights at
-    local cells ``cl-1..cl+1`` (order 3, ``f`` in [-1/2, 1/2]) or CIC
-    weights at ``cl..cl+1`` (order 2, ``f`` in [0, 1]), zero elsewhere
-    (and zero if out of range, which is exactly the per-particle
-    validity gate for that axis)."""
-    p = cl.shape[0]
-    i = lax.broadcasted_iota(jnp.int32, (p, width), 1)
-    d = i - cl[:, None]
+def _axis_weight_at(d: jax.Array, f: jax.Array, order: int) -> jax.Array:
+    """Per-axis assignment weight at integer stencil offset(s) ``d``
+    (same shape as the broadcast of ``d`` and ``f``): TSC weights at
+    offsets -1/0/+1 (order 3, ``f`` in [-1/2, 1/2]) or CIC at 0/+1
+    (order 2, ``f`` in [0, 1]), zero elsewhere — the zero doubles as the
+    per-particle validity gate for that axis."""
     if order == 3:
-        wm, w0, wp = _axis_weights(f[:, None])
+        wm, w0, wp = _axis_weights(f)
         return (
             jnp.where(d == -1, wm, 0.0)
             + jnp.where(d == 0, w0, 0.0)
             + jnp.where(d == 1, wp, 0.0)
         )
-    fc = f[:, None]
-    return jnp.where(d == 0, 1.0 - fc, 0.0) + jnp.where(d == 1, fc, 0.0)
+    return jnp.where(d == 0, 1.0 - f, 0.0) + jnp.where(d == 1, f, 0.0)
+
+
+def _one_hot_weights(cl: jax.Array, f: jax.Array, width: int, order: int):
+    """``(P, width)`` assignment weight row per particle, one-hot at the
+    particle's local cells (see :func:`_axis_weight_at`)."""
+    p = cl.shape[0]
+    i = lax.broadcasted_iota(jnp.int32, (p, width), 1)
+    return _axis_weight_at(i - cl[:, None], f[:, None], order)
+
+
+def _kron_weights(
+    cl_a, f_a, wa: int, cl_b, f_b, wb: int, order: int
+) -> jax.Array:
+    """``(P, wa*wb)`` Kronecker product of two per-axis one-hot weight
+    rows, built DIRECTLY in 2-D from column-index arithmetic
+    (``col // wb`` / ``col % wb``) rather than as
+    ``(wa ⊗ wb).reshape``: Mosaic rejects the ``(P, wa, wb) →
+    (P, wa*wb)`` minor-dim-collapsing reshape on real hardware
+    ("infer-vector-layout: unsupported shape cast")."""
+    p = cl_a.shape[0]
+    col = lax.broadcasted_iota(jnp.int32, (p, wa * wb), 1)
+    da = col // wb - cl_a[:, None]
+    db = col % wb - cl_b[:, None]
+    return _axis_weight_at(da, f_a[:, None], order) * _axis_weight_at(
+        db, f_b[:, None], order
+    )
 
 
 def _valid_gate(cxl, cyl, czl, bx, by, bz, order):
@@ -142,18 +165,27 @@ def _deposit_kernel(
 ):
     """One Morton tile: box-local one-hot TSC deposit via two matmuls.
 
-    ``local (bx, by·bz) = (Wx·m)ᵀ @ (Wy ⊗ Wz)`` then the z-unshift
-    ``full (bx·by, G) = local @ S`` with ``S[k, z] = (z == k + cz0)``,
-    accumulated into the VMEM-resident grid with dynamic x/y slices
-    (y corner 8-aligned; the lane dim is never sliced).
+    ``local (bx·by, bz) = (Wxy·m)ᵀ @ Wz`` with the Kronecker weight
+    matrix ``Wxy (P, bx·by)`` built directly in 2-D
+    (:func:`_kron_weights`), then the z-unshift ``full (bx·by, G) =
+    local @ S`` with ``S[k, z] = (z == k + cz0)``, accumulated into the
+    VMEM-resident grid with dynamic x/y slices (y corner 8-aligned; the
+    lane dim is never sliced).  The only reshape splits LEADING dims
+    (``(bx·by, G) → (bx, by, G)``, lane dim untouched) — the shapes
+    Mosaic's vector layout actually supports; minor-dim-collapsing
+    reshapes fail to lower on hardware (see :func:`_kron_weights`).
 
-    The tile's box corner arrives as a per-tile ``(1, 4)`` SMEM block —
+    The tile's box corner arrives as a per-tile ``(1, 1, 4)`` SMEM block —
     NOT scalar prefetch: a prefetched ``(nt,)`` corner array scales with
     N (768 KB of SMEM at 16M bodies, over the ~1 MB cliff the short-range
     kernel already chunks around), while the blocked form stays O(1).
+    (The corners array is shaped ``(nt, 1, 4)`` so the blocked dim is the
+    LEADING one: Mosaic requires each of the last two block dims to be
+    divisible by (8, 128) or equal to the array dim — a 2-D ``(1, 4)``
+    block of an ``(nt, 4)`` array fails that rule on real hardware.)
     """
     t = pl.program_id(0)
-    cx0, cy0, cz0 = corn_ref[0, 0], corn_ref[0, 1], corn_ref[0, 2]
+    cx0, cy0, cz0 = corn_ref[0, 0, 0], corn_ref[0, 0, 1], corn_ref[0, 0, 2]
 
     c = c_ref[...]
     fm = fm_ref[...]
@@ -162,23 +194,23 @@ def _deposit_kernel(
     czl = c[:, 2] - cz0
     gate = _valid_gate(cxl, cyl, czl, bx, by, bz, order)
 
-    wx = _one_hot_weights(cxl, fm[:, 0], bx, order)
-    wy = _one_hot_weights(cyl, fm[:, 1], by, order)
+    wxy = _kron_weights(cxl, fm[:, 0], bx, cyl, fm[:, 1], by, order)
+    wxym = wxy * (fm[:, 3] * gate)[:, None]
     wz = _one_hot_weights(czl, fm[:, 2], bz, order)
-    wxm = wx * (fm[:, 3] * gate)[:, None]
-    wyz = (wy[:, :, None] * wz[:, None, :]).reshape(block, by * bz)
 
     local = lax.dot_general(
-        wxm, wyz, (((0,), (0,)), ((), ())),
+        wxym, wz, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bx, by*bz)
+        precision=lax.Precision.HIGHEST,
+    )  # (bx*by, bz)
 
     ks = lax.broadcasted_iota(jnp.int32, (bz, grid), 0)
     zs = lax.broadcasted_iota(jnp.int32, (bz, grid), 1)
     s = (zs == ks + cz0).astype(jnp.float32)
     full = lax.dot_general(
-        local.reshape(bx * by, bz), s, (((1,), (0,)), ((), ())),
+        local, s, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     ).reshape(bx, by, grid)
 
     @pl.when(t == 0)
@@ -195,12 +227,14 @@ def _gather_kernel(
 ):
     """One Morton tile: box-local one-hot TSC interpolation of ``ncomp``
     force grids.  Per component: z-shift matmul compacts the full-lane
-    box to ``bz`` columns, then ``M1 = Wx @ box`` and a ⟨M1, Wy⊗Wz⟩
-    row contraction (VPU) give the per-particle values.  Corner block
-    semantics as in :func:`_deposit_kernel`.  ``ncomp=1`` is the
-    split-component form used when the full 3-grid block would exceed
-    VMEM (grid > 128)."""
-    cx0, cy0, cz0 = corn_ref[0, 0], corn_ref[0, 1], corn_ref[0, 2]
+    box to ``bz`` columns, then ``M1 (P, bz) = Wxy @ boxz`` (Kronecker
+    weights, :func:`_kron_weights`) and a ⟨M1, Wz⟩ row contraction
+    (VPU) give the per-particle values.  Corner block semantics as in
+    :func:`_deposit_kernel`; same reshape discipline (the only reshape
+    collapses the box's LEADING dims, lane untouched).  ``ncomp=1`` is
+    the split-component form used when the full 3-grid block would
+    exceed VMEM (grid > 128)."""
+    cx0, cy0, cz0 = corn_ref[0, 0, 0], corn_ref[0, 0, 1], corn_ref[0, 0, 2]
 
     c = c_ref[...]
     fm = fm_ref[...]
@@ -209,31 +243,33 @@ def _gather_kernel(
     czl = c[:, 2] - cz0
     gate = _valid_gate(cxl, cyl, czl, bx, by, bz, order)
 
-    wx = _one_hot_weights(cxl, fm[:, 0], bx, order)
-    wy = _one_hot_weights(cyl, fm[:, 1], by, order)
+    wxy = _kron_weights(cxl, fm[:, 0], bx, cyl, fm[:, 1], by, order)
     wz = _one_hot_weights(czl, fm[:, 2], bz, order)
-    wyz = (wy[:, :, None] * wz[:, None, :]).reshape(block, by * bz)
 
     ks = lax.broadcasted_iota(jnp.int32, (grid, bz), 1)
     zs = lax.broadcasted_iota(jnp.int32, (grid, bz), 0)
     st = (zs == ks + cz0).astype(jnp.float32)  # (G, bz)
 
-    comps = []
+    # (P, 4) output assembled by lane select (no in-kernel stack/concat:
+    # both build vectors along a new minor dim, same unsupported layout
+    # class as the Kronecker reshape).
+    lane = lax.broadcasted_iota(jnp.int32, (block, 4), 1)
+    out = jnp.zeros((block, 4), jnp.float32)
     for comp in range(ncomp):
         box = g_ref[comp, pl.ds(cx0, bx), pl.ds(cy0, by), :]
         boxz = lax.dot_general(
             box.reshape(bx * by, grid), st, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )  # (bx*by, bz)
         m1 = lax.dot_general(
-            wx, boxz.reshape(bx, by * bz), (((1,), (0,)), ((), ())),
+            wxy, boxz, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (block, by*bz)
-        comps.append(jnp.sum(m1 * wyz, axis=1))
-    acc = jnp.stack(comps, axis=1) * gate[:, None]
-    out_ref[...] = jnp.concatenate(
-        [acc, jnp.zeros((block, 4 - ncomp), jnp.float32)], axis=1
-    )
+            precision=lax.Precision.HIGHEST,
+        )  # (block, bz)
+        val = jnp.sum(m1 * wz, axis=1) * gate
+        out = out + jnp.where(lane == comp, val[:, None], 0.0)
+    out_ref[...] = out
 
 
 def _mesh_call_args(c: jax.Array, f: jax.Array, mass: jax.Array | None):
@@ -245,10 +281,12 @@ def _mesh_call_args(c: jax.Array, f: jax.Array, mass: jax.Array | None):
 
 
 def _corners4(corners: jax.Array) -> jax.Array:
+    """(nt, 3) -> (nt, 1, 4) SMEM layout (see _deposit_kernel docstring
+    for why the blocked dim must lead)."""
     nt = corners.shape[0]
     return jnp.concatenate(
         [corners, jnp.zeros((nt, 1), jnp.int32)], axis=1
-    )
+    ).reshape(nt, 1, 4)
 
 
 def deposit_tiles(
@@ -275,7 +313,7 @@ def deposit_tiles(
         kernel,
         grid=(nt,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, 4), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((block, 4), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
@@ -334,7 +372,7 @@ def gather_tiles(
             kernel,
             grid=(nt,),
             in_specs=[
-                pl.BlockSpec((1, 4), lambda t: (t, 0),
+                pl.BlockSpec((1, 1, 4), lambda t: (t, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((block, 4), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),

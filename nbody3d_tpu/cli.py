@@ -88,6 +88,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="periodic box edge length L (with --boundary periodic)",
     )
     p.add_argument(
+        "--interlace", dest="mesh_interlace", default=None,
+        action="store_true",
+        help="interlaced mesh assignment (periodic boundary): companion "
+        "half-cell-shifted deposit averaged in k-space — ~5x lower mesh "
+        "force error for one extra deposit+FFT (Hockney-Eastwood)",
+    )
+    p.add_argument(
+        "--no-interlace", dest="mesh_interlace", action="store_false",
+        help="disable --interlace",
+    )
+    p.add_argument(
         "--morton-every",
         type=int,
         default=None,
@@ -136,6 +147,7 @@ def _config_overrides(args) -> dict:
         ("p3m_nbr_k", args.p3m_nbr_k),
         ("boundary", args.boundary),
         ("box_size", args.box_size),
+        ("mesh_interlace", args.mesh_interlace),
         ("morton_every", args.morton_every),
         ("integrator", args.integrator),
         ("block_target", args.block_target),

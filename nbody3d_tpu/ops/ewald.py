@@ -176,7 +176,15 @@ def spectral_accel_grids(
     continuous structure factor; ``deconv`` divides out the order-p
     B-spline assignment window once for the deposit and once for the
     gather (``sinc(f)^(-2p)`` per axis, as in
-    :func:`p3m.solve_accel_long`)."""
+    :func:`p3m.solve_accel_long`).
+
+    Interlacing note: averaging a half-cell-shifted companion DEPOSIT in
+    k-space here (phase ``e^{+i(kx+ky+kz)h/2}``) was measured to make
+    the force error WORSE at grid ≥ 64 (it breaks the deposit↔gather
+    alias cancellation the matched assignment pair provides); the
+    shipped interlacing is therefore the full force-average form —
+    evaluate deposit+solve+gather twice with the grid offset by h/2 and
+    average the FORCES (``accel_p3m(..., interlace=True)``)."""
     m = rho.shape[0]
     dt = rho.dtype
     L = jnp.asarray(L, dt)

@@ -12,12 +12,14 @@ the P3M short-range pass already maintains:
   TSC base cells span a few mesh cells (measured on the galaxy preset at
   2M: median spread 1 cell, p99 = 12, >30 in only 0.16% of tiles), so
   each tile touches a small axis-aligned box of the grid.
-* Per tile, the separable TSC window becomes one-hot weight matrices
-  ``Wxy (P, BX·BY)`` (the x⊗y Kronecker product built directly in 2-D —
-  see :func:`_kron_weights` for the hardware reshape rule) and
-  ``Wz (P, BZ)``, built from iota comparisons (VPU); deposit/gather
-  become **matmuls** against a box of the grid: ``box += (Wxy·m)ᵀ @
-  Wz`` / ``acc = ⟨Wxy @ boxz, Wz⟩`` — MXU work instead of XLA gathers.
+* Per tile, the separable TSC window becomes TRANSPOSED one-hot weight
+  matrices ``Wxyᵀ (BX·BY, P)`` (the x⊗y Kronecker product built
+  directly in 2-D — see :func:`_kron_weights_t` for the hardware
+  reshape rule) and ``Wzᵀ (BZ, P)``, built from iota comparisons (VPU);
+  deposit/gather become **matmuls** against a box of the grid — MXU
+  work instead of XLA gathers.  All per-particle operands and outputs
+  are ``(4, N)`` (particles in lanes): an ``(N, 4)`` Mosaic operand
+  costs a 32x lane-padded T(8,128) copy (2 GB at N=2M, OOM at 16M).
 * The whole ``(G, G, G)`` f32 grid stays **VMEM-resident** across the
   sequential tile grid (8 MB at G=128; one output/input block with a
   constant index map), so the box read-modify-writes never touch HBM.
@@ -124,29 +126,34 @@ def _axis_weight_at(d: jax.Array, f: jax.Array, order: int) -> jax.Array:
     return jnp.where(d == 0, 1.0 - f, 0.0) + jnp.where(d == 1, f, 0.0)
 
 
-def _one_hot_weights(cl: jax.Array, f: jax.Array, width: int, order: int):
-    """``(P, width)`` assignment weight row per particle, one-hot at the
-    particle's local cells (see :func:`_axis_weight_at`)."""
+def _one_hot_weights_t(cl: jax.Array, f: jax.Array, width: int, order: int):
+    """``(width, P)`` TRANSPOSED assignment weight column per particle,
+    one-hot at the particle's local cells (see :func:`_axis_weight_at`).
+    Transposed because ``cl``/``f`` arrive as LANE vectors (rows of the
+    ``(4, N)`` operands): broadcasting them along sublanes is free, while
+    the ``(P, width)`` orientation would need a vector transpose Mosaic
+    lowers poorly."""
     p = cl.shape[0]
-    i = lax.broadcasted_iota(jnp.int32, (p, width), 1)
-    return _axis_weight_at(i - cl[:, None], f[:, None], order)
+    i = lax.broadcasted_iota(jnp.int32, (width, p), 0)
+    return _axis_weight_at(i - cl[None, :], f[None, :], order)
 
 
-def _kron_weights(
+def _kron_weights_t(
     cl_a, f_a, wa: int, cl_b, f_b, wb: int, order: int
 ) -> jax.Array:
-    """``(P, wa*wb)`` Kronecker product of two per-axis one-hot weight
-    rows, built DIRECTLY in 2-D from column-index arithmetic
-    (``col // wb`` / ``col % wb``) rather than as
-    ``(wa ⊗ wb).reshape``: Mosaic rejects the ``(P, wa, wb) →
-    (P, wa*wb)`` minor-dim-collapsing reshape on real hardware
-    ("infer-vector-layout: unsupported shape cast")."""
+    """``(wa*wb, P)`` TRANSPOSED Kronecker product of two per-axis
+    one-hot weight columns, built DIRECTLY in 2-D from row-index
+    arithmetic (``row // wb`` / ``row % wb``) rather than as
+    ``(wa ⊗ wb).reshape``: Mosaic rejects the minor-dim-collapsing
+    reshape on real hardware ("infer-vector-layout: unsupported shape
+    cast"), and the transposed build keeps the per-particle inputs in
+    their native lane orientation (see :func:`_one_hot_weights_t`)."""
     p = cl_a.shape[0]
-    col = lax.broadcasted_iota(jnp.int32, (p, wa * wb), 1)
-    da = col // wb - cl_a[:, None]
-    db = col % wb - cl_b[:, None]
-    return _axis_weight_at(da, f_a[:, None], order) * _axis_weight_at(
-        db, f_b[:, None], order
+    row = lax.broadcasted_iota(jnp.int32, (wa * wb, p), 0)
+    da = row // wb - cl_a[None, :]
+    db = row % wb - cl_b[None, :]
+    return _axis_weight_at(da, f_a[None, :], order) * _axis_weight_at(
+        db, f_b[None, :], order
     )
 
 
@@ -165,15 +172,23 @@ def _deposit_kernel(
 ):
     """One Morton tile: box-local one-hot TSC deposit via two matmuls.
 
-    ``local (bx·by, bz) = (Wxy·m)ᵀ @ Wz`` with the Kronecker weight
-    matrix ``Wxy (P, bx·by)`` built directly in 2-D
-    (:func:`_kron_weights`), then the z-unshift ``full (bx·by, G) =
+    ``local (bx·by, bz) = (Wxyᵀ·m) @ Wzᵀᵀ`` with the TRANSPOSED
+    Kronecker weight matrix ``Wxyᵀ (bx·by, P)`` built directly in 2-D
+    (:func:`_kron_weights_t`), then the z-unshift ``full (bx·by, G) =
     local @ S`` with ``S[k, z] = (z == k + cz0)``, accumulated into the
     VMEM-resident grid with dynamic x/y slices (y corner 8-aligned; the
     lane dim is never sliced).  The only reshape splits LEADING dims
     (``(bx·by, G) → (bx, by, G)``, lane dim untouched) — the shapes
     Mosaic's vector layout actually supports; minor-dim-collapsing
-    reshapes fail to lower on hardware (see :func:`_kron_weights`).
+    reshapes fail to lower on hardware (see :func:`_kron_weights_t`).
+
+    The per-particle operands arrive TRANSPOSED — ``(4, N)`` arrays in
+    ``(4, block)`` blocks — because XLA materializes every (N, 4)
+    Mosaic operand as a lane-padded T(8,128) copy: 32x the bytes (2 GB
+    at N=2M, OOM at 16M), measured via compile memory_analysis.  The
+    ``(4, N)`` orientation is compact at any N, and the per-particle
+    rows land as lane vectors, which is also the natural broadcast
+    orientation for the transposed weight build.
 
     The tile's box corner arrives as a per-tile ``(1, 1, 4)`` SMEM block —
     NOT scalar prefetch: a prefetched ``(nt,)`` corner array scales with
@@ -187,19 +202,19 @@ def _deposit_kernel(
     t = pl.program_id(0)
     cx0, cy0, cz0 = corn_ref[0, 0, 0], corn_ref[0, 0, 1], corn_ref[0, 0, 2]
 
-    c = c_ref[...]
-    fm = fm_ref[...]
-    cxl = c[:, 0] - cx0
-    cyl = c[:, 1] - cy0
-    czl = c[:, 2] - cz0
+    c = c_ref[...]   # (4, block) i32 rows [cx, cy, cz, 0]
+    fm = fm_ref[...]  # (4, block) f32 rows [fx, fy, fz, mass]
+    cxl = c[0, :] - cx0
+    cyl = c[1, :] - cy0
+    czl = c[2, :] - cz0
     gate = _valid_gate(cxl, cyl, czl, bx, by, bz, order)
 
-    wxy = _kron_weights(cxl, fm[:, 0], bx, cyl, fm[:, 1], by, order)
-    wxym = wxy * (fm[:, 3] * gate)[:, None]
-    wz = _one_hot_weights(czl, fm[:, 2], bz, order)
+    wxyt = _kron_weights_t(cxl, fm[0, :], bx, cyl, fm[1, :], by, order)
+    wxymt = wxyt * (fm[3, :] * gate)[None, :]
+    wzt = _one_hot_weights_t(czl, fm[2, :], bz, order)
 
     local = lax.dot_general(
-        wxym, wz, (((0,), (0,)), ((), ())),
+        wxymt, wzt, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=lax.Precision.HIGHEST,
     )  # (bx*by, bz)
@@ -227,34 +242,37 @@ def _gather_kernel(
 ):
     """One Morton tile: box-local one-hot TSC interpolation of ``ncomp``
     force grids.  Per component: z-shift matmul compacts the full-lane
-    box to ``bz`` columns, then ``M1 (P, bz) = Wxy @ boxz`` (Kronecker
-    weights, :func:`_kron_weights`) and a ⟨M1, Wz⟩ row contraction
-    (VPU) give the per-particle values.  Corner block semantics as in
+    box to ``bz`` columns, then ``T1 (bz, P) = boxzᵀ @ Wxyᵀ``
+    (transposed Kronecker weights, :func:`_kron_weights_t`) and a
+    ⟨T1, Wzᵀ⟩ sublane contraction (VPU) give the per-particle values as
+    lane vectors.  Operands and output are TRANSPOSED ``(4, N)`` arrays
+    (see :func:`_deposit_kernel` — (N, 4) Mosaic operands cost a 32x
+    lane-padded copy).  Corner block semantics as in
     :func:`_deposit_kernel`; same reshape discipline (the only reshape
     collapses the box's LEADING dims, lane untouched).  ``ncomp=1`` is
     the split-component form used when the full 3-grid block would
     exceed VMEM (grid > 128)."""
     cx0, cy0, cz0 = corn_ref[0, 0, 0], corn_ref[0, 0, 1], corn_ref[0, 0, 2]
 
-    c = c_ref[...]
-    fm = fm_ref[...]
-    cxl = c[:, 0] - cx0
-    cyl = c[:, 1] - cy0
-    czl = c[:, 2] - cz0
+    c = c_ref[...]   # (4, block) i32
+    fm = fm_ref[...]  # (4, block) f32
+    cxl = c[0, :] - cx0
+    cyl = c[1, :] - cy0
+    czl = c[2, :] - cz0
     gate = _valid_gate(cxl, cyl, czl, bx, by, bz, order)
 
-    wxy = _kron_weights(cxl, fm[:, 0], bx, cyl, fm[:, 1], by, order)
-    wz = _one_hot_weights(czl, fm[:, 2], bz, order)
+    wxyt = _kron_weights_t(cxl, fm[0, :], bx, cyl, fm[1, :], by, order)
+    wzt = _one_hot_weights_t(czl, fm[2, :], bz, order)
 
     ks = lax.broadcasted_iota(jnp.int32, (grid, bz), 1)
     zs = lax.broadcasted_iota(jnp.int32, (grid, bz), 0)
     st = (zs == ks + cz0).astype(jnp.float32)  # (G, bz)
 
-    # (P, 4) output assembled by lane select (no in-kernel stack/concat:
-    # both build vectors along a new minor dim, same unsupported layout
-    # class as the Kronecker reshape).
-    lane = lax.broadcasted_iota(jnp.int32, (block, 4), 1)
-    out = jnp.zeros((block, 4), jnp.float32)
+    # (4, P) output assembled by sublane select (no in-kernel
+    # stack/concat: both build vectors along a new dim, the unsupported
+    # layout class — see _kron_weights_t).
+    row = lax.broadcasted_iota(jnp.int32, (4, block), 0)
+    out = jnp.zeros((4, block), jnp.float32)
     for comp in range(ncomp):
         box = g_ref[comp, pl.ds(cx0, bx), pl.ds(cy0, by), :]
         boxz = lax.dot_general(
@@ -262,21 +280,26 @@ def _gather_kernel(
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )  # (bx*by, bz)
-        m1 = lax.dot_general(
-            wxy, boxz, (((1,), (0,)), ((), ())),
+        t1 = lax.dot_general(
+            boxz, wxyt, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
-        )  # (block, bz)
-        val = jnp.sum(m1 * wz, axis=1) * gate
-        out = out + jnp.where(lane == comp, val[:, None], 0.0)
+        )  # (bz, block)
+        val = jnp.sum(t1 * wzt, axis=0) * gate  # (block,) lane vector
+        out = out + jnp.where(row == comp, val[None, :], 0.0)
     out_ref[...] = out
 
 
 def _mesh_call_args(c: jax.Array, f: jax.Array, mass: jax.Array | None):
+    """Pack the per-particle cell/fraction/mass arrays into the
+    TRANSPOSED ``(4, N)`` operand layout the kernels take (an ``(N, 4)``
+    Mosaic operand would cost a 32x lane-padded T(8,128) copy — 2 GB at
+    N=2M, OOM at 16M)."""
     n = c.shape[0]
-    c4 = jnp.concatenate([c, jnp.zeros((n, 1), jnp.int32)], axis=1)
+    z = jnp.zeros((n,), jnp.int32)
+    c4 = jnp.stack([c[:, 0], c[:, 1], c[:, 2], z], axis=0)
     m = jnp.zeros((n,), jnp.float32) if mass is None else mass
-    fm = jnp.concatenate([f, m[:, None]], axis=1)
+    fm = jnp.stack([f[:, 0], f[:, 1], f[:, 2], m], axis=0)
     return c4, fm
 
 
@@ -315,9 +338,9 @@ def deposit_tiles(
         in_specs=[
             pl.BlockSpec((1, 1, 4), lambda t: (t, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((block, 4), lambda t: (t, 0),
+            pl.BlockSpec((4, block), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 4), lambda t: (t, 0),
+            pl.BlockSpec((4, block), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -374,9 +397,9 @@ def gather_tiles(
             in_specs=[
                 pl.BlockSpec((1, 1, 4), lambda t: (t, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((block, 4), lambda t: (t, 0),
+                pl.BlockSpec((4, block), lambda t: (0, t),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((block, 4), lambda t: (t, 0),
+                pl.BlockSpec((4, block), lambda t: (0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(
                     (ncomp, grid, grid, grid),
@@ -385,9 +408,9 @@ def gather_tiles(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (block, 4), lambda t: (t, 0), memory_space=pltpu.VMEM
+                (4, block), lambda t: (0, t), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((4, n), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024,
@@ -402,11 +425,11 @@ def gather_tiles(
         )(_corners4(corners), c4, fm, g4)
 
     if not split:
-        return call(3, 0)[:, :3]
+        return call(3, 0)[:3].T
     # blocked index maps address in units of the block shape: with a
     # (1, G, G, G) component block, block index ``comp0`` IS the component.
-    return jnp.concatenate(
-        [call(1, comp)[:, :1] for comp in range(3)], axis=1
+    return jnp.stack(
+        [call(1, comp)[0] for comp in range(3)], axis=1
     )
 
 
@@ -625,7 +648,7 @@ def mesh_accel(
             if jax.default_backend() == "tpu"
             and order == 3
             and 32 <= grid <= 192
-            and block >= 8
+            and block % 128 == 0
             else "jnp"
         )
     if backend == "pallas" and order != 3:
@@ -760,7 +783,7 @@ def pm_accel(
             "pallas"
             if jax.default_backend() == "tpu"
             and 32 <= grid <= 192
-            and block >= 8
+            and block % 128 == 0
             else "jnp"
         )
     if backend == "pallas":

@@ -983,6 +983,7 @@ def _accel_p3m_periodic(
     order: int,
     short_backend: str,
     box_size: float,
+    interlace: bool = False,
 ) -> jax.Array:
     """Periodic-box P3M (see :func:`accel_p3m` ``boundary="periodic"``).
     Ewald's method on the mesh: reciprocal-space sum by FFT
@@ -1019,20 +1020,30 @@ def _accel_p3m_periodic(
 
     # Long range: TSC deposit on the torus -> one spectral Poisson
     # solve -> TSC gather (same assignment function both ways: momentum).
-    if order == 3:
-        rho = tsc_deposit(ps[:, :3], ps[:, 3], lo, h, grid, periodic=True)
-        grids = spectral_accel_grids(rho, L, sigma, order=3)
-        c, w, _ = _tsc_cells(ps[:, :3], lo, h, grid, periodic=True)
-        acc = tsc_gather(grids, c, w, grid)
-    else:
+    # ``interlace``: the Hockney-Eastwood force-average — run the whole
+    # mesh leg twice with the grid offset by half a cell (particles
+    # shifted +h/2, wrapped) and average the FORCES; the grid-locked
+    # (odd-image) alias force errors flip sign under the half-cell shift
+    # and cancel.  (Averaging only the deposits in k-space was measured
+    # WORSE at grid >= 64 — it breaks the deposit<->gather alias
+    # cancellation of the matched assignment pair; see ewald.py.)
+    def mesh_leg(shift):
+        posw = wrap_box(ps[:, :3] + shift, L)
+        if order == 3:
+            rho = tsc_deposit(posw, ps[:, 3], lo, h, grid, periodic=True)
+            grids = spectral_accel_grids(rho, L, sigma, order=3)
+            c, w, _ = _tsc_cells(posw, lo, h, grid, periodic=True)
+            return tsc_gather(grids, c, w, grid)
         from nbody3d_tpu.ops import pm as pm_mod
 
-        rho = pm_mod.cic_deposit(
-            ps[:, :3], ps[:, 3], lo, h, grid, periodic=True
-        )
+        rho = pm_mod.cic_deposit(posw, ps[:, 3], lo, h, grid, periodic=True)
         grids = spectral_accel_grids(rho, L, sigma, order=2)
-        i0, fr = pm_mod._cic_cells(ps[:, :3], lo, h, grid, periodic=True)
-        acc = pm_mod.cic_gather(grids, i0, fr, grid)
+        i0, fr = pm_mod._cic_cells(posw, lo, h, grid, periodic=True)
+        return pm_mod.cic_gather(grids, i0, fr, grid)
+
+    acc = mesh_leg(jnp.float32(0.0))
+    if interlace:
+        acc = 0.5 * (acc + mesh_leg(0.5 * h))
 
     # Project out the mesh's f32-FFT-noise net force (see accel_p3m).
     mass_s = ps[:, 3]
@@ -1057,7 +1068,7 @@ def _accel_p3m_periodic(
     static_argnames=(
         "grid", "eps2", "n_real", "sigma_cells", "rcut_sigmas", "block",
         "nbr_k", "order", "heavy_k", "short_backend", "mesh_backend",
-        "boundary", "box_size",
+        "boundary", "box_size", "interlace",
     ),
 )
 def accel_p3m(
@@ -1077,6 +1088,7 @@ def accel_p3m(
     mesh_backend: str = "auto",
     boundary: str = "isolated",
     box_size: float = 0.0,
+    interlace: bool = False,
 ) -> jax.Array:
     """P3M accelerations ``(N, 4)`` (w lane zero): PM far field + exact
     short-range correction + exact direct pairs for the ``heavy_k`` most
@@ -1115,7 +1127,7 @@ def accel_p3m(
             pos_mass, G, grid=grid, eps2=eps2, n_real=n_real,
             sigma_cells=sigma_cells, rcut_sigmas=rcut_sigmas, block=block,
             nbr_k=nbr_k, order=order, short_backend=short_backend,
-            box_size=box_size,
+            box_size=box_size, interlace=interlace,
         )
     if boundary != "isolated":
         raise ValueError(f"unknown boundary {boundary!r}")

@@ -274,7 +274,7 @@ def cic_gather(
     jax.jit,
     static_argnames=(
         "grid", "eps2", "n_real", "mesh_backend", "boundary", "box_size",
-        "sigma_cells",
+        "sigma_cells", "interlace",
     ),
 )
 def accel_pm(
@@ -288,6 +288,7 @@ def accel_pm(
     boundary: str = "isolated",
     box_size: float = 0.0,
     sigma_cells: float = 1.5,
+    interlace: bool = False,
 ) -> jax.Array:
     """PM accelerations ``(N, 4)`` (w lane zero), matching the direct
     solver's far field.
@@ -326,19 +327,32 @@ def accel_pm(
         h = L / grid
         lo = jnp.zeros((3,), jnp.float32)
         pos = wrap_box(pos, L)
-        i0, f = _cic_cells(pos, lo, h, grid, periodic=True)
-        rho = cic_deposit(
-            pos, pos_mass[:, 3], lo, h, grid, periodic=True
-        )
-        grids = spectral_accel_grids(rho, L, sigma_cells * h, order=2)
-        acc = cic_gather(grids, i0, f, grid) * jnp.float32(G)
+
+        # ``interlace``: Hockney-Eastwood force-average — the whole mesh
+        # leg twice with the grid offset by half a cell, forces averaged
+        # (grid-locked odd-image alias errors flip sign and cancel; see
+        # ops/p3m.py periodic notes for why deposit-only interlacing is
+        # not used).
+        def mesh_leg(shift):
+            posw = wrap_box(pos + shift, L)
+            i0, f = _cic_cells(posw, lo, h, grid, periodic=True)
+            rho = cic_deposit(
+                posw, pos_mass[:, 3], lo, h, grid, periodic=True
+            )
+            grids = spectral_accel_grids(rho, L, sigma_cells * h, order=2)
+            return cic_gather(grids, i0, f, grid)
+
+        acc = mesh_leg(jnp.float32(0.0))
+        if interlace:
+            acc = 0.5 * (acc + mesh_leg(0.5 * h))
+        acc = acc * jnp.float32(G)
         return jnp.concatenate([acc, jnp.zeros((n, 1), jnp.float32)], axis=1)
     if boundary != "isolated":
         raise ValueError(f"unknown boundary {boundary!r}")
     lo, h = _box(pos[:n_real], grid)
 
     block = divisor_block(n, 256)
-    use_tiles = block >= 8 and 32 <= grid <= 128 and (
+    use_tiles = block % 128 == 0 and 32 <= grid <= 128 and (
         mesh_backend in ("pallas", "pallas_interpret")
         or (mesh_backend == "auto" and jax.default_backend() == "tpu")
     )

@@ -172,6 +172,7 @@ def make_step_fn(
                     grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
                     mesh_backend=mesh_be,
                     boundary=config.boundary, box_size=config.box_size,
+                    interlace=config.mesh_interlace,
                 )
 
             return integrate_state(
@@ -200,6 +201,7 @@ def make_step_fn(
                     heavy_k=config.p3m_heavy_k, short_backend=short,
                     mesh_backend=short,
                     boundary=config.boundary, box_size=config.box_size,
+                    interlace=config.mesh_interlace,
                 )
 
             return integrate_state(

@@ -572,13 +572,26 @@ def make_pm_sharded_step(
                 h = L / grid
                 lo = jnp.zeros((3,), jnp.float32)
                 pos = wrap_box(pos, L)
-                rho = pm_ops.cic_deposit(
-                    pos, pm_[:, 3], lo, h, grid, periodic=True
-                )
-                rho = lax.psum(rho, axis)
-                grids = spectral_accel_grids(rho, L, 1.5 * h, order=2)
-                i0, f = pm_ops._cic_cells(pos, lo, h, grid, periodic=True)
-                acc3 = pm_ops.cic_gather(grids, i0, f, grid) * jnp.float32(G)
+
+                # mesh_interlace: Hockney-Eastwood force-average (two
+                # half-cell-offset mesh legs, forces averaged — see
+                # ops/pm.py periodic notes).
+                def mesh_leg(shift):
+                    posw = wrap_box(pos + shift, L)
+                    rho = pm_ops.cic_deposit(
+                        posw, pm_[:, 3], lo, h, grid, periodic=True
+                    )
+                    rho = lax.psum(rho, axis)
+                    grids = spectral_accel_grids(rho, L, 1.5 * h, order=2)
+                    i0, f = pm_ops._cic_cells(
+                        posw, lo, h, grid, periodic=True
+                    )
+                    return pm_ops.cic_gather(grids, i0, f, grid)
+
+                acc3 = mesh_leg(jnp.float32(0.0))
+                if config.mesh_interlace:
+                    acc3 = 0.5 * (acc3 + mesh_leg(0.5 * h))
+                acc3 = acc3 * jnp.float32(G)
                 return jnp.concatenate(
                     [acc3, jnp.zeros((shard, 1), jnp.float32)], axis=1
                 )
@@ -687,7 +700,9 @@ def make_p3m_sharded_step(
     # bound of the tile mesh kernels (component-split gather above 128).
     backend, interpret = resolve_backend(config, platform)
     use_pallas = backend == "pallas"
-    use_tiles = use_pallas and grid <= 192
+    # block % 128: the tile kernels' (4, block) operand blocks need a
+    # lane-multiple block (mesh_pallas layout rules).
+    use_tiles = use_pallas and grid <= 192 and block % 128 == 0
     rt = min(mp.default_rt(tiles_per), tiles_per)
     periodic = config.boundary == "periodic"
     boxL = float(config.box_size)
@@ -775,7 +790,7 @@ def make_p3m_sharded_step(
                 )
             rho = lax.psum(rho, axis)
             if periodic:
-                from nbody3d_tpu.ops.ewald import spectral_accel_grids
+                from nbody3d_tpu.ops.ewald import spectral_accel_grids, wrap_box
 
                 grids = spectral_accel_grids(rho, L, sigma, order=3)
             else:
@@ -787,6 +802,20 @@ def make_p3m_sharded_step(
                                          grid, block)
             else:
                 acc_m = p3m_ops.tsc_gather(grids, c, w, grid)
+            if periodic and config.mesh_interlace:
+                # Hockney-Eastwood force-average: a second full mesh leg
+                # with the grid offset by half a cell (wrap-aware XLA
+                # forms — the tile kernels assume the unshifted Morton
+                # layout), forces averaged; grid-locked odd-image alias
+                # errors flip sign and cancel (see ops/p3m.py).
+                pos_i = wrap_box(pos_s + 0.5 * h, L)
+                rho_i = lax.psum(
+                    p3m_ops.tsc_deposit(pos_i, mass_s, lo, h, grid, True),
+                    axis,
+                )
+                grids_i = spectral_accel_grids(rho_i, L, sigma, order=3)
+                c_i, w_i, _ = p3m_ops._tsc_cells(pos_i, lo, h, grid, True)
+                acc_m = 0.5 * (acc_m + p3m_ops.tsc_gather(grids_i, c_i, w_i, grid))
             # Net-force projection (see accel_p3m): momentum-restoring frame
             # correction for the deconv-amplified FFT noise; reductions span
             # the mesh via psum (sorted slices partition the same rows).

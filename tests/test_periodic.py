@@ -93,6 +93,45 @@ class TestP3MPeriodic:
         assert a_seam[0, 0] > 0.1 * scale
         assert a_seam[1, 0] < -0.1 * scale
 
+    def test_interlace_reduces_mesh_error(self):
+        """Force-average interlacing (two half-cell-offset mesh legs)
+        must cut the force error vs the Ewald oracle — the mesh
+        assignment aliasing is the dominant error term at the default
+        sigma_cells (measured ~2x at grid=32; deposit-only k-space
+        interlacing was measured WORSE and is not shipped)."""
+        eps2 = 1e-6
+        pm = _rand_pm(512, seed=1)
+        ref = _oracle(pm, 1.5 * L / 32, eps2)
+        scale = np.linalg.norm(ref, axis=1)
+        errs = {}
+        for il in (False, True):
+            got = np.asarray(
+                accel_p3m(
+                    jnp.asarray(pm), G, grid=32, eps2=eps2, nbr_k=8,
+                    short_backend="jnp", interlace=il,
+                    boundary="periodic", box_size=L,
+                )
+            )[:, :3]
+            rel = np.linalg.norm(got - ref, axis=1) / np.maximum(
+                scale, 1e-20
+            )
+            errs[il] = np.median(rel)
+        assert errs[True] < 0.7 * errs[False]
+
+    def test_interlace_momentum_conservation(self):
+        """The averaged mesh legs keep deposit/gather matched, so the
+        interlaced force still sums to ~zero."""
+        pm = _rand_pm(1024, seed=5)
+        a = np.asarray(
+            accel_p3m(
+                jnp.asarray(pm), G, grid=32, eps2=1e-6, nbr_k=8,
+                short_backend="jnp", interlace=True,
+                boundary="periodic", box_size=L,
+            )
+        )[:, :3]
+        f = pm[:, 3:4] * a
+        assert np.abs(f.sum(axis=0)).max() < 3e-5 * np.abs(f).sum()
+
     def test_momentum_conservation(self):
         pm = _rand_pm(1024, seed=4)
         a = np.asarray(

@@ -322,26 +322,30 @@ class Simulation:
             # be formed from two axis-sharded operands (illegal
             # N@x x N@x sharding), and diagnostics run per chunk, not
             # per step.
-            from nbody3d_tpu.ops.ewald import ewald_potential_energy
+            # Host float64 throughout: the Ewald value is a catastrophic
+            # cancellation (self + background constants ~1e7-1e8 against a
+            # physical total of O(1e2)); an f32 evaluation carries ~1e2 of
+            # rounding noise that swamps any real drift signal (see
+            # ewald_potential_energy_f64's docstring).  O(N^2) on host —
+            # diagnostics cadence only.
+            from nbody3d_tpu.ops.ewald import ewald_potential_energy_f64
 
-            pm_d, vel_d = self.state.pos_mass, self.state.vel
-            if self.mesh is not None:
-                pm_d = jnp.asarray(jax.device_get(pm_d))
-                vel_d = jnp.asarray(jax.device_get(vel_d))
-            ke = diag_mod.kinetic_energy(pm_d, vel_d)
-            pe = jnp.float32(self.G) * ewald_potential_energy(
-                pm_d, jnp.float32(self.config.box_size),
-                eps2=self.config.eps2, chunk=chunk,
+            pm_h = np.asarray(jax.device_get(self.state.pos_mass), np.float64)
+            vel_h = np.asarray(jax.device_get(self.state.vel), np.float64)
+            m = pm_h[:, 3:4]
+            ke = 0.5 * float(np.sum(m[:, 0] * np.sum(vel_h[:, :3] ** 2, axis=1)))
+            pe = float(self.G) * ewald_potential_energy_f64(
+                pm_h, float(self.config.box_size), eps2=self.config.eps2
             )
-            return jax.device_get(
-                diag_mod.Diagnostics(
-                    kinetic=ke,
-                    potential=pe,
-                    total_energy=ke + pe,
-                    momentum=diag_mod.momentum(pm_d, vel_d),
-                    angular_momentum=diag_mod.angular_momentum(pm_d, vel_d),
-                    total_mass=jnp.sum(pm_d[:, 3]),
-                )
+            mom = (m * vel_h[:, :3]).sum(axis=0)
+            ang = (m * np.cross(pm_h[:, :3], vel_h[:, :3])).sum(axis=0)
+            return diag_mod.Diagnostics(
+                kinetic=np.float64(ke),
+                potential=np.float64(pe),
+                total_energy=np.float64(ke + pe),
+                momentum=mom,
+                angular_momentum=ang,
+                total_mass=np.float64(m.sum()),
             )
         return jax.device_get(
             diag_mod.compute(

@@ -229,6 +229,78 @@ def wrap_box(pos: jax.Array, L: jax.Array | float) -> jax.Array:
     return pos - L * jnp.floor(pos / L)
 
 
+def ewald_potential_energy_f64(
+    pos_mass,
+    L: float,
+    *,
+    eps2: float = 1e-4,
+    sigma: float | None = None,
+    kmax: int | None = None,
+) -> float:
+    """Host (numpy) float64 twin of :func:`ewald_potential_energy` — the
+    form the engine's periodic DIAGNOSTICS must use.
+
+    The Ewald value is a catastrophic cancellation: the Gaussian
+    self-energy and neutralizing-background constants reach ~1e7-1e8 on
+    the uniform-box gate preset while the physical total is O(1e2), so a
+    float32 evaluation carries ~1e2 of rounding noise — measured: a 1e-5
+    position jitter (true dE ~ 1e-6) moved the f32 value by 86 at N=4k,
+    and the round-3 periodic "energy drift" of 1-4 units was exactly this
+    noise (config-independent across sigma/interlace/nbr_k, erratic under
+    dt scaling).  In f64 the same jitter moves the value by < 1e-6.
+    Terms and conventions identical to the f32 form above."""
+    import numpy as np
+    from scipy.special import erf as np_erf
+
+    x = np.asarray(pos_mass[:, :3], np.float64)
+    m = np.asarray(pos_mass[:, 3], np.float64)
+    L = float(L)
+    if sigma is None:
+        sigma = L / 16.0
+        kmax = 16 if kmax is None else kmax
+    sigma = float(sigma)
+    if kmax is None:
+        kmax = 16
+    n = x.shape[0]
+
+    # real space (min-image, f64 pair matrices bounded to ~0.8 GB)
+    chunk = max(1, (1 << 25) // max(n, 1))
+    u_real = 0.0
+    for s0 in range(0, n, chunk):
+        xt = x[s0 : s0 + chunk]
+        mt = m[s0 : s0 + chunk]
+        d = x[None, :, :] - xt[:, None, :]
+        d -= L * np.round(d / L)
+        r2 = np.einsum("ijk,ijk->ij", d, d)
+        mask = r2 > 0
+        r2s = np.where(mask, r2, 1.0)
+        r = np.sqrt(r2s)
+        psi_s = -1.0 / np.sqrt(r2s + eps2) + np_erf(r / (np.sqrt(2.0) * sigma)) / r
+        u_real += 0.5 * float(
+            np.sum(np.where(mask, psi_s, 0.0) * m[None, :] * mt[:, None])
+        )
+
+    # reciprocal space (half-space modes, doubled by the 4pi coefficient)
+    modes = np.asarray(_k_modes(kmax), np.float64)
+    kvec = (2.0 * np.pi / L) * modes
+    k2 = np.sum(kvec * kvec, axis=1)
+    damp = np.exp(-0.5 * k2 * sigma * sigma) / k2
+    nk = modes.shape[0]
+    pchunk = max(1, (1 << 24) // max(nk, 1))
+    sc = np.zeros(nk)
+    ss = np.zeros(nk)
+    for s0 in range(0, n, pchunk):
+        phase = x[s0 : s0 + pchunk] @ kvec.T
+        sc += m[s0 : s0 + pchunk] @ np.cos(phase)
+        ss += m[s0 : s0 + pchunk] @ np.sin(phase)
+    u_k = -(4.0 * np.pi / L**3) * float(np.sum(damp * (sc * sc + ss * ss)))
+
+    u_self = 0.5 * float(np.sum(m * m)) * np.sqrt(2.0 / np.pi) / sigma
+    msum = float(np.sum(m))
+    u_bg = np.pi * sigma * sigma * msum * msum / L**3
+    return u_real + u_k + u_self + u_bg
+
+
 def _k_modes(kmax: int) -> jnp.ndarray:
     """Integer reciprocal modes with ``0 < |n|_inf <= kmax``, deduplicated
     to half-space (lexicographically positive) — the sin/cos sum below

@@ -297,9 +297,11 @@ def accel_pm(
     semantics, ``util.js:48-54``); the box adapts to the real bodies each
     step.  Short-range pairs (≲ 3 cells) are grid-smoothed — that is the
     PM trade; see ``tests/test_pm.py`` for the quantified contract.
-    ``mesh_backend`` dispatches the deposit/gather: the MXU tile kernels
-    over a Morton sort on TPU (:func:`mesh_pallas.pm_accel`), the XLA
-    sort/segment-scan pipeline elsewhere; both are differentiable.
+    ``mesh_backend`` dispatches the deposit/gather: ``"auto"`` runs the
+    XLA sort/segment-scan pipeline (measured faster-or-par for 4-point
+    CIC at every N — see the dispatch comment below); explicit
+    ``"pallas"`` runs the MXU tile kernels over a Morton sort
+    (:func:`mesh_pallas.pm_accel`); both are differentiable.
 
     ``boundary="periodic"`` (requires ``box_size > 0``) solves on the
     triply-periodic torus ``[0, box_size)³`` instead: fixed cell size
@@ -352,9 +354,15 @@ def accel_pm(
     lo, h = _box(pos[:n_real], grid)
 
     block = divisor_block(n, 256)
+    # CIC stays on the XLA pipeline under "auto": measured on one v5e
+    # (benchmarks/mesh_kernel_bench.py, round 3) the 4-point CIC tile
+    # kernels are par at 2M (157 vs 152 ms/step) and SLOWER at 16M
+    # (1.54 vs 1.04 s/step) — too little deposit arithmetic per tile to
+    # beat XLA's sorted segment-sum, unlike P3M's 27-point TSC where the
+    # tile kernels win 6.6x on deposit.  Explicit mesh_backend="pallas"
+    # still dispatches the tile path.
     use_tiles = block % 128 == 0 and 32 <= grid <= 128 and (
         mesh_backend in ("pallas", "pallas_interpret")
-        or (mesh_backend == "auto" and jax.default_backend() == "tpu")
     )
     if use_tiles:
         # Tile path wants the Morton layout; physics is permutation-

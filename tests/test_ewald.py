@@ -159,6 +159,30 @@ def test_potential_energy_sigma_independent():
     assert u1 == pytest.approx(u2, rel=1e-6)  # kmax-truncation floor
 
 
+def test_potential_energy_f64_twin():
+    """The host numpy/f64 form (what the engine's periodic diagnostics
+    use — the f32 evaluation carries ~1e2 of self/background
+    cancellation noise, DESIGN.md periodic finding #7) matches the jnp
+    form under x64 and is sigma-independent."""
+    from nbody3d_tpu.ops.ewald import (
+        ewald_potential_energy,
+        ewald_potential_energy_f64,
+    )
+
+    pm_np = _rand_state(24, seed=2)
+    with jax.enable_x64(True):
+        u_jnp = float(
+            ewald_potential_energy(
+                jax.numpy.asarray(np.asarray(pm_np, np.float64)),
+                L, eps2=1e-4, sigma=L / 12, kmax=14,
+            )
+        )
+    u_np = ewald_potential_energy_f64(pm_np, L, eps2=1e-4, sigma=L / 12, kmax=14)
+    assert u_np == pytest.approx(u_jnp, rel=1e-12)
+    u_np2 = ewald_potential_energy_f64(pm_np, L, eps2=1e-4, sigma=L / 15, kmax=17)
+    assert u_np == pytest.approx(u_np2, rel=1e-7)
+
+
 def test_k_short_decays():
     """The short-range scalar is erfc-small past a few sigma (the cutoff
     rationale) and equals the softened exact scalar at r << sigma."""

@@ -913,14 +913,46 @@ def _make_sr_pallas_diff(
         import numpy as _np
 
         ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box = res
-        _, vjp = jax.vjp(
-            lambda ps_, sigma_, rcut_: _short_range_tiles(
-                ps_, nbr_idx, tile0, ntiles, eps2, sigma_, rcut_, block,
-                nbr_mask=nbr_mask, box=box if periodic else None,
-            ),
-            ps, sigma, rcut,
+        k = nbr_idx.shape[1]
+        # One whole-range jax.vjp stacks the (B, K*B) pair temporaries
+        # across every lax.map step as scan residuals — ~68 GB at
+        # N=2M/k=32 (measured OOM).  Chunk the backward over tile
+        # ranges instead: each chunk's vjp recomputes its own pair
+        # terms (residuals ~chunk*B*K*B*4 B ≈ 256 MB) and target-tile
+        # rows only touch their own chunk, while source (neighbor)
+        # cotangents scatter into the full-size dps accumulator.
+        chunk = max(1, min(ntiles, (1 << 26) // max(block * k * block, 1)))
+        while ntiles % chunk != 0:
+            chunk -= 1
+
+        def restricted(ps_, sigma_, rcut_, t0, ni, mi):
+            return _short_range_tiles(
+                ps_, ni, tile0 + t0, chunk, eps2, sigma_, rcut_, block,
+                nbr_mask=mi, box=box if periodic else None,
+            )
+
+        def body(c, acc):
+            dps_a, dsig_a, drc_a = acc
+            t0 = c * chunk
+            gi = lax.dynamic_slice_in_dim(g, t0 * block, chunk * block)
+            ni = lax.dynamic_slice_in_dim(nbr_idx, t0, chunk)
+            mi = lax.dynamic_slice_in_dim(nbr_mask, t0, chunk)
+            _, vjp = jax.vjp(
+                lambda ps_, s_, r_: restricted(ps_, s_, r_, t0, ni, mi),
+                ps, sigma, rcut,
+            )
+            dps_c, dsig_c, drc_c = vjp(gi)
+            return dps_a + dps_c, dsig_a + dsig_c, drc_a + drc_c
+
+        init = (
+            jnp.zeros_like(ps),
+            jnp.zeros_like(sigma),
+            jnp.zeros_like(rcut),
         )
-        dps, dsig, drc = vjp(g)
+        if ntiles // chunk == 1:
+            dps, dsig, drc = body(0, init)
+        else:
+            dps, dsig, drc = lax.fori_loop(0, ntiles // chunk, body, init)
         zi = lambda x: _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
         return (
             dps, zi(nbr_idx), zi(tile0), dsig, drc,

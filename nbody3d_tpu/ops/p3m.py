@@ -882,19 +882,278 @@ def _short_range_tiles_pallas(
     return out[:, :3]
 
 
+def _short_range_bwd_kernel(
+    tgt_rows_ref, nbr_ref, scal_ref, mask_ref,
+    tgt_ref, gtgt_ref, srcT_ref, gsrcT_ref,
+    dout_ref, dsig_ref, acc_ref, sacc_ref, *, b, eps2, knbr, periodic=False,
+):
+    """Backward of :func:`_short_range_kernel` as the SAME block-sparse
+    pass: because the neighbor relation is mutual (``mutual_neighbor_mask``
+    zeroes one-sided pairs on BOTH sides), every pair that contributes to
+    a row's cotangent — whether the row acted as target or as source —
+    appears on that row's OWN neighbor list, so the backward gathers the
+    neighbor tiles' cotangents exactly like the primal gathers positions
+    and never scatters.  Per pair (i target row, j source row, d = x_j −
+    x_i, k = pair scalar, k' = dk/dr², w_t = k·m_j, w_s = k·m_i):
+
+      dx_i = Σ_j [ 2k'(m_i (d·g_j) − m_j (d·g_i)) d + k (m_i g_j − m_j g_i) ]
+      dm_i = −Σ_j k (d·g_j)
+      dσ   = Σ_ij m_j (d·g_i) ∂k/∂σ   (emitted per target row, summed in XLA)
+
+    ``scal`` (SMEM f32[5]): [rcut², 1/(√2σ), (2/√π)/(√2σ), box L, 1/σ]."""
+    i = pl.program_id(0)
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    tgt = tgt_ref[...]
+    gtgt = gtgt_ref[...]
+    dx = srcT_ref[0:1, :] - tgt[:, 0:1]
+    dy = srcT_ref[1:2, :] - tgt[:, 1:2]
+    dz = srcT_ref[2:3, :] - tgt[:, 2:3]
+    if periodic:
+        box = scal_ref[3]
+        half = 0.5 * box
+        dx = dx - jnp.where(dx > half, box, 0.0) + jnp.where(dx < -half, box, 0.0)
+        dy = dy - jnp.where(dy > half, box, 0.0) + jnp.where(dy < -half, box, 0.0)
+        dz = dz - jnp.where(dz > half, box, 0.0) + jnp.where(dz < -half, box, 0.0)
+    r2 = dx * dx + (dy * dy + dz * dz)
+
+    pos = r2 > 0.0
+    r2s = jnp.where(pos, r2, 1.0)
+    inv_r = lax.rsqrt(r2s)
+    r = r2s * inv_r
+    inv_s = lax.rsqrt(r2s + jnp.float32(eps2))
+    a1c = scal_ref[1]  # 1/(sqrt2 sigma)
+    c2 = scal_ref[2]   # (2/sqrt(pi))/(sqrt2 sigma)
+    u = r * a1c
+    e = jnp.exp(-(u * u))
+    t = 1.0 / (1.0 + _AS_P * u)
+    a1, a2, a3, a4, a5 = _AS_A
+    erfc_u = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5)))) * e
+    a_sq = a1c * a1c  # 1/(2 sigma^2)
+    inv_sigma = scal_ref[4]
+    inv_s2 = inv_s * inv_s
+    inv_s3 = inv_s2 * inv_s
+    inv_s5 = inv_s3 * inv_s2
+    if periodic:
+        inv_r2 = inv_r * inv_r
+        inv_r3 = inv_r2 * inv_r
+        inv_r4 = inv_r2 * inv_r2
+        inv_r5 = inv_r3 * inv_r2
+        kshort = (inv_s3 - inv_r3) + erfc_u * inv_r3 + (c2 * e) * inv_r2
+        kprime = (
+            -1.5 * inv_s5 + 1.5 * inv_r5
+            - 0.5 * c2 * e * inv_r4
+            - 1.5 * erfc_u * inv_r5
+            + c2 * e * (-a_sq * inv_r2 - inv_r4)
+        )
+        ksig = (
+            _SQRT2 * c2 * u * e * inv_r3
+            + c2 * inv_sigma * (2.0 * u * u - 1.0) * e * inv_r2
+        )
+    else:
+        inv_r3 = inv_r * inv_r * inv_r
+        kshort = erfc_u * inv_s3 + (c2 * e) * (inv_s * inv_r)
+        kprime = (
+            -0.5 * c2 * e * inv_r * inv_s3
+            - 1.5 * erfc_u * inv_s5
+            + c2 * e * (
+                -a_sq * inv_s * inv_r
+                - 0.5 * inv_s3 * inv_r
+                - 0.5 * inv_s * inv_r3
+            )
+        )
+        ksig = (
+            _SQRT2 * c2 * u * e * inv_s3
+            + c2 * inv_sigma * (2.0 * u * u - 1.0) * e * (inv_s * inv_r)
+        )
+
+    gate = pos & (r2 < scal_ref[0])
+    ks_g = jnp.where(gate, kshort, 0.0)
+    kp_g = jnp.where(gate, kprime, 0.0)
+    ksig_g = jnp.where(gate, ksig, 0.0)
+
+    m_j = srcT_ref[3:4, :]
+    m_i = tgt[:, 3:4]
+    gx_i, gy_i, gz_i = gtgt[:, 0:1], gtgt[:, 1:2], gtgt[:, 2:3]
+    gx_j = gsrcT_ref[0:1, :]
+    gy_j = gsrcT_ref[1:2, :]
+    gz_j = gsrcT_ref[2:3, :]
+    dgi = dx * gx_i + dy * gy_i + dz * gz_i
+    dgj = dx * gx_j + dy * gy_j + dz * gz_j
+
+    coef = 2.0 * kp_g * (m_i * dgj - m_j * dgi)
+    mask_ik = mask_ref[i * knbr + k]
+    part = mask_ik * jnp.concatenate(
+        [
+            jnp.sum(coef * dx + ks_g * (m_i * gx_j - m_j * gx_i),
+                    axis=1, keepdims=True),
+            jnp.sum(coef * dy + ks_g * (m_i * gy_j - m_j * gy_i),
+                    axis=1, keepdims=True),
+            jnp.sum(coef * dz + ks_g * (m_i * gz_j - m_j * gz_i),
+                    axis=1, keepdims=True),
+            jnp.sum(-ks_g * dgj, axis=1, keepdims=True),
+        ],
+        axis=1,
+    )
+    spart = mask_ik * jnp.concatenate(
+        [
+            jnp.sum(m_j * dgi * ksig_g, axis=1, keepdims=True),
+            jnp.zeros((b, 3), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = part
+        sacc_ref[...] = spart
+
+    @pl.when(k > 0)
+    def _():
+        acc_ref[...] += part
+        sacc_ref[...] += spart
+
+    @pl.when(k == nk - 1)
+    def _():
+        dout_ref[...] = acc_ref[...]
+        dsig_ref[...] = sacc_ref[...]
+
+
+def _short_range_tiles_bwd_pallas(
+    ps: jax.Array,
+    g: jax.Array,
+    nbr_idx: jax.Array,
+    ntiles: int,
+    eps2: float,
+    sigma: jax.Array,
+    rcut: jax.Array,
+    block: int,
+    nbr_mask: jax.Array,
+    interpret: bool = False,
+    box: jax.Array | None = None,
+):
+    """FULL-RANGE backward of the Pallas short-range pass (every tile is a
+    target, which with the mutual mask makes the cotangent a pure gather —
+    see :func:`_short_range_bwd_kernel`).  Returns ``(dps (N,4), dsig)``;
+    the rcut cotangent is identically zero (rcut only gates a ``where``).
+    Same SMEM chunking discipline as the primal wrapper."""
+    k = nbr_idx.shape[1]
+    psT = ps.T
+    g4 = jnp.concatenate([g, jnp.zeros((g.shape[0], 1), jnp.float32)], axis=1)
+    g4T = g4.T
+    scal = jnp.stack(
+        [
+            rcut * rcut,
+            1.0 / (_SQRT2 * sigma),
+            _TWO_OVER_SQRT_PI / (_SQRT2 * sigma),
+            jnp.float32(0.0) + (box if box is not None else 0.0),
+            1.0 / sigma,
+        ]
+    ).astype(jnp.float32)
+
+    chunk = ntiles
+    while chunk * k * 8 > _SR_SMEM_BUDGET or ntiles % chunk != 0:
+        chunk -= 1
+
+    kernel = functools.partial(
+        _short_range_bwd_kernel, b=block, eps2=float(eps2), knbr=k,
+        periodic=box is not None,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(chunk, k),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flat mutual mask
+            pl.BlockSpec(
+                (block, 4),
+                lambda i, j, rows, nbr: (rows[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block, 4),
+                lambda i, j, rows, nbr: (rows[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, block),
+                lambda i, j, rows, nbr: (0, nbr[i * k + j]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, block),
+                lambda i, j, rows, nbr: (0, nbr[i * k + j]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (block, 4), lambda i, j, rows, nbr: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (block, 4), lambda i, j, rows, nbr: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block, 4), jnp.float32),
+            pltpu.VMEM((block, 4), jnp.float32),
+        ],
+    )
+    call = functools.partial(
+        pl.pallas_call,
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((chunk * block, 4), jnp.float32),
+            jax.ShapeDtypeStruct((chunk * block, 4), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=80 * chunk * block * k * block,
+            bytes_accessed=chunk * k * block * 64,
+            transcendentals=2 * chunk * block * k * block,
+        ),
+        interpret=interpret,
+    )()
+    douts, dsig = [], jnp.float32(0.0)
+    for c in range(ntiles // chunk):
+        rows = jnp.arange(c * chunk, (c + 1) * chunk, dtype=jnp.int32)
+        flat = lax.dynamic_slice_in_dim(
+            nbr_idx, c * chunk, chunk
+        ).reshape(-1)
+        msk = lax.dynamic_slice_in_dim(nbr_mask, c * chunk, chunk).reshape(-1)
+        dout_c, dsig_c = call(rows, flat, scal, msk, ps, g4, psT, g4T)
+        douts.append(dout_c)
+        dsig = dsig + jnp.sum(dsig_c[:, 0])
+    dps = douts[0] if len(douts) == 1 else jnp.concatenate(douts, axis=0)
+    return dps, dsig
+
+
 @functools.lru_cache(maxsize=None)
 def _make_sr_pallas_diff(
     ntiles: int, eps2: float, block: int, interpret: bool,
-    periodic: bool = False,
+    periodic: bool = False, full_range: bool = False,
 ):
-    """Differentiable pairing for the short-range kernel: Pallas primal,
-    jnp-oracle backward — ``jax.grad`` through a ``short_backend="pallas"``
-    P3M step works at kernel speed forward and oracle speed backward (the
-    two forms compute the same pair sum to ~1e-6, so the pairing error is
-    the same class as the forward bf16-vs-ideal trade in
-    :func:`force_vjp.make_diff_accel`).  The mask cotangent is zero: the
+    """Differentiable pairing for the short-range kernel.  Primal: the
+    block-sparse Pallas pass.  Backward: with ``full_range=True`` (every
+    tile a target — the single-chip calls), the hand-written Pallas
+    backward kernel (:func:`_short_range_tiles_bwd_pallas`, same
+    block-sparse schedule, gathers cotangents via the mutual-neighbor
+    symmetry); otherwise the jnp-oracle vjp CHUNKED over tile ranges (a
+    whole-range vjp stacks the (B, K·B) pair temporaries across every
+    ``lax.map`` step as scan residuals — ~68 GB at N=2M, measured OOM).
+    The two forms compute the same pair sum to ~1e-6, so the pairing
+    error is the same class as the forward bf16-vs-ideal trade in
+    :func:`force_vjp.make_diff_accel`.  The mask cotangent is zero: the
     mask is a piecewise-constant gate of the (non-differentiable) top-k
-    selection, constant almost everywhere in positions."""
+    selection, constant almost everywhere in positions.  The rcut
+    cotangent is zero on both paths (rcut only gates a ``where``)."""
 
     @jax.custom_vjp
     def f(ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box):
@@ -913,6 +1172,20 @@ def _make_sr_pallas_diff(
         import numpy as _np
 
         ps, nbr_idx, tile0, sigma, rcut, nbr_mask, box = res
+        zi = lambda x: _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
+        if full_range:
+            # Every tile is a target => the cotangent is a pure gather
+            # over each tile's own neighbor list (mutual mask) — run it
+            # as the same block-sparse Pallas pass as the primal.
+            dps, dsig = _short_range_tiles_bwd_pallas(
+                ps, g, nbr_idx, ntiles, eps2, sigma, rcut, block,
+                nbr_mask=nbr_mask, interpret=interpret,
+                box=box if periodic else None,
+            )
+            return (
+                dps, zi(nbr_idx), zi(tile0), dsig, jnp.zeros_like(rcut),
+                jnp.zeros_like(nbr_mask), jnp.zeros_like(box),
+            )
         k = nbr_idx.shape[1]
         # One whole-range jax.vjp stacks the (B, K*B) pair temporaries
         # across every lax.map step as scan residuals — ~68 GB at
@@ -979,7 +1252,8 @@ def short_range_tiles(
 ) -> jax.Array:
     """Short-range correction dispatch: ``backend="auto"`` runs the Pallas
     kernel on TPU and the jnp form elsewhere.  The Pallas path carries a
-    custom VJP (jnp-oracle backward, :func:`_make_sr_pallas_diff`) so
+    custom VJP (:func:`_make_sr_pallas_diff`: Pallas backward kernel for
+    full-range calls, chunked jnp-oracle vjp for tile-range slices) so
     P3M stays differentiable on every backend.  ``box``: periodic box
     size — minimum-image pair math with the periodic split scalar."""
     if backend == "auto":
@@ -987,8 +1261,14 @@ def short_range_tiles(
     if backend == "pallas":
         if nbr_mask is None:
             nbr_mask = jnp.ones(nbr_idx.shape, jnp.float32)
+        full_range = (
+            isinstance(tile0, int)
+            and tile0 == 0
+            and ntiles == ps.shape[0] // block
+        )
         f = _make_sr_pallas_diff(
-            ntiles, float(eps2), block, interpret, periodic=box is not None
+            ntiles, float(eps2), block, interpret, periodic=box is not None,
+            full_range=full_range,
         )
         return f(
             ps, nbr_idx, jnp.asarray(tile0, jnp.int32), sigma, rcut,

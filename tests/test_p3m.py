@@ -413,6 +413,83 @@ class TestMachinery:
             p3m_mod._SR_SMEM_BUDGET = old_budget
         np.testing.assert_array_equal(got_chunked, got)
 
+    def test_short_range_pallas_bwd_sigma_and_periodic(self, clustered):
+        """The full-range Pallas BACKWARD (one block-sparse gather pass,
+        :func:`_short_range_bwd_kernel`) matches the jnp-AD oracle for the
+        sigma cotangent (feeds dps through the adaptive box in accel_p3m)
+        and for the periodic pair kernel."""
+        from nbody3d_tpu.ops.morton import morton_keys
+        from nbody3d_tpu.ops.p3m import (
+            DEFAULT_RCUT_SIGMAS,
+            DEFAULT_SIGMA_CELLS,
+            _select_neighbors,
+            _sorted_aabbs,
+            mutual_neighbor_mask,
+            short_range_tiles,
+        )
+
+        pm, _, n = clustered
+        block, grid = 128, 32
+        _, h = _box(pm[:n, :3], grid)
+        sigma0 = DEFAULT_SIGMA_CELLS * h
+        rcut = DEFAULT_RCUT_SIGMAS * sigma0
+        keys = morton_keys(pm, n)
+        ps = pm[jnp.argsort(keys, stable=True)]
+        lo_b, hi_b = _sorted_aabbs(ps, n, block)
+        nb = int(pm.shape[0]) // block
+        kth, neg, idx = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k=8)
+        mask = mutual_neighbor_mask(neg, idx, kth)
+
+        def loss(backend, box=None):
+            def f(sigma_):
+                out = short_range_tiles(
+                    ps, idx, 0, nb, EPS2, sigma_, rcut, block,
+                    nbr_mask=mask, backend=backend, interpret=True, box=box,
+                )
+                return jnp.sum(out * jnp.cos(jnp.arange(out.size)
+                                             .reshape(out.shape) * 0.1))
+            return f
+
+        ds_jnp = float(jax.grad(loss("jnp"))(sigma0))
+        ds_pal = float(jax.grad(loss("pallas"))(sigma0))
+        assert ds_pal == pytest.approx(ds_jnp, rel=1e-3)
+
+        # periodic variant: position AND sigma cotangents
+        L = jnp.float32(float(jnp.max(jnp.abs(ps[:n, :3]))) * 2.5)
+        psw = jnp.concatenate(
+            [jnp.mod(ps[:, :3], L), ps[:, 3:4]], axis=1
+        )
+        lo_b, hi_b = _sorted_aabbs(psw, n, block)
+        kth, neg, idx = _select_neighbors(lo_b, hi_b, 0, nb, h, nbr_k=8, L=L)
+        mask = mutual_neighbor_mask(neg, idx, kth)
+
+        def loss_pos(backend):
+            def f(ps_):
+                out = short_range_tiles(
+                    ps_, idx, 0, nb, EPS2, sigma0, rcut, block,
+                    nbr_mask=mask, backend=backend, interpret=True, box=L,
+                )
+                return jnp.sum(out * out)
+            return f
+
+        g_jnp = np.asarray(jax.grad(loss_pos("jnp"))(psw))
+        g_pal = np.asarray(jax.grad(loss_pos("pallas"))(psw))
+        gscale = np.abs(g_jnp).max()
+        np.testing.assert_allclose(g_pal, g_jnp, rtol=1e-4, atol=1e-5 * gscale)
+
+        def loss_sig(backend):
+            def f(sigma_):
+                out = short_range_tiles(
+                    psw, idx, 0, nb, EPS2, sigma_, rcut, block,
+                    nbr_mask=mask, backend=backend, interpret=True, box=L,
+                )
+                return jnp.sum(out * out)
+            return f
+
+        ds_jnp = float(jax.grad(loss_sig("jnp"))(sigma0))
+        ds_pal = float(jax.grad(loss_sig("pallas"))(sigma0))
+        assert ds_pal == pytest.approx(ds_jnp, rel=1e-3)
+
     def test_auto_block(self):
         assert p3m_block(8192) == 256
         assert p3m_block(256 * 65536) == 256  # 16M bodies still 256-tiles

@@ -63,6 +63,16 @@ _BX = 32
 _BY = 40
 _BZ = 32
 
+# Periodic halo pads (see :func:`tile_corners` ``periodic``): positions
+# are pre-wrapped to [0, L) so raw cells never wrap — only the ±1 TSC
+# stencil spills across the box faces.  x/y spill rides a 1-cell halo on
+# the padded grid (x: 1 low + 1 high; y: 1 low + 7 slack so the sublane
+# clip bounds stay 8-aligned), folded/prefilled by one cheap XLA
+# concat/add outside the kernel; z spill wraps INSIDE the kernel for
+# free because z already goes through a one-hot shift matmul (``zmod``).
+_PADX = 2
+_PADY = 8
+
 
 def _extents(grid: int) -> tuple[int, int, int]:
     return min(_BX, grid), min(_BY, grid), min(_BZ, grid)
@@ -78,7 +88,8 @@ def _axis_weights(f: jax.Array):
     )
 
 
-def tile_corners(c: jax.Array, block: int, grid: int, order: int = 3):
+def tile_corners(c: jax.Array, block: int, grid: int, order: int = 3,
+                 periodic: bool = False):
     """Per-tile box corners + per-particle validity, in integer cell
     coordinates (so the kernel and the XLA repair pass agree exactly).
 
@@ -88,12 +99,36 @@ def tile_corners(c: jax.Array, block: int, grid: int, order: int = 3):
     valid (N,) bool, dirty (nt,) bool)`` where a particle is valid iff
     its full stencil lies inside its tile's box and ``dirty`` marks
     tiles with any invalid particle.
+
+    ``periodic`` (TSC only): corners address the HALO-PADDED grid —
+    cell ``g`` lives at padded x/y row ``g + 1`` and the stencil's wrap
+    spill lands in the halos (folded/prefilled by :func:`fold_wrap_xy` /
+    :func:`pad_wrap_xy`); the z corner is RAW ``cmin - 1`` (may be -1)
+    because z wraps inside the kernel via the ``zmod`` shift matmul.
+    Kernels must then receive the padded cells ``c + (1, 1, 0)``
+    (:func:`pad_cells`).
     """
     bx, by, bz = _extents(grid)
     lb = 1 if order == 3 else 0
     nt = c.shape[0] // block
     ct = c.reshape(nt, block, 3)
     cmin = jnp.min(ct, axis=1)
+    if periodic:
+        if order != 3:
+            raise ValueError("periodic tile corners are TSC-only")
+        # Padded x/y coords: pmin - 1 = cmin (low halo of exactly lb=1),
+        # upper clips against the padded extent.  Low clipping never
+        # binds (cmin >= 0), so the lb >= 1 validity bound below is
+        # automatically satisfiable for every in-box particle.
+        cx0 = jnp.clip(cmin[:, 0], 0, grid + _PADX - bx)
+        cy0 = jnp.clip(cmin[:, 1] & ~7, 0, (grid + _PADY - by) & ~7)
+        cz0 = cmin[:, 2] - 1  # raw; may be -1 — zmod wraps in-kernel
+        corners = jnp.stack([cx0, cy0, cz0], axis=1)
+        lv = ct + jnp.array([1, 1, 0], jnp.int32) - corners[:, None, :]
+        ub = jnp.array([bx - 2, by - 2, bz - 2], jnp.int32)
+        valid = jnp.all((lv >= 1) & (lv <= ub), axis=2)
+        dirty = ~jnp.all(valid, axis=1)
+        return corners, valid.reshape(-1), dirty
     cx0 = jnp.clip(cmin[:, 0] - lb, 0, grid - bx)
     # The y (sublane) corner must stay 8-aligned INCLUDING after the
     # upper clip: Mosaic floors dynamic sublane offsets to 8, so an
@@ -157,6 +192,16 @@ def _kron_weights_t(
     )
 
 
+def _zwrap(zg: jax.Array, zmod: int) -> jax.Array:
+    """Wrap global z rows ``zg = k + cz0`` onto the torus.  Range is
+    [-1, zmod + bz - 3] (cz0 ∈ [-1, zmod-2], k < bz ≤ zmod), so one
+    conditional add/sub per side replaces a full mod."""
+    if not zmod:
+        return zg
+    zg = jnp.where(zg < 0, zg + zmod, zg)
+    return jnp.where(zg >= zmod, zg - zmod, zg)
+
+
 def _valid_gate(cxl, cyl, czl, bx, by, bz, order):
     lb = 1 if order == 3 else 0
     ok = (
@@ -168,7 +213,8 @@ def _valid_gate(cxl, cyl, czl, bx, by, bz, order):
 
 
 def _deposit_kernel(
-    corn_ref, c_ref, fm_ref, out_ref, *, block, grid, bx, by, bz, order
+    corn_ref, c_ref, fm_ref, out_ref, *, block, grid, bx, by, bz, order,
+    zmod=0,
 ):
     """One Morton tile: box-local one-hot TSC deposit via two matmuls.
 
@@ -221,7 +267,7 @@ def _deposit_kernel(
 
     ks = lax.broadcasted_iota(jnp.int32, (bz, grid), 0)
     zs = lax.broadcasted_iota(jnp.int32, (bz, grid), 1)
-    s = (zs == ks + cz0).astype(jnp.float32)
+    s = (zs == _zwrap(ks + cz0, zmod)).astype(jnp.float32)
     full = lax.dot_general(
         local, s, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -238,7 +284,7 @@ def _deposit_kernel(
 
 def _gather_kernel(
     corn_ref, c_ref, fm_ref, g_ref, out_ref, *, block, grid, bx, by, bz,
-    order, ncomp
+    order, ncomp, zmod=0
 ):
     """One Morton tile: box-local one-hot TSC interpolation of ``ncomp``
     force grids.  Per component: z-shift matmul compacts the full-lane
@@ -266,7 +312,7 @@ def _gather_kernel(
 
     ks = lax.broadcasted_iota(jnp.int32, (grid, bz), 1)
     zs = lax.broadcasted_iota(jnp.int32, (grid, bz), 0)
-    st = (zs == ks + cz0).astype(jnp.float32)  # (G, bz)
+    st = (zs == _zwrap(ks + cz0, zmod)).astype(jnp.float32)  # (G, bz)
 
     # (4, P) output assembled by sublane select (no in-kernel
     # stack/concat: both build vectors along a new dim, the unsupported
@@ -312,6 +358,38 @@ def _corners4(corners: jax.Array) -> jax.Array:
     ).reshape(nt, 1, 4)
 
 
+def pad_cells(c: jax.Array) -> jax.Array:
+    """Raw cells → the padded x/y coordinates the periodic kernels take
+    (cell ``g`` lives at padded row ``g + 1``; z stays raw — it wraps
+    in-kernel).  Must pair with ``tile_corners(..., periodic=True)``."""
+    return c + jnp.array([1, 1, 0], jnp.int32)
+
+
+def fold_wrap_xy(padded: jax.Array, grid: int) -> jax.Array:
+    """Fold the periodic deposit's x/y halos back onto the torus:
+    ``(G+_PADX, G+_PADY, G)`` → ``(G, G, G)``.  x first across the full
+    padded y width so corner (x AND y spill) contributions flow through
+    both folds; y halo rows past ``grid + 1`` are identically zero (the
+    TSC stencil reaches at most padded row ``grid + 1``)."""
+    x = padded[1:grid + 1]
+    x = x.at[0].add(padded[grid + 1]).at[grid - 1].add(padded[0])
+    r = x[:, 1:grid + 1]
+    return r.at[:, 0].add(x[:, grid + 1]).at[:, grid - 1].add(x[:, 0])
+
+
+def pad_wrap_xy(grids: jax.Array, grid: int) -> jax.Array:
+    """Prefill the periodic gather's x/y wrap halos: ``(3, G³)`` force
+    grids → ``(3, G+_PADX, G+_PADY, G)`` where padded row 0 is the
+    wrapped last row, row ``G+1`` the wrapped first, and the y slack
+    rows are zero (read only through zero one-hot weights)."""
+    g = grids.reshape(3, grid, grid, grid)
+    gx = jnp.concatenate([g[:, grid - 1:], g, g[:, :1]], axis=1)
+    slack = jnp.zeros((3, grid + _PADX, _PADY - 2, grid), jnp.float32)
+    return jnp.concatenate(
+        [gx[:, :, grid - 1:], gx, gx[:, :, :1], slack], axis=2
+    )
+
+
 def deposit_tiles(
     c: jax.Array,
     f: jax.Array,
@@ -321,16 +399,24 @@ def deposit_tiles(
     block: int,
     order: int = 3,
     interpret: bool = False,
+    zmod: int = 0,
 ) -> jax.Array:
     """Fast-path deposit of all VALID particles → ``(grid,)*3`` density.
     Invalid particles (see :func:`tile_corners`) contribute zero here and
-    must be added by :func:`repair_deposit`."""
+    must be added by :func:`repair_deposit`.
+
+    ``zmod=grid`` is the periodic form: ``c`` must be the PADDED cells
+    (:func:`pad_cells`), corners from ``tile_corners(periodic=True)``,
+    and the output is the halo-padded ``(G+_PADX, G+_PADY, G)`` grid to
+    be folded by :func:`fold_wrap_xy`."""
     bx, by, bz = _extents(grid)
+    gx = grid + _PADX if zmod else grid
+    gy = grid + _PADY if zmod else grid
     nt = c.shape[0] // block
     c4, fm = _mesh_call_args(c, f, mass)
     kernel = functools.partial(
         _deposit_kernel, block=block, grid=grid, bx=bx, by=by, bz=bz,
-        order=order,
+        order=order, zmod=zmod,
     )
     return pl.pallas_call(
         kernel,
@@ -344,10 +430,10 @@ def deposit_tiles(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (grid, grid, grid), lambda t: (0, 0, 0),
+            (gx, gy, grid), lambda t: (0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((grid, grid, grid), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gx, gy, grid), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,

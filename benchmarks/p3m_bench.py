@@ -36,9 +36,24 @@ def galaxy_state(n, seed=0):
     return init_state(pos_mass, vel, n_pad=-(-pos_mass.shape[0] // 2048) * 2048)
 
 
-def bench_n(n, grid, nbr_k, steps=10, reps=3):
-    cfg = SimConfig(method="p3m", pm_grid=grid, p3m_nbr_k=nbr_k)
-    state = galaxy_state(n)
+def box_state(n, box, seed=0):
+    """Periodic workload: the uniform-box preset on the torus [0, box)³."""
+    from nbody3d_tpu.models.registry import make_preset
+
+    pos_mass, vel, _ = make_preset(
+        "uniform-box", seed=seed, G=1e-4, n=n, box_size=box
+    )
+    return init_state(pos_mass, vel, n_pad=-(-pos_mass.shape[0] // 2048) * 2048)
+
+
+def bench_n(n, grid, nbr_k, steps=10, reps=3, boundary="isolated",
+            box=10.0, interlace=False):
+    cfg = SimConfig(
+        method="p3m", pm_grid=grid, p3m_nbr_k=nbr_k, boundary=boundary,
+        box_size=box if boundary == "periodic" else 0.0,
+        mesh_interlace=interlace,
+    )
+    state = box_state(n, box) if boundary == "periodic" else galaxy_state(n)
     n_pad = state.pos_mass.shape[0]
     step = make_step_fn(cfg, n_pad, n)
     run = make_scan_fn(step)
@@ -52,8 +67,11 @@ def bench_n(n, grid, nbr_k, steps=10, reps=3):
         times.append((time.perf_counter() - t0) / steps)
     med = sorted(times)[len(times) // 2]
     eq = n * n / med / 1e9
+    tag = "" if boundary == "isolated" else (
+        " periodic+interlace" if interlace else " periodic"
+    )
     print(
-        f"N={n:>9,}  grid={grid} k={nbr_k}  {med*1e3:8.2f} ms/step  "
+        f"N={n:>9,}  grid={grid} k={nbr_k}{tag}  {med*1e3:8.2f} ms/step  "
         f"{1/med:7.2f} steps/s  direct-equivalent {eq:10.1f} G-int/s",
         flush=True,
     )
@@ -91,12 +109,20 @@ def main():
     ap.add_argument("--ns", default="262144,2097152")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--skip-accuracy", action="store_true")
+    ap.add_argument("--boundary", default="isolated",
+                    choices=["isolated", "periodic"])
+    ap.add_argument("--box-size", type=float, default=10.0)
+    ap.add_argument("--interlace", action="store_true",
+                    help="periodic only: Hockney-Eastwood force-average "
+                    "(2x mesh cost, ~10x lower mesh force error)")
     args = ap.parse_args()
     print(f"platform: {jax.devices()[0].platform}", flush=True)
-    if not args.skip_accuracy:
+    if not args.skip_accuracy and args.boundary == "isolated":
         accuracy_probe(min(args.grid, 128), args.nbr_k)
     for n in [int(x) for x in args.ns.split(",")]:
-        bench_n(n, args.grid, args.nbr_k, steps=args.steps)
+        bench_n(n, args.grid, args.nbr_k, steps=args.steps,
+                boundary=args.boundary, box=args.box_size,
+                interlace=args.interlace)
 
 
 if __name__ == "__main__":

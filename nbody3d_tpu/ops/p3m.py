@@ -1294,6 +1294,7 @@ def _accel_p3m_periodic(
     nbr_k: int,
     order: int,
     short_backend: str,
+    mesh_backend: str,
     box_size: float,
     interlace: bool = False,
 ) -> jax.Array:
@@ -1302,8 +1303,13 @@ def _accel_p3m_periodic(
     (:func:`ewald.spectral_accel_grids`, Gaussian split width
     ``sigma = sigma_cells·L/grid``) + minimum-image short-range pairs of
     :func:`ewald.k_short_periodic` over the same Morton-sorted
-    block-sparse tile machinery as the isolated solver."""
-    from nbody3d_tpu.ops.ewald import spectral_accel_grids, wrap_box
+    block-sparse tile machinery as the isolated solver.  The mesh leg
+    dispatches through :func:`mesh_pallas.mesh_accel_periodic`: the
+    wrap-aware MXU tile kernels on TPU at order 3 (round 4 — the leg
+    previously always paid the XLA deposit/gather bottleneck), the XLA
+    forms elsewhere."""
+    from nbody3d_tpu.ops.ewald import wrap_box
+    from nbody3d_tpu.ops.mesh_pallas import mesh_accel_periodic
 
     if box_size <= 0:
         raise ValueError("boundary='periodic' requires box_size > 0")
@@ -1340,18 +1346,15 @@ def _accel_p3m_periodic(
     # WORSE at grid >= 64 — it breaks the deposit<->gather alias
     # cancellation of the matched assignment pair; see ewald.py.)
     def mesh_leg(shift):
+        # The interlaced leg's half-cell shift moves each tile's cell
+        # box by at most one cell, so the Morton tiling stays local and
+        # the same tile machinery serves both legs.
         posw = wrap_box(ps[:, :3] + shift, L)
-        if order == 3:
-            rho = tsc_deposit(posw, ps[:, 3], lo, h, grid, periodic=True)
-            grids = spectral_accel_grids(rho, L, sigma, order=3)
-            c, w, _ = _tsc_cells(posw, lo, h, grid, periodic=True)
-            return tsc_gather(grids, c, w, grid)
-        from nbody3d_tpu.ops import pm as pm_mod
-
-        rho = pm_mod.cic_deposit(posw, ps[:, 3], lo, h, grid, periodic=True)
-        grids = spectral_accel_grids(rho, L, sigma, order=2)
-        i0, fr = pm_mod._cic_cells(posw, lo, h, grid, periodic=True)
-        return pm_mod.cic_gather(grids, i0, fr, grid)
+        psw = jnp.concatenate([posw, ps[:, 3:4]], axis=1)
+        return mesh_accel_periodic(
+            psw, L, sigma, grid=grid, block=block, order=order,
+            backend=mesh_backend,
+        )
 
     acc = mesh_leg(jnp.float32(0.0))
     if interlace:
@@ -1422,9 +1425,9 @@ def accel_p3m(
     kernel, no per-step box fit), the mass-hierarchy split is off
     (``heavy_k`` ignored: exact heavy pairs have no periodic form without
     their own Ewald sum, and periodic volumes are mass-uniform use
-    cases), and the mesh runs the XLA deposit/gather (the MXU tile
-    kernels assume the non-wrapping layout; a wrap-aware variant is
-    future work)."""
+    cases); the mesh leg runs the wrap-aware MXU tile kernels on TPU
+    (:func:`mesh_pallas.mesh_accel_periodic`) and the roll-based XLA
+    deposit/gather elsewhere."""
     from nbody3d_tpu.ops.mesh_pallas import mesh_accel
 
     n = pos_mass.shape[0]
@@ -1439,7 +1442,8 @@ def accel_p3m(
             pos_mass, G, grid=grid, eps2=eps2, n_real=n_real,
             sigma_cells=sigma_cells, rcut_sigmas=rcut_sigmas, block=block,
             nbr_k=nbr_k, order=order, short_backend=short_backend,
-            box_size=box_size, interlace=interlace,
+            mesh_backend=mesh_backend, box_size=box_size,
+            interlace=interlace,
         )
     if boundary != "isolated":
         raise ValueError(f"unknown boundary {boundary!r}")

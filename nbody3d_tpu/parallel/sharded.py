@@ -715,7 +715,6 @@ def make_p3m_sharded_step(
                 f"P3M periodic: rcut {rcut_static:.3g} >= L/2 — raise grid"
             )
         heavy_k = 0  # no periodic form for exact heavy pairs (DESIGN.md)
-        use_tiles = False  # MXU mesh tile kernels assume non-wrapping layout
 
     def local_step(pos_mass, vel, accel, step, dt, G):
         my = jnp.int32(0)
@@ -777,45 +776,67 @@ def make_p3m_sharded_step(
             # either way.  Wire-neutral vs the old resident-rows layout: the
             # all-gather of per-row sorted values below already existed for
             # the short-range pass, and now carries mesh+short together.
-            c, w, f = p3m_ops._tsc_cells(pos_s, lo, h, grid, periodic)
-            if use_tiles:
-                corners, validp, dirty = mp.tile_corners(c, block, grid)
-                rho = mp.deposit_tiles(c, f, mass_s, corners, grid, block,
-                                       interpret=interpret)
-                rho = mp.repair_deposit(rho, c, w, mass_s, validp, dirty, rt,
-                                        grid, block)
-            else:
-                rho = p3m_ops.tsc_deposit(
-                    pos_s, mass_s, lo, h, grid, periodic
-                )
-            rho = lax.psum(rho, axis)
-            if periodic:
-                from nbody3d_tpu.ops.ewald import spectral_accel_grids, wrap_box
+            from nbody3d_tpu.ops.ewald import spectral_accel_grids, wrap_box
 
-                grids = spectral_accel_grids(rho, L, sigma, order=3)
-            else:
-                grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma, order=3)
-            if use_tiles:
-                acc_m = mp.gather_tiles(grids, c, f, corners, grid, block,
-                                        interpret=interpret)
-                acc_m = mp.repair_gather(acc_m, grids, c, w, validp, dirty, rt,
-                                         grid, block)
-            else:
-                acc_m = p3m_ops.tsc_gather(grids, c, w, grid)
+            def mesh_leg(pos_leg):
+                # One full deposit → psum → solve → gather leg at these
+                # (periodic: pre-wrapped) positions, on the tile kernels
+                # or the XLA forms per the resolved backend.  Periodic
+                # tiles are the wrap-aware form: halo-padded deposit
+                # folded onto the torus BEFORE the grid psum (fold is
+                # linear, and folding first keeps the psum at G³), halo-
+                # prefilled gather, mod-grid repair.
+                c, w, f = p3m_ops._tsc_cells(pos_leg, lo, h, grid, periodic)
+                if use_tiles:
+                    corners, validp, dirty = mp.tile_corners(
+                        c, block, grid, periodic=periodic
+                    )
+                    if periodic:
+                        rho = mp.fold_wrap_xy(
+                            mp.deposit_tiles(
+                                mp.pad_cells(c), f, mass_s, corners, grid,
+                                block, interpret=interpret, zmod=grid,
+                            ),
+                            grid,
+                        )
+                    else:
+                        rho = mp.deposit_tiles(c, f, mass_s, corners, grid,
+                                               block, interpret=interpret)
+                    rho = mp.repair_deposit(rho, c, w, mass_s, validp, dirty,
+                                            rt, grid, block,
+                                            periodic=periodic)
+                else:
+                    rho = p3m_ops.tsc_deposit(pos_leg, mass_s, lo, h, grid,
+                                              periodic)
+                rho = lax.psum(rho, axis)
+                if periodic:
+                    grids = spectral_accel_grids(rho, L, sigma, order=3)
+                else:
+                    grids = p3m_ops.solve_accel_long(rho, h, eps2, sigma,
+                                                     order=3)
+                if use_tiles:
+                    if periodic:
+                        acc_leg = mp.gather_tiles(
+                            mp.pad_wrap_xy(grids, grid), mp.pad_cells(c), f,
+                            corners, grid, block, interpret=interpret,
+                            zmod=grid,
+                        )
+                    else:
+                        acc_leg = mp.gather_tiles(grids, c, f, corners, grid,
+                                                  block, interpret=interpret)
+                    return mp.repair_gather(acc_leg, grids, c, w, validp,
+                                            dirty, rt, grid, block,
+                                            periodic=periodic)
+                return p3m_ops.tsc_gather(grids, c, w, grid)
+
+            acc_m = mesh_leg(pos_s)
             if periodic and config.mesh_interlace:
                 # Hockney-Eastwood force-average: a second full mesh leg
-                # with the grid offset by half a cell (wrap-aware XLA
-                # forms — the tile kernels assume the unshifted Morton
-                # layout), forces averaged; grid-locked odd-image alias
-                # errors flip sign and cancel (see ops/p3m.py).
-                pos_i = wrap_box(pos_s + 0.5 * h, L)
-                rho_i = lax.psum(
-                    p3m_ops.tsc_deposit(pos_i, mass_s, lo, h, grid, True),
-                    axis,
-                )
-                grids_i = spectral_accel_grids(rho_i, L, sigma, order=3)
-                c_i, w_i, _ = p3m_ops._tsc_cells(pos_i, lo, h, grid, True)
-                acc_m = 0.5 * (acc_m + p3m_ops.tsc_gather(grids_i, c_i, w_i, grid))
+                # with the grid offset by half a cell (the shifted leg
+                # re-derives its own tile validity, so the tile kernels
+                # serve it too); grid-locked odd-image alias errors flip
+                # sign and cancel (see ops/p3m.py).
+                acc_m = 0.5 * (acc_m + mesh_leg(wrap_box(pos_s + 0.5 * h, L)))
             # Net-force projection (see accel_p3m): momentum-restoring frame
             # correction for the deconv-amplified FFT noise; reductions span
             # the mesh via psum (sorted slices partition the same rows).

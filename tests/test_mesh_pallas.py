@@ -324,3 +324,150 @@ class TestSplitGather:
         finally:
             mp._GATHER_SPLIT_BYTES = old
         np.testing.assert_array_equal(np.asarray(one), np.asarray(split))
+
+
+class TestPeriodicTileMesh:
+    """Wrap-aware (torus) tile kernels vs the periodic XLA oracles.
+
+    The periodic form routes the x/y TSC stencil spill through halo rows
+    (deposit: fold_wrap_xy; gather: pad_wrap_xy) and wraps z inside the
+    kernel via the one-hot shift matmul (zmod); the fixture pins
+    particles onto faces, edges, and corners of the box so every wrap
+    path (single-axis, two-axis, three-axis spill) is exercised, plus a
+    seam-straddling Morton tile so the periodic repair pass runs.
+    """
+
+    L = 10.0
+
+    def _periodic_cloud(self, n=4096, seed=11, grid=GRID, block=BLOCK):
+        from nbody3d_tpu.ops.ewald import wrap_box
+
+        rng = np.random.default_rng(seed)
+        pos = rng.uniform(0.0, self.L, size=(n, 3)).astype(np.float32)
+        # Face/edge/corner hugging particles: wrap spill in 1/2/3 axes,
+        # including exactly-on-boundary coordinates (cell 0 with f<0).
+        k = 256
+        face = rng.uniform(0.0, self.L, size=(k, 3)).astype(np.float32)
+        ax = rng.integers(0, 3, size=k)
+        face[np.arange(k), ax] = rng.choice(
+            [0.0, 1e-4, self.L - 1e-4], size=k
+        ).astype(np.float32)
+        pos[:k] = face
+        pos[k] = [0.0, 0.0, 0.0]
+        pos[k + 1] = [self.L - 1e-5, self.L - 1e-5, self.L - 1e-5]
+        pos[k + 2] = [0.0, self.L - 1e-5, 0.0]
+        m = rng.uniform(0.5, 1.5, size=(n,)).astype(np.float32)
+        pmj = jnp.asarray(np.concatenate([pos, m[:, None]], axis=1))
+        pmj = pmj.at[:, :3].set(wrap_box(pmj[:, :3], self.L))
+        ps = pmj[jnp.argsort(morton_keys(pmj, n), stable=True)]
+        h = jnp.float32(self.L / grid)
+        lo = jnp.zeros((3,), jnp.float32)
+        return ps, lo, h
+
+    def test_periodic_deposit_matches_oracle(self):
+        ps, lo, h = self._periodic_cloud()
+        c, w, f = _tsc_cells(ps[:, :3], lo, h, GRID, periodic=True)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID,
+                                                periodic=True)
+        assert int(jnp.sum(dirty)) > 0, "fixture must exercise the repair path"
+        rho = mp.fold_wrap_xy(
+            mp.deposit_tiles(mp.pad_cells(c), f, ps[:, 3], corners, GRID,
+                             BLOCK, interpret=True, zmod=GRID),
+            GRID,
+        )
+        rho = mp.repair_deposit(rho, c, w, ps[:, 3], valid, dirty, 16,
+                                GRID, BLOCK, periodic=True)
+        rho_o = tsc_deposit(ps[:, :3], ps[:, 3], lo, h, GRID, periodic=True)
+        scale = float(jnp.max(jnp.abs(rho_o)))
+        np.testing.assert_allclose(
+            np.asarray(rho), np.asarray(rho_o), atol=2e-6 * scale
+        )
+        # mass conservation across the folds (no halo row dropped)
+        assert abs(float(jnp.sum(rho) - jnp.sum(rho_o))) < 1e-5 * float(
+            jnp.sum(rho_o)
+        )
+
+    def test_periodic_gather_matches_oracle(self):
+        from nbody3d_tpu.ops.p3m import tsc_gather
+
+        ps, lo, h = self._periodic_cloud()
+        c, w, f = _tsc_cells(ps[:, :3], lo, h, GRID, periodic=True)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID,
+                                                periodic=True)
+        rng = np.random.default_rng(0)
+        grids = jnp.asarray(rng.normal(size=(3, GRID**3)).astype(np.float32))
+        acc = mp.gather_tiles(
+            mp.pad_wrap_xy(grids, GRID), mp.pad_cells(c), f, corners, GRID,
+            BLOCK, interpret=True, zmod=GRID,
+        )
+        acc = mp.repair_gather(acc, grids, c, w, valid, dirty, 16, GRID,
+                               BLOCK, periodic=True)
+        acc_o = tsc_gather(grids, c, w, GRID)
+        scale = float(jnp.max(jnp.abs(acc_o)))
+        np.testing.assert_allclose(
+            np.asarray(acc), np.asarray(acc_o), atol=2e-6 * scale
+        )
+
+    def test_mesh_accel_periodic_matches_jnp(self):
+        ps, lo, h = self._periodic_cloud()
+        L = jnp.float32(self.L)
+        sigma = 1.5 * h
+        a_p = mp.mesh_accel_periodic(ps, L, sigma, grid=GRID, block=BLOCK,
+                                     backend="pallas_interpret")
+        a_j = mp.mesh_accel_periodic_jnp(ps, L, sigma, grid=GRID)
+        scale = float(jnp.max(jnp.abs(a_j)))
+        np.testing.assert_allclose(
+            np.asarray(a_p), np.asarray(a_j), atol=5e-6 * scale
+        )
+
+    def test_periodic_overflow_diagnostic(self):
+        """mesh_overflow(periodic=True) counts the same dirty set the
+        periodic hot path repairs; a truncated budget loses mass."""
+        ps, lo, h = self._periodic_cloud()
+        c, w, f = _tsc_cells(ps[:, :3], lo, h, GRID, periodic=True)
+        nd, ninv = jax.jit(
+            mp.mesh_overflow, static_argnums=(1, 2, 3, 4, 5)
+        )(c, BLOCK, GRID, 1, 3, True)
+        assert int(nd) >= 1 and int(ninv) >= int(nd)
+        corners, valid, dirty = mp.tile_corners(c, BLOCK, GRID,
+                                                periodic=True)
+        assert int(jnp.sum(dirty)) == int(nd)
+
+    def test_accel_p3m_periodic_mesh_backends_agree(self):
+        """Full periodic solver: accel_p3m(boundary="periodic") with the
+        wrap-aware tile mesh equals the XLA mesh, with and without
+        interlacing (the shifted leg re-derives its own tile validity)."""
+        ps, lo, h = self._periodic_cloud(n=2048)
+        pmj = ps  # already wrapped + sorted; accel_p3m re-sorts anyway
+        for interlace in (False, True):
+            a_j = accel_p3m(pmj, 1.0, grid=32, boundary="periodic",
+                            box_size=self.L, short_backend="jnp",
+                            mesh_backend="jnp", interlace=interlace)
+            a_p = accel_p3m(pmj, 1.0, grid=32, boundary="periodic",
+                            box_size=self.L, short_backend="jnp",
+                            mesh_backend="pallas_interpret",
+                            interlace=interlace)
+            scale = float(jnp.max(jnp.abs(a_j)))
+            np.testing.assert_allclose(
+                np.asarray(a_p), np.asarray(a_j), atol=1e-5 * scale,
+                err_msg=f"interlace={interlace}",
+            )
+
+    def test_periodic_grad_pallas_matches_jnp(self):
+        """Custom-VJP pairing for the periodic mesh leg (Pallas primal,
+        jnp backward): grads agree between backends."""
+        ps, lo, h = self._periodic_cloud(n=512, grid=32, block=256)
+        L = jnp.float32(self.L)
+        sigma = 1.5 * h
+
+        def loss(be):
+            def fn(x):
+                a = mp.mesh_accel_periodic(x, L, sigma, grid=32, block=256,
+                                           backend=be)
+                return jnp.sum(a * a)
+            return fn
+
+        g_j = np.asarray(jax.grad(loss("jnp"))(ps))
+        g_p = np.asarray(jax.grad(loss("pallas_interpret"))(ps))
+        scale = np.abs(g_j).max()
+        np.testing.assert_allclose(g_p, g_j, rtol=1e-4, atol=1e-5 * scale)

@@ -337,6 +337,52 @@ class TestShardedPeriodic:
         vs = np.abs(v1).max()
         np.testing.assert_allclose(v2 / vs, v1 / vs, atol=2e-5)
 
+    def test_matches_single_device_tile_mesh(self):
+        """Sharded periodic P3M on the WRAP-AWARE MXU tile kernels
+        (backend="pallas" → interpret on the CPU mesh, block % 128 == 0
+        and grid ≥ 32 so use_tiles engages) == the single-device jnp-mesh
+        step: a cross-backend check that the halo fold/prefill + mod-grid
+        repair reproduce the XLA torus mesh inside the psum pipeline."""
+        import jax as _jax
+
+        from nbody3d_tpu.config import SimConfig
+        from nbody3d_tpu.ops.step import make_step_fn
+        from nbody3d_tpu.parallel.mesh import default_mesh
+        from nbody3d_tpu.parallel.sharded import (
+            make_sharded_step, shard_state,
+        )
+        from nbody3d_tpu.state import init_state
+
+        cfg = SimConfig(
+            method="p3m", boundary="periodic", box_size=1.0, pm_grid=32,
+            p3m_block=128, p3m_nbr_k=16, backend="pallas", dt=2e-4, G=2e-3,
+        )
+        n_pad = 2048
+        n_real = 2000
+        pm0 = _rand_pm(n_real, seed=9)
+        vel0 = np.zeros((n_real, 4), np.float32)
+
+        cfg_ref = cfg.replace(backend="jnp")
+        st1 = init_state(pm0, vel0, n_pad=n_pad)
+        out1 = _jax.jit(make_step_fn(cfg_ref, n_pad, n_real))(
+            st1, np.float32(cfg.dt), np.float32(cfg.G)
+        )
+
+        mesh = default_mesh(8, axis=cfg.mesh_axis)
+        st2 = shard_state(init_state(pm0, vel0, n_pad=n_pad), mesh,
+                          cfg.mesh_axis)
+        out2 = _jax.jit(make_sharded_step(cfg, n_pad, n_real, mesh))(
+            st2, np.float32(cfg.dt), np.float32(cfg.G)
+        )
+
+        p1 = np.asarray(out1.pos_mass)[:n_real]
+        p2 = np.asarray(out2.pos_mass)[:n_real]
+        v1 = np.asarray(out1.vel)[:n_real, :3]
+        v2 = np.asarray(out2.vel)[:n_real, :3]
+        np.testing.assert_allclose(p2, p1, atol=2e-6)
+        vs = np.abs(v1).max()
+        np.testing.assert_allclose(v2 / vs, v1 / vs, atol=2e-5)
+
     def test_sharded_diagnostics_use_ewald_energy(self):
         """Engine diagnostics on a sharded periodic sim: the Ewald energy
         path must gather the sharded state (regression: the (chunk, N)

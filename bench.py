@@ -62,6 +62,15 @@ def main() -> int:
         config = SimConfig(backend="jnp")
 
     sim = Simulation.from_preset("uniform-sphere", config, n=n)
+    # Correctness token (the artifact must self-certify: a throughput
+    # number with no adjacent conservation figure invites a silent
+    # fast-but-wrong regression — BENCH_r01 carried one, r02/r03 lost
+    # it).  Total energy/momentum over the benchmark's own trajectory
+    # (warm + timed chunks), same O(N^2) diagnostics the drift gate
+    # uses; bounds are the BASELINE acceptance class scaled to this
+    # short window (the full 10k-step gate lives in drift_check.py).
+    d0 = sim.diagnostics()
+    e0, p0 = float(d0.total_energy), d0.momentum
     # Warm with the SAME chunk length as the timed runs — the scan is
     # compiled per static chunk length, and a cache miss inside the timed
     # region would pollute the measurement.  (The engine syncs each chunk
@@ -76,6 +85,21 @@ def main() -> int:
     med = statistics.median(times)
     steps_per_s = chunk / med
     gints = sim.pair_interactions_per_step * steps_per_s / 1e9
+
+    d1 = sim.diagnostics()
+    import numpy as _np
+
+    nsteps = (warm_chunks + timed_chunks) * chunk
+    energy_drift = abs(float(d1.total_energy) - e0) / max(abs(e0), 1e-30)
+    # Momentum normalized by the total |m v| scale (drift_check.py's
+    # convention — the raw momentum starts near zero by construction).
+    pm_a, vel_a, _ = sim.arrays()
+    pscale = float(_np.abs(pm_a[:, 3:4] * vel_a[:, :3]).sum())
+    mom_err = float(
+        _np.max(_np.abs(_np.asarray(d1.momentum) - _np.asarray(p0)))
+    ) / max(pscale, 1e-30)
+    drift_bound, mom_bound = 1e-4, 1e-5  # BASELINE class over ~100 steps
+    conserved = energy_drift < drift_bound and mom_err < mom_bound
 
     out = {
         "metric": "pairwise_interactions_per_sec_per_chip",
@@ -97,6 +121,14 @@ def main() -> int:
             "force_mode": config.force_mode,
             "block_target": config.block_target,
             "block_source": config.block_source,
+            "conservation": {
+                "steps": nsteps,
+                "energy_drift": round(energy_drift, 9),
+                "energy_drift_bound": drift_bound,
+                "momentum_err_rel": round(mom_err, 9),
+                "momentum_bound": mom_bound,
+                "pass": bool(conserved),
+            },
         },
     }
     print(json.dumps(out))

@@ -28,6 +28,110 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# On-chip accuracy contracts for the hand-written VJP kernels (median
+# relative error of xbar vs the f64 closed-form oracle), per precision
+# mode.  Measured classes (r4, N=4096 uniform-sphere): precise (2-limb
+# weight split, the default) ~4e-6; fast ~2.1e-3 (the forward's bf16
+# weight-noise class).  Bounds give >20x / ~2.4x headroom so they trip
+# on algorithmic regressions, not run noise.
+VJP_MEDIAN_REL_BOUNDS = {"precise": 1e-4, "fast": 5e-3}
+
+
+def _vjp_oracle_f64(pm, G, abar, eps2, chunk=512):
+    """float64 numpy closed form of the all-pairs VJP (force_vjp.py module
+    docstring math), chunked over target rows.  Returns (xbar (N,3),
+    mbar (N,), gbar ()) — the trustworthy oracle for gating the on-chip
+    kernels (an XLA f32 oracle on the TPU would itself round its einsum
+    operands to bf16 on the MXU)."""
+    x = pm[:, :3].astype(np.float64)
+    m = pm[:, 3].astype(np.float64)
+    A = abar[:, :3].astype(np.float64)
+    n = x.shape[0]
+    xbar = np.empty((n, 3))
+    mbar = np.empty((n,))
+    gbar = 0.0
+    for k0 in range(0, n, chunk):
+        k1 = min(k0 + chunk, n)
+        d = x[None, :, :] - x[k0:k1, None, :]  # (c, N, 3): d[k, j] = x_j - x_k
+        r2 = np.sum(d * d, axis=-1) + eps2
+        mask = np.ones((k1 - k0, n))
+        mask[np.arange(k1 - k0), np.arange(k0, k1)] = 0.0
+        w = mask * r2 ** -1.5
+        w5 = mask * r2 ** -2.5
+        g = m[k0:k1, None, None] * A[None, :, :] - m[None, :, None] * A[k0:k1, None, :]
+        dg = np.sum(d * g, axis=-1)
+        xbar[k0:k1] = np.sum(w[:, :, None] * g, axis=1) - 3.0 * np.einsum(
+            "kj,kjc->kc", w5 * dg, d
+        )
+        mbar[k0:k1] = -np.einsum("kj,kjc,jc->k", w, d, A)
+        F = np.einsum("kj,j,kjc->kc", w, m, d)
+        gbar += np.vdot(A[k0:k1], F)
+    return G * xbar, G * mbar, gbar
+
+
+def accuracy_gate(cfg, *, n=4096, bounds=None, seed=3):
+    """Gate the on-chip VJP kernels against the f64 oracle (VERDICT r3 #6).
+
+    Runs both kernel schedules (full grid + Newton-3 sym) in both
+    precision modes at a small N on the live platform, reports median/p99
+    relative error of xbar per body plus mbar/Gbar errors, and returns
+    False if any median exceeds its mode's bound."""
+    from nbody3d_tpu.models.registry import make_preset
+    from nbody3d_tpu.ops.force_vjp import force_vjp_pallas, force_vjp_sym_pallas
+
+    pos_mass, _, _ = make_preset("uniform-sphere", seed=0, G=cfg.G, n=n)
+    pm = np.asarray(pos_mass, np.float32)
+    rng = np.random.default_rng(seed)
+    # cotangent in the kernels' expected (N, 4) layout, w lane zero
+    abar = np.concatenate(
+        [rng.standard_normal((n, 3)).astype(np.float32), np.zeros((n, 1), np.float32)],
+        axis=1,
+    )
+    xbar_o, mbar_o, gbar_o = _vjp_oracle_f64(pm, cfg.G, abar, cfg.eps2)
+    scale_x = np.linalg.norm(xbar_o, axis=1)
+    floor = 1e-12 * np.median(scale_x)
+
+    bounds = bounds or VJP_MEDIAN_REL_BOUNDS
+    ok = True
+    out = {}
+    for mode, precise in (("precise", True), ("fast", False)):
+        bound = bounds[mode]
+        for name, fn in (
+            ("full", force_vjp_pallas), ("sym", force_vjp_sym_pallas)
+        ):
+            pm_bar, gbar = jax.device_get(
+                fn(jnp.asarray(pm), cfg.G, jnp.asarray(abar), eps2=cfg.eps2,
+                   precise=precise)
+            )
+            rel = np.linalg.norm(pm_bar[:, :3] - xbar_o, axis=1) / (
+                scale_x + floor
+            )
+            med = float(np.median(rel))
+            p99 = float(np.quantile(rel, 0.99))
+            rel_m = float(
+                np.median(np.abs(pm_bar[:, 3] - mbar_o) / (np.abs(mbar_o) + floor))
+            )
+            rel_g = float(abs(gbar - gbar_o) / abs(gbar_o))
+            out[f"{mode}:{name}"] = {
+                "xbar_med": med, "xbar_p99": p99, "mbar_med": rel_m,
+                "gbar": rel_g, "bound": bound,
+            }
+            if med > bound or rel_m > bound:
+                ok = False
+    print(
+        json.dumps(
+            {
+                "vjp_accuracy_gate": out,
+                "n": n,
+                "platform": jax.default_backend(),
+                "pass": ok,
+            }
+        ),
+        flush=True,
+    )
+    return ok
 
 
 def main() -> int:
@@ -42,6 +146,8 @@ def main() -> int:
                     "(hand-written all-pairs VJP) or the grid solvers "
                     "(Pallas primal + jnp-oracle backward custom VJPs)")
     ap.add_argument("--grid", type=int, default=128)
+    ap.add_argument("--skip-check", action="store_true",
+                    help="skip the VJP accuracy gate (timing only)")
     args = ap.parse_args()
 
     from nbody3d_tpu.config import SimConfig
@@ -79,7 +185,7 @@ def main() -> int:
 
     # (a) raw VJP kernels: full grid and Newton-3 (direct method only —
     # the grid solvers' backwards are measured through the rollout)
-    t_vjp = t_vjp_sym = None
+    t_vjp = t_vjp_sym = t_vjp_sym_fast = None
     if args.method == "direct":
         vjp_fn = jax.jit(
             lambda p, a: force_vjp_pallas(p, cfg.G, a, eps2=cfg.eps2, block=block)
@@ -91,6 +197,13 @@ def main() -> int:
             )
         )
         t_vjp_sym = timeit(vjp_sym_fn, pm, abar)
+        vjp_sym_fast = jax.jit(
+            lambda p, a: force_vjp_sym_pallas(
+                p, cfg.G, a, eps2=cfg.eps2, block=min(block, 1024),
+                precise=False,
+            )
+        )
+        t_vjp_sym_fast = timeit(vjp_sym_fast, pm, abar)
 
     # (b) + (c): forward step and grad of a k-step rollout loss
     step = make_step_fn(cfg, n_pad, n, platform=jax.default_backend())
@@ -127,12 +240,19 @@ def main() -> int:
             vjp_gints=round(pairs / t_vjp / 1e9, 1),
             vjp_sym_kernel_s=round(t_vjp_sym, 4),
             vjp_sym_gints=round(pairs / t_vjp_sym / 1e9, 1),
+            vjp_sym_fast_kernel_s=round(t_vjp_sym_fast, 4),
+            vjp_sym_fast_gints=round(pairs / t_vjp_sym_fast / 1e9, 1),
             # one grad step = forward pairs + VJP pairs
             grad_pair_gints=round(2 * pairs / t_grad / 1e9, 1),
         )
     else:
         rec["grid"] = args.grid
     print(json.dumps(rec))
+    if args.method == "direct" and not args.skip_check:
+        # accuracy gate last so the timing numbers always print; nonzero
+        # exit is the gate's contract (VERDICT r3 #6)
+        if not accuracy_gate(cfg):
+            return 1
     return 0
 
 

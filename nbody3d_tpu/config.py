@@ -117,6 +117,13 @@ class SimConfig:
     # all-pairs kernel is compute-bound, not bandwidth-bound.  Kept as an
     # option; default off.
     fuse_integrate: bool = False
+    # Gradient precision of the hand-written direct-force VJP
+    # (ops/force_vjp.py).  "precise" (default): in-kernel 2-limb split of
+    # the MXU weight matrices — f32-grade gradients (~4e-6 median vs the
+    # f64 oracle) at ~1.4x the fast mode's backward cost; "fast": plain
+    # bf16 weights — the forward's ~2e-3 weight-noise class at full
+    # speed.  Both gated on hardware by benchmarks/grad_bench.py.
+    grad_precision: str = "precise"
 
     # Multi-chip.
     mesh_axis: str = "x"

@@ -221,7 +221,8 @@ def make_step_fn(
 
         sym_accel = make_diff_accel(
             make_sym_accel_fn(config, n_pad, interpret),
-            eps2=config.eps2, block=bt, interpret=interpret,
+            eps2=config.eps2, block=bt,
+            precise=config.grad_precision != "fast", interpret=interpret,
         )
 
         def step(state: SimState, dt, G) -> SimState:
@@ -266,7 +267,8 @@ def make_step_fn(
             )
 
         accel = make_diff_accel(
-            _accel, eps2=config.eps2, block=bt, interpret=interpret
+            _accel, eps2=config.eps2, block=bt,
+            precise=config.grad_precision != "fast", interpret=interpret,
         )
 
         def step(state: SimState, dt, G) -> SimState:

@@ -145,6 +145,31 @@ def test_vjp_sym_matches_full_grid(rng, n, block):
     np.testing.assert_allclose(float(g_s), float(g_f), rtol=1e-5)
 
 
+@pytest.mark.parametrize("sym", [False, True])
+def test_vjp_fast_mode_matches_oracle(rng, sym):
+    """precise=False (plain bf16 weights on hardware; identical f32 math
+    in interpret mode) computes the same pair algebra as the closed
+    form."""
+    from nbody3d_tpu.ops.force_vjp import (
+        force_vjp_pallas,
+        force_vjp_reference,
+        force_vjp_sym_pallas,
+    )
+
+    pm, abar = _random_pm_abar(rng, 96)
+    eps2, gval = 1e-4, jnp.float32(1e-4)
+    fn = force_vjp_sym_pallas if sym else force_vjp_pallas
+    pm_k, g_k = fn(
+        pm, gval, abar, eps2=eps2, block=32, precise=False, interpret=True
+    )
+    pm_ref, g_ref = force_vjp_reference(pm, gval, abar, eps2=eps2)
+    scale = float(jnp.max(jnp.abs(pm_ref)))
+    np.testing.assert_allclose(
+        np.asarray(pm_k), np.asarray(pm_ref), rtol=1e-4, atol=1e-5 * scale
+    )
+    np.testing.assert_allclose(float(g_k), float(g_ref), rtol=1e-5)
+
+
 def test_vjp_sym_matches_autodiff(rng):
     """...and the jnp-autodiff oracle (independent of the full-grid
     kernel's algebra)."""

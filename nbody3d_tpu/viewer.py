@@ -16,7 +16,8 @@ Endpoints:
                    orbit=dx,dy, pan=dx,dy, zoom=d, fov=d, dollyfov=d
                    (dolly zoom, ``camera.js:112-117``), reset[&ctrl&alt]
                    (modifier partial resets, ``camera.js:119-128``),
-                   regenerate (fresh random ICs, ``util.js:69-75``)
+                   regenerate (fresh random ICs, ``util.js:69-75``),
+                   size=WxH (live resize, ``util.js:91-96``)
   GET  /export.json | /export.npz — download the full simulation state
                    (the reference's export button, ``util.js:265``; the
                    .json form is its exact checkpoint schema)
@@ -28,7 +29,10 @@ Endpoints:
 dt and G are traced runtime scalars in the step function, so slider moves
 never recompile — exactly the reference's rebuild-free uniform-block
 semantics (``nbody3d.js:470``).  Camera keys match ``camera.js:185-251``:
-arrows orbit, WASD pan, f/c zoom, space reset.
+arrows orbit, WASD pan, f/c zoom, space reset — HELD keys apply
+continuously per frame tick with the reference's per-frame speed
+constants (``nbody3d.js:445-449``, ``camera.js:6-9``), independent of OS
+key autorepeat.
 """
 
 from __future__ import annotations
@@ -110,25 +114,52 @@ view.onwheel = e => {
           : 'zoom=' + (e.deltaY * 0.0005);
   send(q); e.preventDefault();
 };
-const KEYS = {ArrowLeft:'orbit=-8,0', ArrowRight:'orbit=8,0',
-  ArrowUp:'orbit=0,-8', ArrowDown:'orbit=0,8', a:'pan=-8,0', d:'pan=8,0',
-  w:'pan=0,-8', s:'pan=0,8'};
+// Held-key continuous camera motion (nbody3d.js:445-449): key state is
+// polled every frame tick and applied with the reference's per-frame
+// speed constants (camera.js:6-9) — smoothness does not depend on OS
+// key autorepeat.
+const held = {};
+let fcMode = 'zoom';  // modifier captured at the f/c key event (camera.js:227-230)
+const CAMKEYS = ['ArrowUp','ArrowDown','ArrowLeft','ArrowRight','w','a','s','d','f','c'];
 window.onkeydown = e => {
-  // f/c: zoom, ctrl -> FOV zoom, alt -> dolly zoom (camera.js:205-235)
-  if (e.key === 'f' || e.key === 'c') {
-    const s = e.key === 'f' ? -1 : 1;
-    const q = e.altKey ? 'dollyfov=' + (s * 0.02)
-            : e.ctrlKey ? 'fov=' + (s * 0.02) : 'zoom=' + (s * 0.1);
-    send(q); e.preventDefault(); return;
-  }
   if (e.key === ' ') { send('reset=1' + mods(e)); e.preventDefault(); return; }
-  if (KEYS[e.key]) { send(KEYS[e.key]); e.preventDefault(); }
+  if (!CAMKEYS.includes(e.key) || e.target.tagName === 'INPUT') return;
+  if (e.key === 'f' || e.key === 'c')
+    fcMode = e.altKey ? 'dollyfov' : e.ctrlKey ? 'fov' : 'zoom';
+  held[e.key] = true; e.preventDefault();
 };
+window.onkeyup = e => { held[e.key] = false; };
+window.onblur = () => CAMKEYS.forEach(k => held[k] = false);
+const KEY_ROT_SPEED = 3, KEY_PAN_SPEED = 5,
+      KEY_ZOOM_SPEED = 0.01, KEY_FOV_SPEED = 0.005;
+setInterval(() => {  // per-frame key camera (nbody3d.js:445-449)
+  const q = [];
+  const odx = ((held.ArrowLeft|0) - (held.ArrowRight|0)) * KEY_ROT_SPEED;
+  const ody = ((held.ArrowUp|0) - (held.ArrowDown|0)) * KEY_ROT_SPEED;
+  if (odx || ody) q.push(`orbit=${odx},${ody}`);
+  const pdx = ((held.a|0) - (held.d|0)) * KEY_PAN_SPEED;
+  const pdy = ((held.w|0) - (held.s|0)) * KEY_PAN_SPEED;
+  if (pdx || pdy) q.push(`pan=${pdx},${pdy}`);
+  const z = (held.c|0) - (held.f|0);  // f = zoom in (camera.js:219-225)
+  if (z) q.push(fcMode === 'zoom' ? `zoom=${z * KEY_ZOOM_SPEED}`
+                                  : `${fcMode}=${z * KEY_FOV_SPEED}`);
+  if (q.length) send(q.join('&'));
+}, 16);
+// Live resize: render resolution follows the window (util.js:91-96).
+let resizeT = null;
+window.onresize = () => {
+  clearTimeout(resizeT);
+  resizeT = setTimeout(
+    () => send(`size=${window.innerWidth}x${window.innerHeight}`), 200);
+};
+window.onload = () => send(`size=${window.innerWidth}x${window.innerHeight}`);
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
   hud.textContent =
-    `bodies: ${s.n}\\nstep: ${s.step}\\nsteps/s: ${s.steps_per_s.toFixed(1)}` +
-    `\\nG-int/s: ${s.gints_per_s.toFixed(2)}\\nrender ms: ${s.render_ms.toFixed(1)}` +
+    `bodies: ${s.n}\\nstep: ${s.step}\\nfps: ${s.fps.toFixed(1)}` +
+    `\\nframe ms: ${s.frame_ms.toFixed(1)}\\nhost ms: ${s.host_ms.toFixed(2)}` +
+    `\\ncompute ms: ${s.compute_ms.toFixed(3)}\\nrender ms: ${s.render_ms.toFixed(3)}` +
+    `\\nsteps/s: ${s.steps_per_s.toFixed(1)}\\nG-int/s: ${s.gints_per_s.toFixed(2)}` +
     `\\nE: ${s.energy === null ? 'n/a' : s.energy.toExponential(3)}` +
     `\\ndt: ${s.dt.toExponential(2)}  G: ${s.G.toExponential(2)}` +
     `\\n${s.camera}\\n${s.resolution}${s.paused ? '\\n[paused]' : ''}`;
@@ -168,6 +199,14 @@ class LiveViewer:
         self._stop = threading.Event()
         self._energy: float | None = None
         self._frames_done = 0
+        # HUD timing split (nbody3d.js:434-442,508-514): EMA-filtered
+        # frame interval / fps / host overhead / sim-compute time, the
+        # reference's filterStrength=10 smoothing.
+        self._frame_ms = 10.0
+        self._fps = 0.0
+        self._host_ms = 0.0
+        self._compute_ms = 0.0
+        self._last_frame_t: float | None = None
         self._thread = threading.Thread(target=self._loop, daemon=True)
 
     # ------------------------------------------------------------- sim loop
@@ -180,7 +219,14 @@ class LiveViewer:
 
     def _loop(self) -> None:
         k = self.steps_per_frame
+        filt = 10.0  # reference filterStrength (nbody3d.js:434)
         while not self._stop.is_set():
+            t0 = time.perf_counter()
+            if self._last_frame_t is not None:
+                delta = (t0 - self._last_frame_t) * 1e3
+                self._frame_ms += (delta - self._frame_ms) / filt
+                self._fps += (1e3 / self._frame_ms - self._fps) / filt
+            self._last_frame_t = t0
             if not self.sim.paused:
                 with self._sim_lock:
                     self.sim.run(k, chunk=k)
@@ -188,7 +234,21 @@ class LiveViewer:
                         self._frames_done % self.diagnostics_every == 0
                     ):
                         self._energy = float(self.sim.diagnostics().total_energy)
+                compute = (time.perf_counter() - t0) * 1e3
+                self._compute_ms += (compute - self._compute_ms) / filt
+            else:
+                compute = 0.0
+                self._compute_ms = 0.0  # nbody3d.js:496-498 (dt==0 path)
             self._render_frame()
+            # host overhead (the reference's "JS ms"): synchronous frame
+            # work minus sim compute and the render itself — JPEG encode,
+            # locking, loop bookkeeping.
+            host = (
+                (time.perf_counter() - t0) * 1e3
+                - compute
+                - (self.sim.last_render_ms or 0.0)
+            )
+            self._host_ms += (max(host, 0.0) - self._host_ms) / filt
             self._frames_done += 1
             if self.sim.paused:
                 time.sleep(0.05)  # render-only loop, like nbody3d.js:474
@@ -251,6 +311,16 @@ class LiveViewer:
                 # modifier partial resets (camera.js:119-128): ctrl keeps
                 # zoom+pose (FOV only), alt keeps pose (FOV + radius)
                 cam.reset(ctrl="ctrl" in q, alt="alt" in q)
+            if "size" in q:
+                # live resize (util.js:91-96): render resolution follows
+                # the client window; next frame uses the new matrices.
+                try:
+                    w, h = (int(v) for v in q["size"][0].split("x"))
+                except ValueError:
+                    pass
+                else:
+                    self.width = max(64, min(4096, w))
+                    self.height = max(64, min(4096, h))
 
     def export_state(self, suffix: str) -> bytes:
         """Serialize the current state in the requested checkpoint format
@@ -322,6 +392,11 @@ class LiveViewer:
             "steps_per_s": s.steps_per_s if math.isfinite(s.steps_per_s) else 0.0,
             "gints_per_s": s.gints_per_s if math.isfinite(s.gints_per_s) else 0.0,
             "render_ms": self.sim.last_render_ms or 0.0,
+            # HUD timing split (index.html:16-34 / nbody3d.js:508-514)
+            "fps": self._fps,
+            "frame_ms": self._frame_ms,
+            "host_ms": self._host_ms,
+            "compute_ms": self._compute_ms,
             "energy": self._energy,
             "dt": self.sim.dt if not self.sim.paused else (self.sim._old_dt or 0.0),
             "G": self.sim.G,

@@ -286,3 +286,66 @@ def test_regenerate_with_galaxy_settings(viewer):
     # a plain regenerate keeps the new settings (panel state persists)
     _get(port, "/control?regenerate=1")
     assert v.sim.n_real == 3 * 31
+
+
+def test_held_key_constants_in_page(viewer):
+    """The page drives held-key continuous camera motion with the
+    reference's per-frame speed constants (camera.js:6-9, polled per
+    frame as in nbody3d.js:445-449)."""
+    v, port = viewer
+    _, _, body = _get(port, "/")
+    assert b"KEY_ROT_SPEED = 3" in body
+    assert b"KEY_PAN_SPEED = 5" in body
+    assert b"KEY_ZOOM_SPEED = 0.01" in body
+    assert b"KEY_FOV_SPEED = 0.005" in body
+    assert b"window.onkeyup" in body  # state tracked, not per-event nudges
+    assert b"window.onresize" in body  # live resize wired (util.js:91-96)
+
+
+def test_hud_timing_split(viewer):
+    """/stats carries the reference HUD's full timing split
+    (index.html:16-34): fps, frame ms, host (JS) ms, compute ms, render
+    ms."""
+    v, port = viewer
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        _, _, body = _get(port, "/stats")
+        s = json.loads(body)
+        if s["step"] > 4 and s["fps"] > 0:
+            break
+        time.sleep(0.1)
+    assert s["fps"] > 0
+    assert s["frame_ms"] > 0
+    assert s["compute_ms"] > 0  # unpaused: sim work measured
+    assert s["host_ms"] >= 0
+    assert s["render_ms"] > 0
+
+
+def test_live_resize(viewer):
+    """/control?size=WxH changes the render resolution live
+    (util.js:91-96) and the stream follows."""
+    v, port = viewer
+    status, _, _ = _get(port, "/control?size=96x80")
+    assert status == 204
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        _, _, body = _get(port, "/stats")
+        if json.loads(body)["resolution"] == "96x80":
+            break
+        time.sleep(0.1)
+    assert json.loads(body)["resolution"] == "96x80"
+    # the next rendered frame is the new size
+    from PIL import Image
+    import io
+
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        _, _, jpg = _get(port, "/frame.jpg")
+        img = Image.open(io.BytesIO(jpg))
+        if img.size == (96, 80):
+            break
+        time.sleep(0.1)
+    assert img.size == (96, 80)
+    # malformed size is ignored, not a 500
+    status, _, _ = _get(port, "/control?size=bogus")
+    assert status == 204

@@ -622,10 +622,11 @@ def main(argv=None) -> int:
     p.add_argument("--color-mode", default="magnitude", choices=["magnitude", "direction"],
                    help="velocity magnitude colormap (nbody3d.js:380) or direction (:381)")
     p.add_argument("--resolve", default="auto",
-                   choices=["auto", "native", "numpy", "device"],
-                   help="depth-resolve path; 'device' rasterizes on the "
-                        "accelerator (fetches only the framebuffer, not "
-                        "20 B/body — the 16M-body mode)")
+                   choices=["auto", "native", "numpy", "device", "pallas"],
+                   help="depth-resolve path; 'pallas' rasterizes on the "
+                        "accelerator at full precision, 'device' via the "
+                        "quantized XLA scatter (both fetch only the "
+                        "framebuffer, not 20 B/body — the 16M-body mode)")
     _add_common(p)
     p.set_defaults(fn=cmd_render)
 
@@ -677,9 +678,9 @@ def main(argv=None) -> int:
     p.add_argument("--diagnostics-every", type=int, default=0,
                    help="compute total energy every this many frames (0 = off)")
     p.add_argument("--resolve", default="auto",
-                   choices=["auto", "native", "numpy", "device"],
-                   help="depth-resolve path; 'device' keeps per-body data "
-                        "on the accelerator (large-N live viewing)")
+                   choices=["auto", "native", "numpy", "device", "pallas"],
+                   help="depth-resolve path; 'pallas'/'device' keep per-body "
+                        "data on the accelerator (large-N live viewing)")
     _add_common(p)
     p.set_defaults(fn=cmd_serve)
 

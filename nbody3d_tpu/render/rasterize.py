@@ -400,6 +400,72 @@ def _render_device_resolve(pos_mass, vel, camera, width, height, size_factor,
     return img
 
 
+def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
+                           max_radius_px, color_mode, background):
+    """Full-precision on-device resolve (render/pallas_resolve.py): small
+    splats rasterize in a Pallas kernel, the host fetches the
+    framebuffer (8 MB u32 rgb at 1080p; + the f32 depth plane only when
+    large splats must still be stamped host-side).  Bit-identical to the
+    host resolve fed by the same device prep."""
+    import jax
+
+    from nbody3d_tpu.render.pallas_resolve import resolve_small_pallas
+
+    out = _prep_device_raw(pos_mass, vel, camera, width, height,
+                           size_factor, max_radius_px, color_mode)
+    cx_d, cy_d, depth_d, rgb_d, r_d, nvis = out
+    rgb_u32, dplane, n_large = resolve_small_pallas(
+        cx_d, cy_d, depth_d, rgb_d, r_d, nvis,
+        width=width, height=height,
+        interpret=jax.default_backend() != "tpu",
+    )
+    k = int(jax.device_get(n_large))
+    rgb = np.asarray(jax.device_get(rgb_u32)).astype(np.uint64)
+    miss = rgb == np.uint64(0xFFFFFFFF)
+    if k:
+        # Reconstruct the packed u64 buffer, stamp the large splats
+        # (the radius-descending prefix) with full disc semantics, as
+        # the all-host resolve would.
+        d_bits = (
+            np.asarray(jax.device_get(dplane)).view(np.uint32)
+            .astype(np.uint64)
+        )
+        buf = np.where(
+            miss, np.uint64(0xFFFFFFFFFFFFFFFF), (d_bits << 32) | rgb
+        ).reshape(-1)
+        cx, cy, depth_bits, rgb24, r = (
+            np.asarray(jax.device_get(a[:k]))
+            for a in (cx_d, cy_d, depth_d, rgb_d, r_d)
+        )
+        keys = (depth_bits.astype(np.uint64) << 32) | rgb24
+        from nbody3d_tpu import native
+
+        if native.raster is not None:
+            native.raster.stamp_discs(
+                buf, height, width,
+                np.ascontiguousarray(cx.astype(np.int64)),
+                np.ascontiguousarray(cy.astype(np.int64)),
+                np.ascontiguousarray(r.astype(np.float64)),
+                np.ascontiguousarray(keys),
+            )
+        else:
+            buf2d = buf.reshape(height, width)
+            for i in range(k):
+                _stamp_disc(buf2d, int(cx[i]), int(cy[i]), float(r[i]),
+                            keys[i], height, width)
+        miss = (buf == np.uint64(0xFFFFFFFFFFFFFFFF)).reshape(height, width)
+        rgb = (buf & np.uint64(0xFFFFFF)).reshape(height, width)
+
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    img[:] = np.asarray(background, dtype=np.uint8)
+    hit = ~miss
+    rgb_hit = rgb[hit].astype(np.uint32)
+    img[hit, 0] = (rgb_hit >> 16) & 0xFF
+    img[hit, 1] = (rgb_hit >> 8) & 0xFF
+    img[hit, 2] = rgb_hit & 0xFF
+    return img
+
+
 def render_points(
     pos_mass: np.ndarray,
     vel: np.ndarray,
@@ -423,11 +489,19 @@ def render_points(
     "auto" (device above ``_DEVICE_PREP_MIN`` bodies).
     ``resolve``: "native" (C stamp loop), "numpy", or "auto" (native when
     the compiled module is available) — bit-identical either way — or
-    "device": small splats scatter-min rasterized ON the accelerator so
-    the host only fetches the framebuffer, not 20 B/body (the 16M-body
-    relay-attached path; 16-bit depth / rgb565 color contract — see the
-    device-resolve block above).
+    one of the two on-accelerator resolves that shrink the device→host
+    readback from ~20 B/body to the framebuffer itself:
+    "pallas" — full-precision Pallas rasterization of the small splats
+    (render/pallas_resolve.py), bit-identical to the host resolve fed
+    by the same device prep; "device" — the earlier XLA scatter-min
+    (16-bit depth / rgb565 color contract — see the device-resolve
+    block above), kept as the measured comparison point.
     """
+    if resolve == "pallas":
+        return _render_pallas_resolve(
+            pos_mass, vel, camera, width, height, size_factor,
+            max_radius_px, color_mode, background,
+        )
     if resolve == "device":
         return _render_device_resolve(
             pos_mass, vel, camera, width, height, size_factor,

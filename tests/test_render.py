@@ -245,3 +245,63 @@ def test_device_resolve_single_body():
     b = render_points(pos_mass, vel, cam, resolve="device", **kw)
     assert a[64, 64].any() and b[64, 64].any()
     assert np.abs(a[64, 64].astype(int) - b[64, 64].astype(int)).max() <= 8
+
+
+def _pallas_vs_host_images(n, seed, width, height, radius=4.0,
+                           heavy=2):
+    """Render the same scene through the host resolve and the Pallas
+    device resolve, BOTH fed by the device (f32) prep, so any pixel
+    difference is the resolve's."""
+    from nbody3d_tpu.render import rasterize
+
+    rng = np.random.default_rng(seed)
+    pos_mass = np.concatenate(
+        [rng.normal(scale=2.5, size=(n, 3)), rng.uniform(10, 50, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    if heavy:
+        pos_mass[:heavy, 3] = 1e7  # r >= 2: exercises the host-prefix stamp
+    vel = rng.normal(scale=5.0, size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3), radius=radius)
+    kw = dict(width=width, height=height)
+    a = render_points(pos_mass, vel, cam, prep="device", **kw)
+    b = render_points(pos_mass, vel, cam, resolve="pallas", **kw)
+    return a, b
+
+
+def test_pallas_resolve_bit_identical():
+    """The Pallas on-device resolve (render/pallas_resolve.py) is
+    BIT-identical to the host packed-u64 resolve on the same device
+    prep — full 32-bit depth test, full rgb24, including the composite
+    with host-stamped large splats (VERDICT r3 #5)."""
+    a, b = _pallas_vs_host_images(20_000, 13, 320, 240)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_resolve_multi_bin_boundaries():
+    """Splats straddling bin boundaries (the halo/fold path): a frame
+    wider than one 256-px column bin and taller than several 8-px row
+    bins, dense enough that many stamps cross bin edges."""
+    a, b = _pallas_vs_host_images(6_000, 7, 640, 100, radius=2.0, heavy=0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_resolve_corner_radius_threshold():
+    """Bodies engineered around the r = 1, sqrt(2), 2 inclusion edges:
+    the kernel's f32 thresholds must reproduce the host's f64 circle
+    test exactly."""
+    from nbody3d_tpu.render import rasterize
+
+    n = 512
+    rng = np.random.default_rng(3)
+    pos_mass = np.concatenate(
+        [rng.normal(scale=1.0, size=(n, 3)),
+         rng.uniform(10, 50, (n, 1))], axis=1).astype(np.float32)
+    vel = rng.normal(scale=5.0, size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3), radius=5.0)
+    # sweep size_factor so projected radii cross the thresholds
+    for sf in (400.0, 700.0, 1000.0, 1800.0):
+        kw = dict(width=200, height=160, size_factor=sf)
+        a = render_points(pos_mass, vel, cam, prep="device", **kw)
+        b = render_points(pos_mass, vel, cam, resolve="pallas", **kw)
+        np.testing.assert_array_equal(a, b)

@@ -158,12 +158,17 @@ def make_step_fn(
 
     if config.method == "pm":
         # Particle-mesh FFT solver (ops/pm.py) — O(N + M^3 log M) grid
-        # gravity.  The mesh deposit/gather follows the resolved backend
-        # (MXU tile kernels on TPU, XLA sort/segment-scan on jnp), so
-        # backend="jnp" remains a pure-XLA A/B oracle on any platform.
+        # gravity.  The CIC deposit/gather stays on the XLA pipeline on
+        # every backend ("auto"): the 4-point CIC tile kernels measured
+        # par at 2M and 48% SLOWER at 16M (1.54 vs 1.04 s/step — too
+        # little deposit arithmetic per tile to beat XLA's sorted
+        # segment-sum; accel_pm's dispatch comment).  Passing the
+        # resolved backend here instead was the round-3 regression that
+        # produced BASELINE's 1.04-vs-1.54 discrepancy: pm_bench times
+        # this step, and "pallas" flipped it onto the tile path.
         from nbody3d_tpu.ops.pm import accel_pm
 
-        mesh_be = "pallas" if backend == "pallas" and not interpret else "jnp"
+        mesh_be = "auto"
 
         def step(state: SimState, dt, G) -> SimState:
             def accum(pm_):

@@ -159,6 +159,58 @@ def _prep_host(pos_mass, vel, camera, width, height, size_factor,
 _DEVICE_PREP_MIN = 1 << 20
 
 
+def _project_f32(pos_mass, vel, vp, f, campos, size_factor, width, height,
+                 max_radius_px, color_mode):
+    """The device prep's projection math (same as :func:`_prep_host` in
+    f32), traced inside either prep jit.  Returns per-body ``(cx, cy,
+    depth_bits, rgb24, r_px, visible)`` in INPUT order."""
+    import jax
+    import jax.numpy as jnp
+
+    pos = pos_mass[:, :3]
+    mass = pos_mass[:, 3]
+    n = pos.shape[0]
+    homo = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    clip = homo @ vp.T
+    w = clip[:, 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
+    ndc_x = clip[:, 0] / safe_w
+    ndc_y = clip[:, 1] / safe_w
+    depth01 = clip[:, 2] / safe_w
+    px = (ndc_x + 1.0) * 0.5 * width
+    py = (1.0 - ndc_y) * 0.5 * height
+    view_vec_len = jnp.linalg.norm(pos - campos[None, :], axis=1)
+    radius_world = jnp.cbrt(mass / 4.189)
+    half_extent = jnp.maximum(radius_world, 2.0 * view_vec_len / f) / size_factor
+    r_px = half_extent * f / jnp.maximum(w, 1e-30) * (height * 0.5)
+    r_px = jnp.clip(r_px, 0.5, max_radius_px)
+    visible = (w > 0) & (depth01 >= 0.0) & (depth01 <= 1.0)
+    visible &= (px + r_px >= 0) & (px - r_px < width)
+    visible &= (py + r_px >= 0) & (py - r_px < height)
+
+    if color_mode == "direction":
+        v3 = vel[:, :3]
+        norm = jnp.linalg.norm(v3, axis=1, keepdims=True)
+        unit = jnp.where(norm > 0, v3 / jnp.maximum(norm, 1e-30), 0.0)
+        rgbf = jnp.clip(unit * 0.5 + 0.5, 0.0, 1.0)
+    else:
+        v = jnp.linalg.norm(vel[:, :3], axis=1) / 40.0  # nbody3d.js:380
+        rgbf = jnp.clip(
+            jnp.stack([v, 1.0 - jnp.abs(v - 0.5), 1.0 - v], axis=1),
+            0.0, 1.0,
+        )
+    rgb = (rgbf * 255.0).astype(jnp.uint32)
+    rgb24 = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
+    depth_bits = jax.lax.bitcast_convert_type(
+        jnp.clip(depth01, 0.0, 1.0), jnp.uint32
+    )
+    return (
+        jnp.round(px).astype(jnp.int32),
+        jnp.round(py).astype(jnp.int32),
+        depth_bits, rgb24, r_px, visible,
+    )
+
+
 def _prep_device_jit():
     """Build (once) the jitted device prep: same math as :func:`_prep_host`
     in f32, returning radius-sorted resolve inputs + the visible count."""
@@ -173,56 +225,44 @@ def _prep_device_jit():
     )
     def prep(pos_mass, vel, vp, f, campos, size_factor, *, width, height,
              max_radius_px, color_mode):
-        pos = pos_mass[:, :3]
-        mass = pos_mass[:, 3]
-        n = pos.shape[0]
-        homo = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
-        clip = homo @ vp.T
-        w = clip[:, 3]
-        safe_w = jnp.where(jnp.abs(w) < 1e-30, 1e-30, w)
-        ndc_x = clip[:, 0] / safe_w
-        ndc_y = clip[:, 1] / safe_w
-        depth01 = clip[:, 2] / safe_w
-        px = (ndc_x + 1.0) * 0.5 * width
-        py = (1.0 - ndc_y) * 0.5 * height
-        view_vec_len = jnp.linalg.norm(pos - campos[None, :], axis=1)
-        radius_world = jnp.cbrt(mass / 4.189)
-        half_extent = jnp.maximum(radius_world, 2.0 * view_vec_len / f) / size_factor
-        r_px = half_extent * f / jnp.maximum(w, 1e-30) * (height * 0.5)
-        r_px = jnp.clip(r_px, 0.5, max_radius_px)
-        visible = (w > 0) & (depth01 >= 0.0) & (depth01 <= 1.0)
-        visible &= (px + r_px >= 0) & (px - r_px < width)
-        visible &= (py + r_px >= 0) & (py - r_px < height)
-
-        if color_mode == "direction":
-            v3 = vel[:, :3]
-            norm = jnp.linalg.norm(v3, axis=1, keepdims=True)
-            unit = jnp.where(norm > 0, v3 / jnp.maximum(norm, 1e-30), 0.0)
-            rgbf = jnp.clip(unit * 0.5 + 0.5, 0.0, 1.0)
-        else:
-            v = jnp.linalg.norm(vel[:, :3], axis=1) / 40.0  # nbody3d.js:380
-            rgbf = jnp.clip(
-                jnp.stack([v, 1.0 - jnp.abs(v - 0.5), 1.0 - v], axis=1),
-                0.0, 1.0,
-            )
-        rgb = (rgbf * 255.0).astype(jnp.uint32)
-        rgb24 = (rgb[:, 0] << 16) | (rgb[:, 1] << 8) | rgb[:, 2]
-        depth_bits = jax.lax.bitcast_convert_type(
-            jnp.clip(depth01, 0.0, 1.0), jnp.uint32
+        cx, cy, depth_bits, rgb24, r_px, visible = _project_f32(
+            pos_mass, vel, vp, f, campos, size_factor,
+            width, height, max_radius_px, color_mode,
         )
         sortkey = jnp.where(visible, -r_px, jnp.float32(jnp.inf))
         order = jnp.argsort(sortkey, stable=True)
-        cx = jnp.round(px).astype(jnp.int32)[order]
-        cy = jnp.round(py).astype(jnp.int32)[order]
         return (
-            cx, cy, depth_bits[order], rgb24[order], r_px[order],
-            jnp.sum(visible),
+            cx[order], cy[order], depth_bits[order], rgb24[order],
+            r_px[order], jnp.sum(visible),
         )
 
     return prep
 
 
+def _prep_device_unsorted_jit():
+    """Projection-only device prep: :func:`_prep_device_jit` WITHOUT the
+    radius argsort and its five permutation gathers (~0.9 s of pure HBM
+    shuffling at 16M).  Returns the per-body arrays in input order plus
+    the ``visible`` mask — the layout the order-independent Pallas
+    resolve consumes directly (``pallas_resolve``)."""
+    import functools
+
+    import jax
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("width", "height", "max_radius_px", "color_mode"),
+    )
+    def prep(pos_mass, vel, vp, f, campos, size_factor, *, width, height,
+             max_radius_px, color_mode):
+        return _project_f32(pos_mass, vel, vp, f, campos, size_factor,
+                            width, height, max_radius_px, color_mode)
+
+    return prep
+
+
 _prep_device_cache = []
+_prep_unsorted_cache = []
 
 
 def _prep_device_raw(pos_mass, vel, camera, width, height, size_factor,
@@ -235,6 +275,29 @@ def _prep_device_raw(pos_mass, vel, camera, width, height, size_factor,
     if not _prep_device_cache:
         _prep_device_cache.append(_prep_device_jit())
     prep = _prep_device_cache[0]
+    aspect = width / height
+    vp, f = camera.view_proj(aspect)
+    return prep(
+        jnp.asarray(pos_mass, jnp.float32),
+        jnp.asarray(vel, jnp.float32),
+        jnp.asarray(vp, jnp.float32),
+        jnp.float32(f),
+        jnp.asarray(camera.position, jnp.float32),
+        jnp.float32(size_factor),
+        width=width, height=height,
+        max_radius_px=max_radius_px, color_mode=color_mode,
+    )
+
+
+def _prep_device_unsorted_raw(pos_mass, vel, camera, width, height,
+                              size_factor, max_radius_px, color_mode):
+    """Run the jitted projection-only prep; returns the ON-DEVICE arrays
+    ``(cx, cy, depth_bits, rgb24, r, visible)`` in input order."""
+    import jax.numpy as jnp
+
+    if not _prep_unsorted_cache:
+        _prep_unsorted_cache.append(_prep_device_unsorted_jit())
+    prep = _prep_unsorted_cache[0]
     aspect = width / height
     vp, f = camera.view_proj(aspect)
     return prep(
@@ -406,26 +469,34 @@ def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
     splats rasterize in a Pallas kernel, the host fetches the
     framebuffer (8 MB u32 rgb at 1080p; + the f32 depth plane only when
     large splats must still be stamped host-side).  Bit-identical to the
-    host resolve fed by the same device prep."""
+    host resolve fed by the same device prep.
+
+    Uses the UNSORTED projection prep — the resolve is a min, so body
+    order is irrelevant, and skipping the radius argsort + permutation
+    gathers saves ~0.9 s at 16M; the few large splats compact through a
+    cumsum+scatter (``compact_large``) instead."""
     import jax
 
-    from nbody3d_tpu.render.pallas_resolve import resolve_small_pallas
+    from nbody3d_tpu.render.pallas_resolve import (
+        LARGE_KMAX,
+        compact_large,
+        resolve_small_pallas_masked,
+    )
 
-    out = _prep_device_raw(pos_mass, vel, camera, width, height,
-                           size_factor, max_radius_px, color_mode)
-    cx_d, cy_d, depth_d, rgb_d, r_d, nvis = out
-    rgb_u32, dplane, n_large = resolve_small_pallas(
-        cx_d, cy_d, depth_d, rgb_d, r_d, nvis,
-        width=width, height=height,
-        interpret=jax.default_backend() != "tpu",
+    out = _prep_device_unsorted_raw(pos_mass, vel, camera, width, height,
+                                    size_factor, max_radius_px, color_mode)
+    cx_d, cy_d, depth_d, rgb_d, r_d, visible = out
+    interpret = jax.default_backend() != "tpu"
+    rgb_u32, dplane, n_large = resolve_small_pallas_masked(
+        cx_d, cy_d, depth_d, rgb_d, r_d, visible,
+        width=width, height=height, interpret=interpret,
     )
     k = int(jax.device_get(n_large))
     rgb = np.asarray(jax.device_get(rgb_u32)).astype(np.uint64)
     miss = rgb == np.uint64(0xFFFFFFFF)
     if k:
         # Reconstruct the packed u64 buffer, stamp the large splats
-        # (the radius-descending prefix) with full disc semantics, as
-        # the all-host resolve would.
+        # with full disc semantics, as the all-host resolve would.
         d_bits = (
             np.asarray(jax.device_get(dplane)).view(np.uint32)
             .astype(np.uint64)
@@ -433,10 +504,24 @@ def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
         buf = np.where(
             miss, np.uint64(0xFFFFFFFFFFFFFFFF), (d_bits << 32) | rgb
         ).reshape(-1)
-        cx, cy, depth_bits, rgb24, r = (
-            np.asarray(jax.device_get(a[:k]))
-            for a in (cx_d, cy_d, depth_d, rgb_d, r_d)
-        )
+        if k <= LARGE_KMAX:
+            lbuf, _ = compact_large(cx_d, cy_d, depth_d, rgb_d, r_d, visible)
+            lrec = np.asarray(jax.device_get(lbuf[:k]))
+            cx = lrec[:, 0].astype(np.int64)
+            cy = lrec[:, 1].astype(np.int64)
+            depth_bits = np.ascontiguousarray(lrec[:, 2]).view(np.uint32)
+            rgb24 = np.ascontiguousarray(lrec[:, 3]).view(np.uint32)
+            r = lrec[:, 4]
+        else:  # degenerate frame: fall back to the sorted-prefix fetch
+            cx_s, cy_s, d_s, c_s, r_s, _ = _prep_device_raw(
+                pos_mass, vel, camera, width, height, size_factor,
+                max_radius_px, color_mode)
+            cx, cy, depth_bits, rgb24, r = (
+                np.asarray(jax.device_get(a[:k]))
+                for a in (cx_s, cy_s, d_s, c_s, r_s)
+            )
+            cx = cx.astype(np.int64)
+            cy = cy.astype(np.int64)
         keys = (depth_bits.astype(np.uint64) << 32) | rgb24
         from nbody3d_tpu import native
 

@@ -239,7 +239,7 @@ def _make_sim(args, config, mesh):
             min_bodies=args.min_bodies,
             max_bodies=args.max_bodies,
         )
-    elif args.preset == "uniform-box" and config.box_size > 0:
+    elif args.preset in ("uniform-box", "cosmo") and config.box_size > 0:
         kw = dict(box_size=config.box_size)
     return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh, **kw)
 

@@ -1,0 +1,142 @@
+"""Zel'dovich-approximation initial conditions on the periodic box.
+
+The reference generates galaxies (``nbody3d.js:100-175``); the periodic
+solvers added in round 3 (`--boundary periodic`, Ewald-class P3M/PM on
+the torus) make a cosmological-style workload meaningful, and this
+module seeds it the standard way: a Gaussian random overdensity field
+with a target power spectrum ``P(k)``, realized as particle
+displacements off a regular lattice (Zel'dovich 1970).
+
+The construction (all host-side numpy float64, like every IC generator
+here — generation is not the hot path):
+
+- White noise ``w ~ N(0,1)`` on the ``n_per_dim**3`` grid, FFT'd; since
+  ``<|W_k|^2> = G^3``, scaling by ``sqrt(P(k) * G^3 / V)`` realizes a
+  field whose volume-normalized mode power is ``P(k)`` — exactly the
+  estimator :func:`nbody3d_tpu.analysis.power_spectrum` computes, so
+  the generated spectrum is testable with the shipped analysis.
+- Displacement field ``psi_k = i k / k^2 * delta_k`` (so
+  ``div psi = -delta``): placing lattice particles at ``q + psi`` makes
+  the linear-order particle density equal the realized ``delta``.
+- Growing-mode velocities: in the static periodic box the linearized
+  fluid equations give ``delta'' = 4 pi G_N rho_bar delta`` (the Jeans
+  instability of the uniform background — the k=0 "Jeans swindle" mode
+  is exactly what the periodic Poisson solve discards), so the growing
+  solution is ``delta ~ exp(t / tau)`` with
+  ``tau = 1/sqrt(4 pi G_N rho_bar)`` and its velocity is
+  ``v = psi / tau``.  ``velocity="growing"`` seeds that mode (structure
+  starts growing immediately instead of spending ~tau decaying the
+  mixed-in decaying mode); ``velocity="cold"`` starts at rest.
+
+Spectra: ``spectrum="power-law"`` is ``P(k) = amp * (k / k_f)^index``
+with ``k_f = 2 pi / L`` the fundamental; any callable ``pk(k_array) ->
+P_array`` (in volume units, e.g. a tabulated transfer function) is
+accepted.  Modes above the mesh Nyquist are zeroed (anti-aliasing of
+the corner modes), as is DC.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+__all__ = ["zeldovich_box"]
+
+
+def zeldovich_box(
+    n_per_dim: int,
+    box_size: float,
+    *,
+    amp: float = 0.005,
+    index: float = -1.0,
+    spectrum: str | Callable[[np.ndarray], np.ndarray] = "power-law",
+    velocity: str = "growing",
+    G: float = 1e-4,
+    mass: float = 30.0,
+    rng: np.random.Generator | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zel'dovich initial conditions: ``n_per_dim**3`` equal-mass bodies
+    on the ``[0, box_size)^3`` torus, displaced off the regular lattice
+    by a realization of the target spectrum.
+
+    Returns ``(pos_mass (N,4) f32, vel (N,4) f32, camera_target (3,))``
+    — the preset maker contract (``models/registry.py``).
+
+    ``amp``: power-spectrum amplitude at the fundamental mode, in volume
+    units (the measured ``P(k_f)``); linear theory needs the implied
+    displacements small vs the inter-particle spacing — the default
+    0.005·(L=10)³ class keeps rms displacement ~0.1 cell.
+    ``velocity="growing"``: pure growing mode ``v = psi / tau`` (see
+    module docstring; uses ``G`` and the realized mean density);
+    ``"cold"``: zeros.
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    g = int(n_per_dim)
+    if g < 2:
+        raise ValueError("n_per_dim must be >= 2")
+    L = float(box_size)
+    if L <= 0:
+        raise ValueError("box_size must be > 0")
+    n = g**3
+    V = L**3
+    k_f = 2.0 * np.pi / L
+
+    # Realized overdensity in k space: white noise scaled to P(k).
+    w = rng.standard_normal((g, g, g))
+    wk = np.fft.fftn(w)
+    k1 = 2.0 * np.pi * np.fft.fftfreq(g) * g / L  # (g,) physical wavenumbers
+    kx = k1[:, None, None]
+    ky = k1[None, :, None]
+    kz = k1[None, None, :]
+    k2 = kx**2 + ky**2 + kz**2
+    kk = np.sqrt(k2)
+
+    if callable(spectrum):
+        pk = spectrum(kk)
+    elif spectrum == "power-law":
+        with np.errstate(divide="ignore"):
+            pk = amp * np.where(kk > 0, (kk / k_f) ** index, 0.0)
+    else:
+        raise ValueError(f"unknown spectrum {spectrum!r}")
+    k_nyq = np.pi * g / L
+    pk = np.where((kk > 0) & (kk <= k_nyq), pk, 0.0)
+
+    delta_k = wk * np.sqrt(pk * g**3 / V)
+
+    # Displacement psi_k = i k / k^2 delta_k (div psi = -delta).
+    inv_k2 = np.where(k2 > 0, 1.0 / np.where(k2 > 0, k2, 1.0), 0.0)
+    base = 1j * delta_k * inv_k2
+    psi = np.stack(
+        [
+            np.fft.ifftn(base * kx).real,
+            np.fft.ifftn(base * ky).real,
+            np.fft.ifftn(base * kz).real,
+        ],
+        axis=-1,
+    )  # (g, g, g, 3)
+
+    # Lattice at cell centers (matches the deposit's cell-center
+    # convention) + displacement, wrapped onto the torus.
+    q1 = (np.arange(g) + 0.5) * (L / g)
+    q = np.stack(
+        np.meshgrid(q1, q1, q1, indexing="ij"), axis=-1
+    )  # (g, g, g, 3)
+    pos = (q + psi).reshape(n, 3)
+    pos -= L * np.floor(pos / L)
+
+    if velocity == "growing":
+        rho_bar = mass * n / V
+        tau = 1.0 / np.sqrt(4.0 * np.pi * G * rho_bar)
+        v3 = (psi / tau).reshape(n, 3)
+    elif velocity == "cold":
+        v3 = np.zeros((n, 3))
+    else:
+        raise ValueError(f"unknown velocity {velocity!r}")
+
+    pos_mass = np.concatenate(
+        [pos, np.full((n, 1), mass)], axis=1
+    ).astype(np.float32)
+    vel = np.concatenate([v3, np.zeros((n, 1))], axis=1).astype(np.float32)
+    return pos_mass, vel, np.full((3,), L / 2.0, dtype=np.float64)

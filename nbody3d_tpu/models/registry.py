@@ -13,6 +13,8 @@ freezes orbital speeds to the G at generation time, ``nbody3d.js:115``).
 - ``plummer`` — N=16k Plummer sphere (config #2).
 - ``uniform-sphere`` — N=1,024 cold uniform ball (config #1).
 - ``fibonacci-shell`` — the reference's dead-code generator (util.js:135-152).
+- ``cosmo`` — Zel'dovich P(k)-seeded periodic box (models/cosmo.py);
+  pair with ``--boundary periodic``.
 """
 
 from __future__ import annotations
@@ -93,6 +95,21 @@ def _uniform_box(
     return pm, vel, np.full((3,), box_size / 2.0)
 
 
+def _cosmo(
+    seed: int, G: float, n: int | None, size_factor: float,
+    *, box_size: float = 10.0, amp: float = 0.005, index: float = -1.0,
+) -> MakerResult:
+    """Zel'dovich-displaced lattice on the periodic box (``n`` rounds to
+    the nearest perfect cube; default 32^3 = 32,768)."""
+    from nbody3d_tpu.models.cosmo import zeldovich_box
+
+    n_per_dim = max(2, round(float(n or 32768) ** (1.0 / 3.0)))
+    return zeldovich_box(
+        n_per_dim, box_size, amp=amp, index=index, G=G,
+        rng=np.random.default_rng(seed),
+    )
+
+
 PRESETS: dict[str, Callable[..., MakerResult]] = {
     "two-galaxy": _two_galaxy,
     "reference-random": _reference_random,
@@ -101,6 +118,7 @@ PRESETS: dict[str, Callable[..., MakerResult]] = {
     "uniform-sphere": _uniform,
     "fibonacci-shell": _fib,
     "uniform-box": _uniform_box,
+    "cosmo": _cosmo,
 }
 
 

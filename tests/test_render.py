@@ -269,6 +269,46 @@ def _pallas_vs_host_images(n, seed, width, height, radius=4.0,
     return a, b
 
 
+def test_compact_large_order_and_overflow():
+    """compact_large: packs exactly the visible r >= 2 splats, preserves
+    input order, round-trips the bit-exact u32 fields, and counts past
+    its capacity (the caller's fallback trigger)."""
+    import jax.numpy as jnp
+
+    from nbody3d_tpu.render.pallas_resolve import compact_large
+
+    rng = np.random.default_rng(2)
+    n = 4096
+    cx = jnp.asarray(rng.integers(0, 640, n), jnp.int32)
+    cy = jnp.asarray(rng.integers(0, 480, n), jnp.int32)
+    depth = jnp.asarray(rng.integers(0, 1 << 30, n), jnp.uint32)
+    rgb = jnp.asarray(rng.integers(0, 1 << 24, n), jnp.uint32)
+    r = jnp.asarray(rng.uniform(0.5, 4.0, n), jnp.float32)
+    visible = jnp.asarray(rng.random(n) < 0.7)
+
+    buf, k = compact_large(cx, cy, depth, rgb, r, visible, kmax=1 << 12)
+    buf, k = np.asarray(buf), int(k)
+    mask = np.asarray(visible) & (np.asarray(r) >= 2.0)
+    idx = np.nonzero(mask)[0]
+    assert k == len(idx) and k > 0
+    np.testing.assert_array_equal(buf[:k, 0].astype(np.int64),
+                                  np.asarray(cx)[idx])
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(buf[:k, 2]).view(np.uint32),
+        np.asarray(depth)[idx])
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(buf[:k, 3]).view(np.uint32),
+        np.asarray(rgb)[idx])
+    np.testing.assert_array_equal(buf[:k, 4], np.asarray(r)[idx])
+
+    # overflow: capacity below the true count still reports the count
+    # (rows past kmax land in the dump slot, never corrupt the prefix)
+    kmax = max(k // 2, 1)
+    buf2, k2 = compact_large(cx, cy, depth, rgb, r, visible, kmax=kmax)
+    assert int(k2) == k
+    np.testing.assert_array_equal(np.asarray(buf2)[:kmax], buf[:kmax])
+
+
 def test_pallas_resolve_bit_identical():
     """The Pallas on-device resolve (render/pallas_resolve.py) is
     BIT-identical to the host packed-u64 resolve on the same device

@@ -840,15 +840,15 @@ def mesh_accel_periodic(
     if backend == "pallas_interpret":
         backend, interpret = "pallas", True
     if backend == "auto":
-        backend = (
-            "pallas"
-            if jax.default_backend() == "tpu"
-            and order == 3
-            and 32 <= grid <= 192
-            and block % 128 == 0
-            else "jnp"
-        )
-    if backend == "pallas" and order != 3:
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if backend == "pallas" and not interpret and not (
+        order == 3 and 32 <= grid <= 192 and block % 128 == 0
+    ):
+        # Explicit "pallas" outside the tile kernels' applicability
+        # envelope (TSC only; padded grid VMEM-resident; lane-multiple
+        # blocks) demotes to the XLA form instead of a Mosaic VMEM
+        # failure — callers pass the resolved backend unconditionally
+        # (ops/step.py), so the envelope must live here, not in "auto".
         backend = "jnp"
     if backend == "pallas":
         nt = ps.shape[0] // block

@@ -123,22 +123,29 @@ let fcMode = 'zoom';  // modifier captured at the f/c key event (camera.js:227-2
 const CAMKEYS = ['ArrowUp','ArrowDown','ArrowLeft','ArrowRight','w','a','s','d','f','c'];
 window.onkeydown = e => {
   if (e.key === ' ') { send('reset=1' + mods(e)); e.preventDefault(); return; }
-  if (!CAMKEYS.includes(e.key) || e.target.tagName === 'INPUT') return;
-  if (e.key === 'f' || e.key === 'c')
+  const k = e.key.length === 1 ? e.key.toLowerCase() : e.key;
+  if (!CAMKEYS.includes(k) || e.target.tagName === 'INPUT') return;
+  if (k === 'f' || k === 'c')
     fcMode = e.altKey ? 'dollyfov' : e.ctrlKey ? 'fov' : 'zoom';
-  held[e.key] = true; e.preventDefault();
+  held[k] = true; e.preventDefault();
 };
-window.onkeyup = e => { held[e.key] = false; };
+// normalize case on keyup too: pressing Shift mid-hold must not leak a
+// stuck lowercase entry ('f' down, Shift, 'F' up)
+window.onkeyup = e => {
+  held[e.key.length === 1 ? e.key.toLowerCase() : e.key] = false;
+};
 window.onblur = () => CAMKEYS.forEach(k => held[k] = false);
 const KEY_ROT_SPEED = 3, KEY_PAN_SPEED = 5,
       KEY_ZOOM_SPEED = 0.01, KEY_FOV_SPEED = 0.005;
 setInterval(() => {  // per-frame key camera (nbody3d.js:445-449)
+  // signs match the r3 per-event bindings (ArrowLeft -> orbit dx<0,
+  // 'a' -> pan dx<0; parity-audited against camera.js:185-251)
   const q = [];
-  const odx = ((held.ArrowLeft|0) - (held.ArrowRight|0)) * KEY_ROT_SPEED;
-  const ody = ((held.ArrowUp|0) - (held.ArrowDown|0)) * KEY_ROT_SPEED;
+  const odx = ((held.ArrowRight|0) - (held.ArrowLeft|0)) * KEY_ROT_SPEED;
+  const ody = ((held.ArrowDown|0) - (held.ArrowUp|0)) * KEY_ROT_SPEED;
   if (odx || ody) q.push(`orbit=${odx},${ody}`);
-  const pdx = ((held.a|0) - (held.d|0)) * KEY_PAN_SPEED;
-  const pdy = ((held.w|0) - (held.s|0)) * KEY_PAN_SPEED;
+  const pdx = ((held.d|0) - (held.a|0)) * KEY_PAN_SPEED;
+  const pdy = ((held.s|0) - (held.w|0)) * KEY_PAN_SPEED;
   if (pdx || pdy) q.push(`pan=${pdx},${pdy}`);
   const z = (held.c|0) - (held.f|0);  // f = zoom in (camera.js:219-225)
   if (z) q.push(fcMode === 'zoom' ? `zoom=${z * KEY_ZOOM_SPEED}`

@@ -300,6 +300,16 @@ def test_held_key_constants_in_page(viewer):
     assert b"KEY_FOV_SPEED = 0.005" in body
     assert b"window.onkeyup" in body  # state tracked, not per-event nudges
     assert b"window.onresize" in body  # live resize wired (util.js:91-96)
+    # Direction parity with the r3 per-event bindings (ArrowLeft ->
+    # orbit dx<0, 'a' -> pan dx<0 — camera.js:185-251) and with the
+    # f/c zoom sign (f = zoom in, camera.js:219-225).
+    assert b"(held.ArrowRight|0) - (held.ArrowLeft|0)" in body
+    assert b"(held.ArrowDown|0) - (held.ArrowUp|0)" in body
+    assert b"(held.d|0) - (held.a|0)" in body
+    assert b"(held.s|0) - (held.w|0)" in body
+    assert b"(held.c|0) - (held.f|0)" in body
+    # Shift mid-hold must not leak a stuck key ('f' down, Shift, 'F' up)
+    assert b"e.key.toLowerCase()" in body
 
 
 def test_hud_timing_split(viewer):

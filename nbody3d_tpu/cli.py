@@ -99,6 +99,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="disable --interlace",
     )
     p.add_argument(
+        "--cosmology", default=None, choices=["none", "eds"],
+        help="expanding background: eds = comoving coordinates on an "
+        "Einstein-de Sitter universe (needs --boundary periodic and a "
+        "mesh solver; vel stores w = a^2 dx/dt, dt is cosmic time, "
+        "linear growth D = a — ops/expansion.py)",
+    )
+    p.add_argument(
         "--morton-every",
         type=int,
         default=None,
@@ -148,6 +155,7 @@ def _config_overrides(args) -> dict:
         ("boundary", args.boundary),
         ("box_size", args.box_size),
         ("mesh_interlace", args.mesh_interlace),
+        ("cosmology", args.cosmology),
         ("morton_every", args.morton_every),
         ("integrator", args.integrator),
         ("block_target", args.block_target),
@@ -241,6 +249,10 @@ def _make_sim(args, config, mesh):
         )
     elif args.preset in ("uniform-box", "cosmo") and config.box_size > 0:
         kw = dict(box_size=config.box_size)
+    if args.preset == "cosmo" and config.cosmology == "eds":
+        # Seed the EXPANDING box's growing mode (w = H_i psi), not the
+        # static Jeans mode — the preset follows the configured physics.
+        kw["velocity"] = "eds"
     return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh, **kw)
 
 

@@ -91,6 +91,13 @@ class SimConfig:
     # The heavy_k most massive bodies bypass the mesh with exact O(K*N)
     # direct pairs (mass-hierarchy split, ops/p3m.py::heavy_split).
     p3m_heavy_k: int = 16
+    # Expanding background (beyond reference): "none" = static space (the
+    # reference's physics) or "eds" = comoving coordinates on an
+    # Einstein-de Sitter universe (ops/expansion.py) — requires the
+    # periodic mesh solvers; vel then stores the canonical momentum
+    # w = a^2 dx/dt and dt is cosmic time.  No other parameters: G, the
+    # box, and the masses pin the whole expansion history via Friedmann.
+    cosmology: str = "none"
 
     # Kernel selection / shape.  Blocks tuned on v5e at N=256k
     # (benchmarks/fast_tune.py): 2048x2048 is within 1% of the best

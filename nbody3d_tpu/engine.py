@@ -76,6 +76,13 @@ class Simulation:
         if mesh is None:
             self._step_fn = make_step_fn(config, self.n_pad, self.n_real, platform)
         else:
+            if config.cosmology != "none":
+                raise NotImplementedError(
+                    "cosmology='eds' is single-chip for now: the sharded "
+                    "strategies integrate in-shard with static-space "
+                    "semantics (parallel/sharded.py); run the comoving "
+                    "step without a mesh"
+                )
             from nbody3d_tpu.parallel.sharded import make_sharded_step, shard_state
 
             self._step_fn = make_sharded_step(

@@ -130,6 +130,15 @@ def zeldovich_box(
         rho_bar = mass * n / V
         tau = 1.0 / np.sqrt(4.0 * np.pi * G * rho_bar)
         v3 = (psi / tau).reshape(n, 3)
+    elif velocity == "eds":
+        # Growing mode of the EXPANDING (Einstein-de Sitter) box for the
+        # comoving integrator (ops/expansion.py): Zel'dovich x = q + D psi
+        # with D = a (normalized D_i = a_i = 1), so dx/dt = H_i psi at the
+        # start and the stored canonical momentum w = a^2 dx/dt = H_i psi.
+        # H_i from Friedmann at a = 1: sqrt(8 pi G rho_bar / 3).
+        rho_bar = mass * n / V
+        h_i = np.sqrt(8.0 * np.pi / 3.0 * G * rho_bar)
+        v3 = (h_i * psi).reshape(n, 3)
     elif velocity == "cold":
         v3 = np.zeros((n, 3))
     else:

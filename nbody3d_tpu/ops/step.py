@@ -134,6 +134,70 @@ def make_sym_accel_fn(config: SimConfig, n_pad: int, interpret: bool):
     return accel
 
 
+def make_mesh_accel_fn(
+    config: SimConfig, n_real: int, backend: str, interpret: bool
+):
+    """Mesh-solver accelerations ``accel(pos_mass, G) -> (N, 4)`` for
+    ``config.method`` in {"pm", "p3m"} — the shared force closure of the
+    plain step builders below and the comoving-coordinate cosmology step
+    (ops/expansion.py).
+
+    PM: particle-mesh FFT solver (ops/pm.py) — O(N + M^3 log M) grid
+    gravity.  The CIC deposit/gather stays on the XLA pipeline on every
+    backend ("auto"): the 4-point CIC tile kernels measured par at 2M
+    and 48% SLOWER at 16M (1.54 vs 1.04 s/step — too little deposit
+    arithmetic per tile to beat XLA's sorted segment-sum; accel_pm's
+    dispatch comment).  Passing the resolved backend here instead was
+    the round-3 regression that produced BASELINE's 1.04-vs-1.54
+    discrepancy: pm_bench times this step, and "pallas" flipped it onto
+    the tile path.
+
+    P3M: PM far field + exact short-range correction (ops/p3m.py):
+    ~1e-3 force accuracy vs direct at near-PM cost.  BOTH hot passes
+    follow the resolved backend: the block-sparse Pallas short-range
+    kernel and the MXU mesh tile kernels on TPU (each with a jnp-oracle
+    custom VJP, so grad works there too), the jnp forms on CPU / jnp
+    backend (the pure-XLA A/B oracle).
+    """
+    if config.method == "pm":
+        from nbody3d_tpu.ops.pm import accel_pm
+
+        def accel(pos_mass, G):
+            return accel_pm(
+                pos_mass, G,
+                grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
+                mesh_backend="auto",
+                boundary=config.boundary, box_size=config.box_size,
+                interlace=config.mesh_interlace,
+            )
+
+        return accel
+
+    if config.method == "p3m":
+        from nbody3d_tpu.ops.p3m import accel_p3m
+
+        short = "pallas" if backend == "pallas" and not interpret else "jnp"
+
+        def accel(pos_mass, G):
+            return accel_p3m(
+                pos_mass, G,
+                grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
+                sigma_cells=config.p3m_sigma_cells,
+                rcut_sigmas=config.p3m_rcut_sigmas,
+                block=config.p3m_block, nbr_k=config.p3m_nbr_k,
+                heavy_k=config.p3m_heavy_k, short_backend=short,
+                mesh_backend=short,
+                boundary=config.boundary, box_size=config.box_size,
+                interlace=config.mesh_interlace,
+            )
+
+        return accel
+
+    raise ValueError(
+        f"make_mesh_accel_fn needs method='pm'|'p3m', got {config.method!r}"
+    )
+
+
 def make_step_fn(
     config: SimConfig, n_pad: int, n_real: int, platform: str | None = None
 ) -> StepFn:
@@ -156,61 +220,33 @@ def make_step_fn(
             "oracle for validation only)"
         )
 
-    if config.method == "pm":
-        # Particle-mesh FFT solver (ops/pm.py) — O(N + M^3 log M) grid
-        # gravity.  The CIC deposit/gather stays on the XLA pipeline on
-        # every backend ("auto"): the 4-point CIC tile kernels measured
-        # par at 2M and 48% SLOWER at 16M (1.54 vs 1.04 s/step — too
-        # little deposit arithmetic per tile to beat XLA's sorted
-        # segment-sum; accel_pm's dispatch comment).  Passing the
-        # resolved backend here instead was the round-3 regression that
-        # produced BASELINE's 1.04-vs-1.54 discrepancy: pm_bench times
-        # this step, and "pallas" flipped it onto the tile path.
-        from nbody3d_tpu.ops.pm import accel_pm
+    if config.cosmology != "none":
+        # Comoving coordinates on an expanding background: a dedicated
+        # staggered-leapfrog step with exact EdS kick/drift integral
+        # factors (ops/expansion.py), driven by the same mesh force
+        # closure as the plain periodic step.
+        from nbody3d_tpu.ops.expansion import make_cosmo_step_fn
 
-        mesh_be = "auto"
+        return make_cosmo_step_fn(config, n_pad, n_real, backend, interpret)
+
+    if config.method == "pm":
+
+        accel_fn = make_mesh_accel_fn(config, n_real, backend, interpret)
 
         def step(state: SimState, dt, G) -> SimState:
-            def accum(pm_):
-                return accel_pm(
-                    pm_, G,
-                    grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
-                    mesh_backend=mesh_be,
-                    boundary=config.boundary, box_size=config.box_size,
-                    interlace=config.mesh_interlace,
-                )
-
             return integrate_state(
-                config.integrator, accum, state, dt, n_real=n_real
+                config.integrator, lambda pm_: accel_fn(pm_, G),
+                state, dt, n_real=n_real,
             )
 
     elif config.method == "p3m":
-        # PM far field + exact short-range correction (ops/p3m.py):
-        # ~1e-3 force accuracy vs direct at near-PM cost.  BOTH hot
-        # passes follow the resolved backend: the block-sparse Pallas
-        # short-range kernel and the MXU mesh tile kernels on TPU (each
-        # with a jnp-oracle custom VJP, so grad works there too), the
-        # jnp forms on CPU / jnp backend (the pure-XLA A/B oracle).
-        from nbody3d_tpu.ops.p3m import accel_p3m
 
-        short = "pallas" if backend == "pallas" and not interpret else "jnp"
+        accel_fn = make_mesh_accel_fn(config, n_real, backend, interpret)
 
         def step(state: SimState, dt, G) -> SimState:
-            def accum(pm_):
-                return accel_p3m(
-                    pm_, G,
-                    grid=config.pm_grid, eps2=config.eps2, n_real=n_real,
-                    sigma_cells=config.p3m_sigma_cells,
-                    rcut_sigmas=config.p3m_rcut_sigmas,
-                    block=config.p3m_block, nbr_k=config.p3m_nbr_k,
-                    heavy_k=config.p3m_heavy_k, short_backend=short,
-                    mesh_backend=short,
-                    boundary=config.boundary, box_size=config.box_size,
-                    interlace=config.mesh_interlace,
-                )
-
             return integrate_state(
-                config.integrator, accum, state, dt, n_real=n_real
+                config.integrator, lambda pm_: accel_fn(pm_, G),
+                state, dt, n_real=n_real,
             )
 
     elif backend == "pallas" and force_mode == "sym":

@@ -47,11 +47,11 @@ def box_state(n, box, seed=0):
 
 
 def bench_n(n, grid, nbr_k, steps=10, reps=3, boundary="isolated",
-            box=10.0, interlace=False):
+            box=10.0, interlace=False, cosmology="none"):
     cfg = SimConfig(
         method="p3m", pm_grid=grid, p3m_nbr_k=nbr_k, boundary=boundary,
         box_size=box if boundary == "periodic" else 0.0,
-        mesh_interlace=interlace,
+        mesh_interlace=interlace, cosmology=cosmology,
     )
     state = box_state(n, box) if boundary == "periodic" else galaxy_state(n)
     n_pad = state.pos_mass.shape[0]
@@ -70,6 +70,8 @@ def bench_n(n, grid, nbr_k, steps=10, reps=3, boundary="isolated",
     tag = "" if boundary == "isolated" else (
         " periodic+interlace" if interlace else " periodic"
     )
+    if cosmology != "none":
+        tag += f" {cosmology}-comoving"
     print(
         f"N={n:>9,}  grid={grid} k={nbr_k}{tag}  {med*1e3:8.2f} ms/step  "
         f"{1/med:7.2f} steps/s  direct-equivalent {eq:10.1f} G-int/s",
@@ -115,6 +117,9 @@ def main():
     ap.add_argument("--interlace", action="store_true",
                     help="periodic only: Hockney-Eastwood force-average "
                     "(2x mesh cost, ~10x lower mesh force error)")
+    ap.add_argument("--cosmology", default="none", choices=["none", "eds"],
+                    help="periodic only: time the comoving EdS step "
+                    "(ops/expansion.py) instead of the static-space one")
     args = ap.parse_args()
     print(f"platform: {jax.devices()[0].platform}", flush=True)
     if not args.skip_accuracy and args.boundary == "isolated":
@@ -122,7 +127,7 @@ def main():
     for n in [int(x) for x in args.ns.split(",")]:
         bench_n(n, args.grid, args.nbr_k, steps=args.steps,
                 boundary=args.boundary, box=args.box_size,
-                interlace=args.interlace)
+                interlace=args.interlace, cosmology=args.cosmology)
 
 
 if __name__ == "__main__":

@@ -99,11 +99,16 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="disable --interlace",
     )
     p.add_argument(
-        "--cosmology", default=None, choices=["none", "eds"],
+        "--cosmology", default=None, choices=["none", "eds", "lcdm"],
         help="expanding background: eds = comoving coordinates on an "
-        "Einstein-de Sitter universe (needs --boundary periodic and a "
-        "mesh solver; vel stores w = a^2 dx/dt, dt is cosmic time, "
-        "linear growth D = a — ops/expansion.py)",
+        "Einstein-de Sitter universe, lcdm = flat ΛCDM (needs "
+        "--boundary periodic and a mesh solver; vel stores "
+        "w = a^2 dx/dt, dt is cosmic time — ops/expansion.py)",
+    )
+    p.add_argument(
+        "--omega-lambda", type=float, default=None,
+        help="Ω_Λ at the start epoch a=1 for --cosmology lcdm "
+        "(flat: Ω_m = 1 - Ω_Λ; default 0.7)",
     )
     p.add_argument(
         "--morton-every",
@@ -156,6 +161,7 @@ def _config_overrides(args) -> dict:
         ("box_size", args.box_size),
         ("mesh_interlace", args.mesh_interlace),
         ("cosmology", args.cosmology),
+        ("omega_lambda", args.omega_lambda),
         ("morton_every", args.morton_every),
         ("integrator", args.integrator),
         ("block_target", args.block_target),
@@ -249,10 +255,13 @@ def _make_sim(args, config, mesh):
         )
     elif args.preset in ("uniform-box", "cosmo") and config.box_size > 0:
         kw = dict(box_size=config.box_size)
-    if args.preset == "cosmo" and config.cosmology == "eds":
-        # Seed the EXPANDING box's growing mode (w = H_i psi), not the
-        # static Jeans mode — the preset follows the configured physics.
-        kw["velocity"] = "eds"
+    if args.preset == "cosmo" and config.cosmology in ("eds", "lcdm"):
+        # Seed the EXPANDING box's growing mode (w = f_i H_i psi), not
+        # the static Jeans mode — the preset follows the configured
+        # physics (EdS: f_i = 1; ΛCDM: the Heath-integral rate).
+        kw["velocity"] = config.cosmology
+        if config.cosmology == "lcdm":
+            kw["omega_lambda"] = config.omega_lambda
     return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh, **kw)
 
 

@@ -92,12 +92,16 @@ class SimConfig:
     # direct pairs (mass-hierarchy split, ops/p3m.py::heavy_split).
     p3m_heavy_k: int = 16
     # Expanding background (beyond reference): "none" = static space (the
-    # reference's physics) or "eds" = comoving coordinates on an
-    # Einstein-de Sitter universe (ops/expansion.py) — requires the
-    # periodic mesh solvers; vel then stores the canonical momentum
-    # w = a^2 dx/dt and dt is cosmic time.  No other parameters: G, the
-    # box, and the masses pin the whole expansion history via Friedmann.
+    # reference's physics), "eds" = comoving coordinates on an
+    # Einstein-de Sitter universe, or "lcdm" = flat ΛCDM
+    # (ops/expansion.py) — requires the periodic mesh solvers; vel then
+    # stores the canonical momentum w = a^2 dx/dt and dt is cosmic time.
+    # EdS has no other parameters: G, the box, and the masses pin the
+    # whole expansion history via Friedmann; lcdm adds exactly one.
     cosmology: str = "none"
+    # Ω_Λ at the start epoch (a = 1), flat: Ω_m = 1 - Ω_Λ.  Only read
+    # when cosmology="lcdm".
+    omega_lambda: float = 0.7
 
     # Kernel selection / shape.  Blocks tuned on v5e at N=256k
     # (benchmarks/fast_tune.py): 2048x2048 is within 1% of the best

@@ -67,6 +67,9 @@ class Simulation:
         if mesh is not None:
             multiple *= mesh.size  # total devices (1-D ring or 2-D grid)
         self.n_pad = pad_count(self.n_real, multiple)
+        # Total mass, cached host-side: the comoving background's rho_bar
+        # (scale_factor below) — one column sum at init, not per query.
+        self._mass_total = float(np.asarray(pos_mass)[:, 3].sum())
         self.state = init_state(pos_mass, vel, accel, n_pad=self.n_pad, step=step)
         self._step_count = int(step)  # last value seen at a chunk boundary
         self.camera_target = (
@@ -76,13 +79,6 @@ class Simulation:
         if mesh is None:
             self._step_fn = make_step_fn(config, self.n_pad, self.n_real, platform)
         else:
-            if config.cosmology != "none":
-                raise NotImplementedError(
-                    "cosmology='eds' is single-chip for now: the sharded "
-                    "strategies integrate in-shard with static-space "
-                    "semantics (parallel/sharded.py); run the comoving "
-                    "step without a mesh"
-                )
             from nbody3d_tpu.parallel.sharded import make_sharded_step, shard_state
 
             self._step_fn = make_sharded_step(
@@ -218,6 +214,9 @@ class Simulation:
         if self.last_render_ms is not None:
             rec["render_ms"] = round(self.last_render_ms, 3)
             rec["render_info"] = self.last_render_info
+        a = self.scale_factor
+        if a is not None:
+            rec["a"] = round(a, 6)
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
@@ -263,6 +262,23 @@ class Simulation:
             n_real=self.n_real,
         )
         self.state = SimState(p, v, a, self.state.step)
+
+    @property
+    def scale_factor(self) -> float | None:
+        """Current background scale factor ``a(t)`` of a comoving run
+        (``None`` for static space) — the HUD-class observability that
+        makes an expanding-universe run legible (ops/expansion.py's
+        host mirror of the in-trace background)."""
+        if self.config.cosmology == "none":
+            return None
+        from nbody3d_tpu.ops.expansion import cosmic_time_and_scale
+
+        rho_bar = self._mass_total / float(self.config.box_size) ** 3
+        dt = self._old_dt if self._old_dt is not None else self.dt
+        _, a = cosmic_time_and_scale(
+            self.config, self.G, rho_bar, self.step_count, dt
+        )
+        return a
 
     @property
     def pair_interactions_per_step(self) -> int:
@@ -451,10 +467,12 @@ class Simulation:
     def log_lines(self) -> Iterator[str]:
         """Structured per-interval log: the HUD equivalent (SURVEY §5.5)."""
         s = self.stats
+        a = self.scale_factor
         yield (
             f"step={self.step_count} steps/s={s.steps_per_s:.2f} "
             f"Gints/s={s.gints_per_s:.2f} wall_ms/step={s.ms_per_step:.3f} "
             f"N={self.n_real} dt={self.dt:g} G={self.G:g}"
+            + (f" a={a:.4f}" if a is not None else "")
         )
         if self.last_render_ms is not None:
             yield (

@@ -41,7 +41,42 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["zeldovich_box"]
+__all__ = ["zeldovich_box", "lcdm_growth"]
+
+
+def lcdm_growth(a: float, omega_lambda: float) -> tuple[float, float]:
+    """Linear growth factor ``D(a)`` (normalized ``D(1) = 1``) and growth
+    rate ``f = dlnD/dlna`` for flat ΛCDM (host float64).
+
+    Heath (1977) integral form: ``D(a) ∝ E(a) ∫_0^a da' / (a' E(a'))^3``
+    with ``E(a) = H/H_i = sqrt(Om/a^3 + OL)`` — the exact linear-theory
+    prediction the expansion tests gate measured band-power growth
+    against, and the source of the ``velocity="lcdm"`` growing-mode
+    rate.  Fine-trapezoid quadrature (integrand ~ a'^{3/2} near 0, so
+    the origin is benign); the rate is an analytic derivative of the
+    integral form, no differencing."""
+    ol = float(omega_lambda)
+    om = 1.0 - ol
+    if not 0.0 < ol < 1.0:
+        raise ValueError(f"need 0 < omega_lambda < 1, got {ol}")
+
+    def E(x):
+        return np.sqrt(om / x**3 + ol)
+
+    def integral(x):
+        s = np.linspace(1e-8, x, 200_001)
+        return np.trapezoid(1.0 / (s * E(s)) ** 3, s)
+
+    def D_un(x):
+        return E(x) * integral(x)
+
+    d = D_un(a) / D_un(1.0)
+    # f = dlnD/dlna = a E'/E + 1/(a^2 E^3 * integral), with
+    # E' = -(3/2) Om a^-4 / E.  (EdS limit check: Om=1 gives
+    # -3/2 + 5/2 = 1, the classic f = 1.)
+    e = E(a)
+    f = (-1.5 * om / (a**3 * e**2)) + 1.0 / (a**2 * e**3 * integral(a))
+    return float(d), float(f)
 
 
 def zeldovich_box(
@@ -54,6 +89,7 @@ def zeldovich_box(
     velocity: str = "growing",
     G: float = 1e-4,
     mass: float = 30.0,
+    omega_lambda: float = 0.7,
     rng: np.random.Generator | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Zel'dovich initial conditions: ``n_per_dim**3`` equal-mass bodies
@@ -139,6 +175,18 @@ def zeldovich_box(
         rho_bar = mass * n / V
         h_i = np.sqrt(8.0 * np.pi / 3.0 * G * rho_bar)
         v3 = (h_i * psi).reshape(n, 3)
+    elif velocity == "lcdm":
+        # Growing mode on a flat ΛCDM background (cosmology="lcdm"):
+        # x = q + (D(a)/D_i) psi, so dx/dt = f_i H_i psi at the start
+        # (f = dlnD/dlna from the exact Heath integral, lcdm_growth) and
+        # w = a^2 dx/dt = f_i H_i psi at a = 1.  H_i from flat Friedmann
+        # with the particles carrying only the matter density:
+        # H_i^2 = 8 pi G rho_bar / (3 Om).
+        rho_bar = mass * n / V
+        om = 1.0 - float(omega_lambda)
+        h_i = np.sqrt(8.0 * np.pi / 3.0 * G * rho_bar / om)
+        _, f_i = lcdm_growth(1.0, omega_lambda)
+        v3 = (f_i * h_i * psi).reshape(n, 3)
     elif velocity == "cold":
         v3 = np.zeros((n, 3))
     else:

@@ -98,18 +98,19 @@ def _uniform_box(
 def _cosmo(
     seed: int, G: float, n: int | None, size_factor: float,
     *, box_size: float = 10.0, amp: float = 0.005, index: float = -1.0,
-    velocity: str = "growing",
+    velocity: str = "growing", omega_lambda: float = 0.7,
 ) -> MakerResult:
     """Zel'dovich-displaced lattice on the periodic box (``n`` rounds to
     the nearest perfect cube; default 32^3 = 32,768).  ``velocity``:
-    "growing" = static-box Jeans mode (the default), "eds" = the
-    expanding-box growing mode for ``cosmology="eds"`` runs."""
+    "growing" = static-box Jeans mode (the default), "eds"/"lcdm" = the
+    expanding-box growing modes for ``cosmology="eds"/"lcdm"`` runs
+    (``omega_lambda`` only read by "lcdm")."""
     from nbody3d_tpu.models.cosmo import zeldovich_box
 
     n_per_dim = max(2, round(float(n or 32768) ** (1.0 / 3.0)))
     return zeldovich_box(
         n_per_dim, box_size, amp=amp, index=index, G=G, velocity=velocity,
-        rng=np.random.default_rng(seed),
+        omega_lambda=omega_lambda, rng=np.random.default_rng(seed),
     )
 
 

@@ -88,6 +88,12 @@ def make_sharded_step(
     :func:`make_ringsym_step`), "gather" (all_gather sources), "2d" (grid
     force decomposition over a 2-axis mesh, :func:`make_grid2d_step`).
     """
+    if config.cosmology != "none":
+        # Comoving-coordinate cosmology shards like the mesh solvers it
+        # requires; validate up front so direct strategies reject loudly.
+        from nbody3d_tpu.ops.expansion import validate_cosmo_config
+
+        validate_cosmo_config(config)
     if config.method == "pm":
         # The PM grid replaces pairwise exchange entirely: wire cost is one
         # psum of the mass grid, whatever the strategy says.
@@ -515,6 +521,30 @@ def make_grid2d_step(
     return step
 
 
+def _finish_mesh_step(config, accum, pos_mass, vel, accel, step, dt, G,
+                      valid, axis):
+    """Shared integrator tail of the sharded mesh steps (PM/P3M): the
+    static-space multi-eval integrators, or — when an expanding
+    background is on — the comoving kick-drift (ops/expansion.py).  The
+    kick/drift factors are global scalars; the only cross-shard
+    quantity is the total mass inside ``rho_bar``, psum'd here so every
+    chip derives the identical background bit-for-bit."""
+    if config.cosmology == "none":
+        new_pos, new_vel, new_acc = integrate_from_accum(
+            config.integrator, accum, pos_mass, vel, accel, dt, valid
+        )
+    else:
+        from nbody3d_tpu.ops.expansion import comoving_update
+
+        inv_vol = 1.0 / float(config.box_size) ** 3
+        rho_bar = lax.psum(jnp.sum(pos_mass[:, 3]), axis) * inv_vol
+        new_pos, new_vel, new_acc = comoving_update(
+            config, accum(pos_mass), pos_mass, vel, step, dt, G,
+            rho_bar, valid,
+        )
+    return new_pos, new_vel, new_acc, step + 1
+
+
 def make_pm_sharded_step(
     config: SimConfig,
     n_pad: int,
@@ -615,10 +645,9 @@ def make_pm_sharded_step(
             )
 
         valid = validf if n_real < n_pad else None
-        new_pos, new_vel, new_acc = integrate_from_accum(
-            config.integrator, accum, pos_mass, vel, accel, dt, valid
+        return _finish_mesh_step(
+            config, accum, pos_mass, vel, accel, step, dt, G, valid, axis
         )
-        return new_pos, new_vel, new_acc, step + 1
 
     spec = P(axis, None)
     sharded = jax.shard_map(
@@ -900,10 +929,9 @@ def make_p3m_sharded_step(
             return acc
 
         valid = validf if n_real < n_pad else None
-        new_pos, new_vel, new_acc = integrate_from_accum(
-            config.integrator, accum, pos_mass, vel, accel, dt, valid
+        return _finish_mesh_step(
+            config, accum, pos_mass, vel, accel, step, dt, G, valid, axis
         )
-        return new_pos, new_vel, new_acc, step + 1
 
     spec = P(axis, None)
     sharded = jax.shard_map(

@@ -117,8 +117,9 @@ def main():
     ap.add_argument("--interlace", action="store_true",
                     help="periodic only: Hockney-Eastwood force-average "
                     "(2x mesh cost, ~10x lower mesh force error)")
-    ap.add_argument("--cosmology", default="none", choices=["none", "eds"],
-                    help="periodic only: time the comoving EdS step "
+    ap.add_argument("--cosmology", default="none",
+                    choices=["none", "eds", "lcdm"],
+                    help="periodic only: time the comoving EdS/ΛCDM step "
                     "(ops/expansion.py) instead of the static-space one")
     args = ap.parse_args()
     print(f"platform: {jax.devices()[0].platform}", flush=True)

@@ -168,6 +168,7 @@ setInterval(async () => {
     `\\ncompute ms: ${s.compute_ms.toFixed(3)}\\nrender ms: ${s.render_ms.toFixed(3)}` +
     `\\nsteps/s: ${s.steps_per_s.toFixed(1)}\\nG-int/s: ${s.gints_per_s.toFixed(2)}` +
     `\\nE: ${s.energy === null ? 'n/a' : s.energy.toExponential(3)}` +
+    (s.a === null ? '' : `\\na(t): ${s.a.toFixed(4)}`) +
     `\\ndt: ${s.dt.toExponential(2)}  G: ${s.G.toExponential(2)}` +
     `\\n${s.camera}\\n${s.resolution}${s.paused ? '\\n[paused]' : ''}`;
 }, 250);
@@ -405,6 +406,8 @@ class LiveViewer:
             "host_ms": self._host_ms,
             "compute_ms": self._compute_ms,
             "energy": self._energy,
+            # Comoving runs: live background scale factor (None = static).
+            "a": self.sim.scale_factor,
             "dt": self.sim.dt if not self.sim.paused else (self.sim._old_dt or 0.0),
             "G": self.sim.G,
             "paused": self.sim.paused,

@@ -68,6 +68,7 @@ def test_page_and_stats(viewer):
     assert s["n"] == 64
     assert "cam target=" in s["camera"]
     assert s["resolution"] == "64x48"
+    assert s["a"] is None  # static space: no background scale factor
 
 
 def test_frame_endpoint_serves_jpeg(viewer):

@@ -185,7 +185,15 @@ def _build_config(args, base=None):
         jax.config.update("jax_platforms", args.platform)
     from nbody3d_tpu.config import SimConfig
 
-    return (base or SimConfig()).replace(**_config_overrides(args))
+    config = (base or SimConfig()).replace(**_config_overrides(args))
+    if getattr(args, "omega_lambda", None) is not None and config.cosmology != "lcdm":
+        # Ω_Λ only parameterizes the flat-ΛCDM background; silently
+        # accepting it under eds/none would mask the user's intent.
+        raise SystemExit(
+            f"--omega-lambda only applies to --cosmology lcdm "
+            f"(resolved cosmology is {config.cosmology!r})"
+        )
+    return config
 
 
 def _resolved_strategy(args) -> str:

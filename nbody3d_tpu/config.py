@@ -91,6 +91,13 @@ class SimConfig:
     # The heavy_k most massive bodies bypass the mesh with exact O(K*N)
     # direct pairs (mass-hierarchy split, ops/p3m.py::heavy_split).
     p3m_heavy_k: int = 16
+    # Sharded P3M halo capacity: max REMOTE tiles a chip keeps resident
+    # for its short-range pass (parallel/exchange.py).  0 = auto
+    # (min(nb - tiles_per, max(2*tiles_per, 4*nbr_k, 64)) — generous
+    # enough that truncation only bites past ~2x the resident tile
+    # count).  Truncation is nearest-first and mutual-symmetric
+    # (momentum-safe), same semantics as the nbr_k budget.
+    p3m_halo_tiles: int = 0
     # Expanding background (beyond reference): "none" = static space (the
     # reference's physics), "eds" = comoving coordinates on an
     # Einstein-de Sitter universe, or "lcdm" = flat ΛCDM

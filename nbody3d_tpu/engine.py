@@ -69,6 +69,12 @@ class Simulation:
         self.n_pad = pad_count(self.n_real, multiple)
         # Total mass, cached host-side: the comoving background's rho_bar
         # (scale_factor below) — one column sum at init, not per query.
+        # Invariant: every integrator passes the mass column through
+        # untouched (ops/integrate.py, ops/expansion.py) and no code path
+        # mutates masses in place, so this host mirror stays structurally
+        # tied to the in-trace background, which re-derives rho_bar from
+        # the live state each step.  Any future mass-mutating feature must
+        # refresh (or remove) this cache or scale_factor silently diverges.
         self._mass_total = float(np.asarray(pos_mass)[:, 3].sum())
         self.state = init_state(pos_mass, vel, accel, n_pad=self.n_pad, step=step)
         self._step_count = int(step)  # last value seen at a chunk boundary
@@ -90,8 +96,11 @@ class Simulation:
 
         # Live-tunable runtime params (the dt/G sliders, util.js:38-54) and
         # pause semantics (dt <-> 0 swap through oldDt, util.js:56-64).
-        self.dt = float(config.dt)
-        self.G = float(config.G)
+        # Direct slot writes: the dt/G property setters guard against
+        # mid-run changes on cosmology runs (see their docstring), which
+        # construction is not.
+        self._dt = float(config.dt)
+        self._G = float(config.G)
         self._old_dt: float | None = None
 
         # EMA-filtered profiling, filterStrength=10 like the reference HUD
@@ -163,6 +172,61 @@ class Simulation:
         return Simulation.from_preset(
             name, config, n=n, mesh=self.mesh, platform=self._platform, **kw
         )
+
+    # -------------------------------------------------- live dt/G (sliders)
+    @property
+    def dt(self) -> float:
+        return self._dt
+
+    @dt.setter
+    def dt(self, v: float) -> None:
+        self._guard_cosmo_param("dt", float(v))
+        self._dt = float(v)
+
+    @property
+    def G(self) -> float:
+        return self._G
+
+    @G.setter
+    def G(self, v: float) -> None:
+        self._guard_cosmo_param("G", float(v))
+        self._G = float(v)
+
+    def _guard_cosmo_param(self, name: str, v: float) -> None:
+        """Reject live dt/G changes on a comoving run that already has
+        history: the background (both the in-trace integration in
+        ops/expansion.py and the host mirror in :attr:`scale_factor`)
+        reconstructs cosmic time as ``t_i + step*dt`` from the CURRENT
+        dt and G, so changing either mid-run would silently rescale the
+        entire expansion history.  Pause (dt=0 swap) stays allowed —
+        steps don't advance, so no history is distorted.  Checkpoint
+        restore goes through :meth:`_set_runtime`, which bypasses this
+        guard to re-install the authoritative saved values."""
+        if self.config.cosmology == "none":
+            return
+        cur = self._dt if name == "dt" else self._G
+        if v == cur or (name == "dt" and v == 0.0):
+            return  # no-op or pause
+        if name == "dt" and self._old_dt is not None and v == self._old_dt:
+            return  # unpause restore
+        if self._step_count == 0 and self.stats.total_steps == 0:
+            return  # no history yet — the run starts from here
+        raise ValueError(
+            f"cannot change {name} mid-run with cosmology="
+            f"{self.config.cosmology!r}: the comoving background integrates "
+            f"from t_i with constant dt/G, so a live change would rescale "
+            f"the entire expansion history (ops/expansion.py).  Pause, or "
+            f"regenerate/restart with the new value."
+        )
+
+    def _set_runtime(self, dt: float | None = None, G: float | None = None):
+        """Install runtime dt/G bypassing the cosmology guard — for
+        checkpoint restore, where the saved values ARE the ones that
+        produced the existing history."""
+        if dt is not None:
+            self._dt = float(dt)
+        if G is not None:
+            self._G = float(G)
 
     @property
     def paused(self) -> bool:

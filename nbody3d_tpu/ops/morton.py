@@ -39,21 +39,19 @@ def _spread_bits(v: jax.Array) -> jax.Array:
     return v
 
 
-def morton_keys(pos: jax.Array, n_real: int | None = None) -> jax.Array:
-    """(N, >=3) positions -> (N,) int32 Z-order keys.
-
-    Coordinates are normalized by the bounding box of the first ``n_real``
-    rows; rows at index >= ``n_real`` (padding) get the maximum key.
+def morton_keys_box(
+    xyz: jax.Array,
+    lo: jax.Array,
+    hi: jax.Array,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """(N, 3) positions -> (N,) int32 Z-order keys against an EXPLICIT
+    bounding box — the distributed form: a sharded caller derives the
+    identical global ``lo``/``hi`` with one ``pmin``/``pmax`` and keys
+    only its resident rows, bit-identical to keying the gathered array
+    (:func:`morton_keys` is this plus the local bbox).  Rows where
+    ``valid`` is False (padding) get the maximum key (sort to the tail).
     """
-    n = pos.shape[0]
-    xyz = pos[:, :3]
-    if n_real is not None and n_real < n:
-        valid = jnp.arange(n)[:, None] < n_real
-        lo = jnp.min(jnp.where(valid, xyz, jnp.inf), axis=0)
-        hi = jnp.max(jnp.where(valid, xyz, -jnp.inf), axis=0)
-    else:
-        lo = jnp.min(xyz, axis=0)
-        hi = jnp.max(xyz, axis=0)
     span = jnp.maximum(hi - lo, 1e-30)
     cell = jnp.clip(
         ((xyz - lo) / span * _CELLS).astype(jnp.int32), 0, _CELLS - 1
@@ -63,9 +61,28 @@ def morton_keys(pos: jax.Array, n_real: int | None = None) -> jax.Array:
         | (_spread_bits(cell[:, 1]) << 1)
         | (_spread_bits(cell[:, 2]) << 2)
     )
-    if n_real is not None and n_real < n:
-        key = jnp.where(jnp.arange(n) < n_real, key, jnp.int32(0x7FFFFFFF))
+    if valid is not None:
+        key = jnp.where(valid, key, jnp.int32(0x7FFFFFFF))
     return key
+
+
+def morton_keys(pos: jax.Array, n_real: int | None = None) -> jax.Array:
+    """(N, >=3) positions -> (N,) int32 Z-order keys.
+
+    Coordinates are normalized by the bounding box of the first ``n_real``
+    rows; rows at index >= ``n_real`` (padding) get the maximum key.
+    """
+    n = pos.shape[0]
+    xyz = pos[:, :3]
+    valid = None
+    if n_real is not None and n_real < n:
+        valid = jnp.arange(n) < n_real
+        lo = jnp.min(jnp.where(valid[:, None], xyz, jnp.inf), axis=0)
+        hi = jnp.max(jnp.where(valid[:, None], xyz, -jnp.inf), axis=0)
+    else:
+        lo = jnp.min(xyz, axis=0)
+        hi = jnp.max(xyz, axis=0)
+    return morton_keys_box(xyz, lo, hi, valid)
 
 
 @functools.partial(jax.jit, static_argnames=("n_real",), donate_argnums=(0, 1, 2))

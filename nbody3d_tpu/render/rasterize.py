@@ -465,38 +465,58 @@ def _render_device_resolve(pos_mass, vel, camera, width, height, size_factor,
 
 def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
                            max_radius_px, color_mode, background):
-    """Full-precision on-device resolve (render/pallas_resolve.py): small
-    splats rasterize in a Pallas kernel, the host fetches the
-    framebuffer (8 MB u32 rgb at 1080p; + the f32 depth plane only when
-    large splats must still be stamped host-side).  Bit-identical to the
-    host resolve fed by the same device prep.
+    """Full-precision all-on-device resolve (render/pallas_resolve.py):
+    EVERY splat with r <= 64 px rasterizes in the tiered Pallas kernels,
+    and only the 8 MB rgb framebuffer crosses the wire (round 5 — the
+    round-4 host composite for r >= 2 splats fetched the depth plane +
+    records and made the 16M close-up SLOWER than the default view).
+    Bit-identical to the host resolve fed by the same device prep.
 
     Uses the UNSORTED projection prep — the resolve is a min, so body
     order is irrelevant, and skipping the radius argsort + permutation
     gathers saves ~0.9 s at 16M; the few large splats compact through a
-    cumsum+scatter (``compact_large``) instead."""
+    cumsum+scatter (``compact_large``) instead.  A host composite
+    survives only as the fallback for splats the tiers cannot cover
+    (r > 64 when ``max_radius_px`` is raised past 64, or tier capacity
+    overflow — zero in the default configuration)."""
     import jax
 
     from nbody3d_tpu.render.pallas_resolve import (
-        LARGE_KMAX,
-        compact_large,
-        resolve_small_pallas_masked,
+        TIER_RMAX,
+        resolve_all_pallas,
     )
 
     out = _prep_device_unsorted_raw(pos_mass, vel, camera, width, height,
                                     size_factor, max_radius_px, color_mode)
     cx_d, cy_d, depth_d, rgb_d, r_d, visible = out
     interpret = jax.default_backend() != "tpu"
-    rgb_u32, dplane, n_large = resolve_small_pallas_masked(
+    rgb_u32, dplane, n_host = resolve_all_pallas(
         cx_d, cy_d, depth_d, rgb_d, r_d, visible,
         width=width, height=height, interpret=interpret,
     )
-    k = int(jax.device_get(n_large))
+    k = int(jax.device_get(n_host))
     rgb = np.asarray(jax.device_get(rgb_u32)).astype(np.uint64)
     miss = rgb == np.uint64(0xFFFFFFFF)
     if k:
-        # Reconstruct the packed u64 buffer, stamp the large splats
-        # with full disc semantics, as the all-host resolve would.
+        # Fallback composite: reconstruct the packed u64 buffer and
+        # stamp the uncovered splats host-side with full disc
+        # semantics, as the all-host resolve would.  The sorted prep
+        # puts them in the radius-descending prefix: those with
+        # r > TIER_RMAX come first; capacity overflow (pathological)
+        # falls back to stamping ALL r >= 2 splats — the tiers' planes
+        # only ever UNDER-cover, and re-stamping a covered splat is
+        # idempotent under min.
+        cx_s, cy_s, d_s, c_s, r_s, nvis_s = _prep_device_raw(
+            pos_mass, vel, camera, width, height, size_factor,
+            max_radius_px, color_mode)
+        nvis = int(jax.device_get(nvis_s))
+        # radius-descending within the visible prefix only (the
+        # invisible tail carries arbitrary radii)
+        r_all = np.asarray(jax.device_get(r_s[:nvis]))
+        n_big = int(np.searchsorted(-r_all, -float(TIER_RMAX), side="right"))
+        kk = n_big if k <= n_big else int(
+            np.searchsorted(-r_all, -2.0, side="right")
+        )
         d_bits = (
             np.asarray(jax.device_get(dplane)).view(np.uint32)
             .astype(np.uint64)
@@ -504,24 +524,10 @@ def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
         buf = np.where(
             miss, np.uint64(0xFFFFFFFFFFFFFFFF), (d_bits << 32) | rgb
         ).reshape(-1)
-        if k <= LARGE_KMAX:
-            lbuf, _ = compact_large(cx_d, cy_d, depth_d, rgb_d, r_d, visible)
-            lrec = np.asarray(jax.device_get(lbuf[:k]))
-            cx = lrec[:, 0].astype(np.int64)
-            cy = lrec[:, 1].astype(np.int64)
-            depth_bits = np.ascontiguousarray(lrec[:, 2]).view(np.uint32)
-            rgb24 = np.ascontiguousarray(lrec[:, 3]).view(np.uint32)
-            r = lrec[:, 4]
-        else:  # degenerate frame: fall back to the sorted-prefix fetch
-            cx_s, cy_s, d_s, c_s, r_s, _ = _prep_device_raw(
-                pos_mass, vel, camera, width, height, size_factor,
-                max_radius_px, color_mode)
-            cx, cy, depth_bits, rgb24, r = (
-                np.asarray(jax.device_get(a[:k]))
-                for a in (cx_s, cy_s, d_s, c_s, r_s)
-            )
-            cx = cx.astype(np.int64)
-            cy = cy.astype(np.int64)
+        cx, cy, depth_bits, rgb24, r = (
+            np.asarray(jax.device_get(a[:kk]))
+            for a in (cx_s, cy_s, d_s, c_s, r_s)
+        )
         keys = (depth_bits.astype(np.uint64) << 32) | rgb24
         from nbody3d_tpu import native
 
@@ -535,7 +541,7 @@ def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
             )
         else:
             buf2d = buf.reshape(height, width)
-            for i in range(k):
+            for i in range(kk):
                 _stamp_disc(buf2d, int(cx[i]), int(cy[i]), float(r[i]),
                             keys[i], height, width)
         miss = (buf == np.uint64(0xFFFFFFFFFFFFFFFF)).reshape(height, width)

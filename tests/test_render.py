@@ -326,6 +326,89 @@ def test_pallas_resolve_multi_bin_boundaries():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_resolve_tier3_large_splats():
+    """Round 5: splats with r in [16, 64] rasterize ON-DEVICE (tier 3,
+    64-px halo bins) — the frame must still be bit-identical to the
+    host resolve, with NO host fallback engaged (n_host == 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody3d_tpu.render import rasterize
+    from nbody3d_tpu.render.pallas_resolve import resolve_all_pallas
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    pos_mass = np.concatenate(
+        [rng.normal(scale=2.0, size=(n, 3)), rng.uniform(10, 50, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    # a spread of masses that project to the full radius range incl.
+    # the 16..64 px tier at this close camera
+    pos_mass[:64, 3] = np.geomspace(1e5, 5e9, 64)
+    vel = rng.normal(scale=5.0, size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3), radius=2.0)
+    kw = dict(width=320, height=240)
+    a = render_points(pos_mass, vel, cam, prep="device", **kw)
+    b = render_points(pos_mass, vel, cam, resolve="pallas", **kw)
+    np.testing.assert_array_equal(a, b)
+    # the device covered everything: no host-composite records
+    out = rasterize._prep_device_unsorted_raw(
+        pos_mass, vel, cam, 320, 240, 1000.0, 64, "magnitude")
+    r = np.asarray(jax.device_get(out[4]))
+    vis = np.asarray(jax.device_get(out[5]))
+    assert ((r >= 16) & (r <= 64) & vis).sum() > 0, "tier 3 not exercised"
+    _, _, n_host = resolve_all_pallas(
+        *out, width=320, height=240, interpret=True)
+    assert int(jax.device_get(n_host)) == 0
+
+
+def test_pallas_resolve_fallback_beyond_tier_rmax():
+    """max_radius_px > 64 sends the r > 64 splats through the host
+    fallback composite; the frame still equals the all-host resolve."""
+    rng = np.random.default_rng(12)
+    n = 1500
+    pos_mass = np.concatenate(
+        [rng.normal(scale=2.0, size=(n, 3)), rng.uniform(10, 50, (n, 1))],
+        axis=1,
+    ).astype(np.float32)
+    pos_mass[:4, 3] = 5e10  # huge: projects past 64 px
+    vel = rng.normal(scale=5.0, size=(n, 4)).astype(np.float32)
+    cam = Camera(target=np.zeros(3), radius=2.0)
+    kw = dict(width=256, height=160, max_radius_px=96)
+    a = render_points(pos_mass, vel, cam, prep="device", **kw)
+    b = render_points(pos_mass, vel, cam, resolve="pallas", **kw)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dekker_square_is_exact():
+    """The kernel's circle predicate d2 <= r² must match the host's
+    f64 compare for EVERY f32 radius: (hi, lo) = dekker(r) carries r²
+    exactly, so d2 < hi | (d2 == hi & lo >= 0)  <=>  d2 <= f64(r)²."""
+    import jax
+
+    from nbody3d_tpu.render.pallas_resolve import _dekker_sq
+
+    rng = np.random.default_rng(0)
+    r = np.concatenate([
+        rng.uniform(0.5, 64.0, 20_000).astype(np.float32),
+        # adversarial: radii whose squares sit next to integers
+        np.sqrt(np.arange(1, 4097, dtype=np.float64)).astype(np.float32),
+        np.nextafter(
+            np.sqrt(np.arange(1, 4097, dtype=np.float64)).astype(np.float32),
+            np.float32(0.0),
+        ),
+    ])
+    hi, lo = map(np.asarray, jax.jit(_dekker_sq)(r))
+    r64 = r.astype(np.float64)
+    # exactness: hi + lo == r*r in f64 (both exact for 24-bit r)
+    np.testing.assert_array_equal(hi.astype(np.float64) + lo, r64 * r64)
+    # the predicate agrees with f64 on every integer d2 in range
+    for d2 in (0.0, 1.0, 2.0, 255.0, 256.0, 4095.0, 4096.0):
+        want = d2 <= r64 * r64
+        got = (d2 < hi) | ((d2 == hi) & (lo >= 0))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_resolve_corner_radius_threshold():
     """Bodies engineered around the r = 1, sqrt(2), 2 inclusion edges:
     the kernel's f32 thresholds must reproduce the host's f64 circle

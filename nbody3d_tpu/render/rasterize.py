@@ -463,28 +463,20 @@ def _render_device_resolve(pos_mass, vel, camera, width, height, size_factor,
     return img
 
 
-def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
-                           max_radius_px, color_mode, background):
-    """Full-precision all-on-device resolve (render/pallas_resolve.py):
-    EVERY splat with r <= 64 px rasterizes in the tiered Pallas kernels,
-    and only the 8 MB rgb framebuffer crosses the wire (round 5 — the
-    round-4 host composite for r >= 2 splats fetched the depth plane +
-    records and made the 16M close-up SLOWER than the default view).
-    Bit-identical to the host resolve fed by the same device prep.
-
-    Uses the UNSORTED projection prep — the resolve is a min, so body
-    order is irrelevant, and skipping the radius argsort + permutation
-    gathers saves ~0.9 s at 16M; the few large splats compact through a
-    cumsum+scatter (``compact_large``) instead.  A host composite
-    survives only as the fallback for splats the tiers cannot cover
-    (r > 64 when ``max_radius_px`` is raised past 64, or tier capacity
-    overflow — zero in the default configuration)."""
+def render_pallas_begin(pos_mass, vel, camera, *, width, height,
+                        size_factor=1000.0, max_radius_px=64,
+                        color_mode="magnitude", background=(0, 0, 0)):
+    """Dispatch the DEVICE half of a Pallas-resolve frame (projection +
+    tiered rasterization) and return a handle for
+    :func:`render_pallas_finish` — no host transfer happens here.  The
+    split exists for the pipelined serve loop: dispatch the frame's
+    device work against the current state, dispatch the next physics
+    chunk (which donates that state), then do the frame's HOST work
+    (framebuffer fetch + composite + JPEG) while the chunk runs —
+    device queue order guarantees the frame reads the pre-chunk state."""
     import jax
 
-    from nbody3d_tpu.render.pallas_resolve import (
-        TIER_RMAX,
-        resolve_all_pallas,
-    )
+    from nbody3d_tpu.render.pallas_resolve import resolve_all_pallas
 
     out = _prep_device_unsorted_raw(pos_mass, vel, camera, width, height,
                                     size_factor, max_radius_px, color_mode)
@@ -494,10 +486,40 @@ def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
         cx_d, cy_d, depth_d, rgb_d, r_d, visible,
         width=width, height=height, interpret=interpret,
     )
-    k = int(jax.device_get(n_host))
-    rgb = np.asarray(jax.device_get(rgb_u32)).astype(np.uint64)
+    return {
+        "rgb": rgb_u32, "dplane": dplane, "n_host": n_host,
+        "src": (pos_mass, vel), "camera": camera,
+        "params": (width, height, size_factor, max_radius_px, color_mode,
+                   background),
+    }
+
+
+def render_pallas_finish(handle, allow_fallback=True):
+    """Host half of a Pallas-resolve frame: fetch the framebuffer,
+    composite any splats the device tiers could not cover (r > 64 px or
+    capacity overflow — zero in the default configuration), and build
+    the image.  ``allow_fallback=False`` (the pipelined serve loop,
+    whose source state has been donated to the next chunk by now) skips
+    the exact fallback and renders without the uncovered splats; the
+    second return value reports their count (0 = frame is exact)."""
+    import jax
+
+    width, height, size_factor, max_radius_px, color_mode, background = (
+        handle["params"]
+    )
+    k = int(jax.device_get(handle["n_host"]))
+    rgb = np.asarray(jax.device_get(handle["rgb"])).astype(np.uint64)
     miss = rgb == np.uint64(0xFFFFFFFF)
+    uncovered = 0
+    if k and not allow_fallback:
+        uncovered = k
+        k = 0
     if k:
+        from nbody3d_tpu.render.pallas_resolve import TIER_RMAX
+
+        pos_mass, vel = handle["src"]
+        camera = handle["camera"]
+        dplane = handle["dplane"]
         # Fallback composite: reconstruct the packed u64 buffer and
         # stamp the uncovered splats host-side with full disc
         # semantics, as the all-host resolve would.  The sorted prep
@@ -554,6 +576,20 @@ def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
     img[hit, 0] = (rgb_hit >> 16) & 0xFF
     img[hit, 1] = (rgb_hit >> 8) & 0xFF
     img[hit, 2] = rgb_hit & 0xFF
+    return img, uncovered
+
+
+def _render_pallas_resolve(pos_mass, vel, camera, width, height, size_factor,
+                           max_radius_px, color_mode, background):
+    """Sequential full-precision all-on-device resolve: begin + finish
+    with the exact host fallback enabled (see
+    :func:`render_pallas_begin`)."""
+    handle = render_pallas_begin(
+        pos_mass, vel, camera, width=width, height=height,
+        size_factor=size_factor, max_radius_px=max_radius_px,
+        color_mode=color_mode, background=background,
+    )
+    img, _ = render_pallas_finish(handle, allow_fallback=True)
     return img
 
 

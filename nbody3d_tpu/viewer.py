@@ -236,8 +236,26 @@ class LiveViewer:
                 self._fps += (1e3 / self._frame_ms - self._fps) / filt
             self._last_frame_t = t0
             if not self.sim.paused:
+                # PIPELINED frame (round 5): dispatch the frame's device
+                # work against the current state, dispatch the next
+                # physics chunk (donates that state), then do the
+                # frame's host work (fetch/composite/JPEG) WHILE the
+                # chunk runs on the device.  The reference couples one
+                # step per displayed frame (nbody3d.js:474-505); here
+                # the chunk and the frame encode overlap instead.
                 with self._sim_lock:
-                    self.sim.run(k, chunk=k)
+                    from nbody3d_tpu.utils.camera import Camera
+
+                    with self._lock:
+                        cam = Camera.from_dict(self.camera.to_dict())
+                    handle = self.sim.render_frame_begin(
+                        cam, width=self.width, height=self.height,
+                        resolve=self.resolve,
+                    )
+                    token = self.sim.run_async(k)
+                    img = self.sim.render_frame_finish(handle)
+                    self._publish_jpeg(img)
+                    self.sim.wait_chunk(token)
                     if self.diagnostics_every and (
                         self._frames_done % self.diagnostics_every == 0
                     ):
@@ -245,21 +263,21 @@ class LiveViewer:
                 compute = (time.perf_counter() - t0) * 1e3
                 self._compute_ms += (compute - self._compute_ms) / filt
             else:
-                compute = 0.0
                 self._compute_ms = 0.0  # nbody3d.js:496-498 (dt==0 path)
-            self._render_frame()
+                self._render_frame()  # render-only, like nbody3d.js:474
             # host overhead (the reference's "JS ms"): synchronous frame
             # work minus sim compute and the render itself — JPEG encode,
-            # locking, loop bookkeeping.
+            # locking, loop bookkeeping.  Pipelined frames fold the
+            # render into the chunk wait, so attribute the remainder.
             host = (
                 (time.perf_counter() - t0) * 1e3
-                - compute
+                - (self._compute_ms if not self.sim.paused else 0.0)
                 - (self.sim.last_render_ms or 0.0)
             )
             self._host_ms += (max(host, 0.0) - self._host_ms) / filt
             self._frames_done += 1
             if self.sim.paused:
-                time.sleep(0.05)  # render-only loop, like nbody3d.js:474
+                time.sleep(0.05)
 
     def _render_frame(self) -> None:
         from PIL import Image
@@ -274,6 +292,11 @@ class LiveViewer:
             camera=cam, width=self.width, height=self.height,
             resolve=self.resolve,
         )
+        self._publish_jpeg(img)
+
+    def _publish_jpeg(self, img) -> None:
+        from PIL import Image
+
         buf = io.BytesIO()
         Image.fromarray(img, mode="RGB").save(buf, "JPEG", quality=self.quality)
         self._frame = buf.getvalue()

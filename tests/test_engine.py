@@ -158,3 +158,38 @@ def test_regenerate_carries_live_params_and_rerolls():
     bare = Simulation(config, *sim.arrays()[:2])
     with _pytest.raises(ValueError):
         bare.regenerate()
+
+
+def test_run_async_matches_run():
+    """The pipelined chunk API (run_async + wait_chunk) advances the
+    state exactly like the blocking run()."""
+    a = make_sim(64)
+    b = make_sim(64)
+    a.run(10, chunk=5)
+    for _ in range(2):
+        tok = b.run_async(5)
+        b.wait_chunk(tok)
+    assert b.step_count == 10
+    assert b.stats.total_steps == 10
+    np.testing.assert_array_equal(a.arrays()[0], b.arrays()[0])
+    # paused: dispatch is a no-op
+    b.toggle_pause()
+    assert b.run_async(5) is None
+    b.wait_chunk(None)
+    assert b.step_count == 10
+
+
+@pytest.mark.parametrize("resolve", ["auto", "pallas"])
+def test_render_begin_finish_matches_render_frame(resolve):
+    """render_frame_begin/finish (the pipelined frame) produces the
+    same image as the sequential render_frame — and the begin snapshot
+    survives the donation of the state by an intervening chunk."""
+    sim = make_sim(200)
+    sim.step(3)
+    img_seq = sim.render_frame(width=160, height=120, resolve=resolve)
+    handle = sim.render_frame_begin(width=160, height=120, resolve=resolve)
+    tok = sim.run_async(2)  # donates the state the frame was begun on
+    img_pipe = sim.render_frame_finish(handle)
+    sim.wait_chunk(tok)
+    np.testing.assert_array_equal(img_seq, img_pipe)
+    assert sim.step_count == 5

@@ -360,3 +360,32 @@ def test_live_resize(viewer):
     # malformed size is ignored, not a 500
     status, _, _ = _get(port, "/control?size=bogus")
     assert status == 204
+
+
+def test_serve_loop_pipelined_progress(viewer):
+    """The round-5 pipelined serve loop (frame begun on the pre-chunk
+    state, chunk dispatched, encode overlapping it): as a system it
+    must keep BOTH products flowing — physics steps advance AND fresh
+    JPEG frames publish — without timing assertions (non-flaky form of
+    benchmarks/serve_bench.py)."""
+    v, port = viewer
+    deadline = time.time() + 60
+    seen = []
+    while time.time() < deadline and len(seen) < 3:
+        _get(port, "/frame.jpg")
+        status, _, body = _get(port, "/stats")
+        s = json.loads(body)
+        if not seen or s["step"] > seen[-1][0]:
+            seen.append((s["step"], v._frames_done))
+        time.sleep(0.1)
+    assert len(seen) >= 3, seen
+    # steps advanced monotonically and frames kept publishing alongside
+    steps = [s for s, _ in seen]
+    frames = [f for _, f in seen]
+    assert steps[-1] > steps[0]
+    assert frames[-1] > frames[0]
+    # HUD stats stay well-formed under the pipelined attribution
+    status, _, body = _get(port, "/stats")
+    s = json.loads(body)
+    assert s["steps_per_s"] >= 0 and s["fps"] >= 0
+    assert s["compute_ms"] >= 0 and s["render_ms"] >= 0

@@ -419,8 +419,18 @@ def cmd_analyze(args) -> int:
     from nbody3d_tpu import analysis
 
     sim = _load_sim(args.checkpoint, args)
-    pos_mass, vel, _ = sim.arrays()
-    n = pos_mass.shape[0]
+    # DEVICE-resident analysis (round 5): the structural statistics and
+    # the power spectrum are jnp end-to-end, so at viewer scale
+    # (N=16M) nothing per-body crosses the relay for them; FoF streams
+    # quantized positions (~10 B/body, analysis.quantize_for_fof)
+    # instead of the 270 MB of f32 state that made 16M analysis
+    # minutes-long before the union-find even started.
+    n = sim.n_real
+    pos_mass = sim.state.pos_mass[:n]
+    vel = sim.state.vel[:n]
+    stream = args.fof_stream == "always" or (
+        args.fof_stream == "auto" and n >= (1 << 22)
+    )
     pe = args.pe == "exact" or (args.pe == "auto" and n <= 131072)
     s = analysis.summary(
         pos_mass, vel, sim.config.G, eps2=sim.config.eps2,
@@ -433,19 +443,29 @@ def cmd_analyze(args) -> int:
             if sim.config.boundary == "periodic"
             else None
         )
-        labels, ll = analysis.fof_groups(
-            pos_mass, args.linking_length or None, box_size=box
-        )
+        if stream:
+            labels, ll, pm_cat = analysis.fof_groups_streamed(
+                pos_mass, args.linking_length or None, box_size=box
+            )
+            vel_cat = None  # vcom omitted: velocities never fetched
+        else:
+            import jax as _jax
+
+            pm_cat, vel_cat = _jax.device_get((pos_mass, vel))
+            labels, ll = analysis.fof_groups(
+                pm_cat, args.linking_length or None, box_size=box
+            )
         cat = analysis.group_catalog(
-            pos_mass, vel, labels,
+            pm_cat, vel_cat, labels,
             min_size=args.fof_min_size, box_size=box,
         )
         s["fof"] = {
             "linking_length": ll,
             "min_size": args.fof_min_size,
+            "streamed": bool(stream),
             "n_groups": len(cat),
             "grouped_fraction": float(
-                sum(g["n"] for g in cat) / max(int((pos_mass[:, 3] > 0).sum()), 1)
+                sum(g["n"] for g in cat) / max(n, 1)
             ),
             "groups": cat[:50],
         }
@@ -678,6 +698,14 @@ def main(argv=None) -> int:
                         "interparticle separation)")
     p.add_argument("--fof-min-size", type=int, default=20,
                    help="drop FOF groups below this many members")
+    p.add_argument("--fof-stream", default="auto",
+                   choices=["auto", "always", "never"],
+                   help="stream device-quantized positions to the host "
+                        "FOF (~10 B/body instead of 16; pair decisions "
+                        "within ~0.1%% of the linking length may flip — "
+                        "analysis.quantize_for_fof).  auto = on from 4M "
+                        "bodies; vcom is omitted from the catalog "
+                        "(velocities never leave the device)")
     p.add_argument("--power-spectrum", type=int, default=0, metavar="GRID",
                    help="measure the mass density power spectrum P(k) on a "
                         "GRID^3 CIC mesh (periodic runs use the torus box; "

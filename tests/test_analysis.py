@@ -391,3 +391,82 @@ def test_cli_analyze_fof(tmp_path, capsys):
     ])
     assert rc == 0
     assert "fof groups" in capsys.readouterr().out
+
+
+def test_fof_streamed_matches_exact():
+    """The streamed FoF (device quantization, ~10 B/body fetch) must
+    reproduce the exact path's grouping on a well-separated scene —
+    same partition (up to label renaming), consistent catalog masses —
+    and the quantization error bound must hold on the decoded
+    positions."""
+    rng = np.random.default_rng(7)
+    centers = rng.uniform(-4, 4, size=(6, 3))
+    pts = np.concatenate(
+        [c + rng.normal(scale=0.02, size=(50, 3)) for c in centers]
+        + [rng.uniform(-6, 6, size=(40, 3))]  # sparse background
+    )
+    m = rng.uniform(1, 50, size=(len(pts), 1))
+    pm = np.concatenate([pts, m], axis=1).astype(np.float32)
+
+    labels_e, ll = analysis.fof_groups(pm, 0.08)
+    labels_s, ll_s, pm_q = analysis.fof_groups_streamed(pm, 0.08)
+    # identical partition up to label renaming
+    import itertools
+
+    def parts(labels):
+        groups = {}
+        for i, l in enumerate(labels):
+            groups.setdefault(int(l), set()).add(i)
+        return sorted(map(frozenset, groups.values()), key=min)
+
+    assert parts(labels_e) == parts(labels_s)
+    # quantized positions within the documented bound
+    ext = pts.max(0) - pts.min(0)
+    assert np.max(np.abs(pm_q[:, :3] - pm[:, :3])) <= ext.max() / (1 << 21)
+    # log-u16 masses within 0.1% relative
+    np.testing.assert_allclose(pm_q[:, 3], pm[:, 3], rtol=1e-3)
+    # catalogs agree on sizes and masses
+    cat_e = analysis.group_catalog(pm, np.zeros_like(pm), labels_e,
+                                   min_size=20)
+    cat_s = analysis.group_catalog(pm_q, None, labels_s, min_size=20)
+    assert [g["n"] for g in cat_e] == [g["n"] for g in cat_s]
+    np.testing.assert_allclose(
+        [g["mass"] for g in cat_e], [g["mass"] for g in cat_s], rtol=1e-3
+    )
+    assert "vcom" not in cat_s[0] and "vcom" in cat_e[0]
+
+
+def test_fof_streamed_equal_mass_exact_and_periodic():
+    """Equal masses decode exactly (degenerate log map), and the
+    periodic form quantizes against the torus box."""
+    rng = np.random.default_rng(8)
+    L = 2.0
+    pts = np.mod(rng.normal(0.1, 0.02, size=(60, 3)), L)
+    pm = np.concatenate(
+        [pts, np.full((60, 1), 7.5)], axis=1
+    ).astype(np.float32)
+    labels, ll, pm_q = analysis.fof_groups_streamed(pm, 0.08, box_size=L)
+    np.testing.assert_array_equal(pm_q[:, 3], np.float32(7.5))
+    assert np.all(pm_q[:, :3] >= 0) and np.all(pm_q[:, :3] < L)
+    assert (labels >= 0).all()
+
+
+def test_cli_analyze_fof_stream_flag(tmp_path, capsys):
+    from nbody3d_tpu.cli import main
+
+    outdir = tmp_path / "out"
+    assert main([
+        "run", "--preset", "plummer", "--n", "256", "--steps", "1",
+        "--log-every", "1", "--outdir", str(outdir),
+        "--backend", "jnp", "--block-target", "32", "--block-source", "32",
+    ]) == 0
+    capsys.readouterr()
+    rc = main([
+        "analyze", str(outdir / "final.npz"), "--json", "--bins", "4",
+        "--fof", "--fof-min-size", "5", "--fof-stream", "always",
+        "--backend", "jnp",
+    ])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["fof"]["streamed"] is True
+    assert s["fof"]["n_groups"] >= 1

@@ -270,6 +270,10 @@ def _make_sim(args, config, mesh):
         kw["velocity"] = config.cosmology
         if config.cosmology == "lcdm":
             kw["omega_lambda"] = config.omega_lambda
+    if args.preset == "cosmo" and getattr(args, "spectrum", None):
+        kw["spectrum"] = args.spectrum  # power-law | eh98
+        if args.box_mpc is not None:
+            kw["box_mpc"] = args.box_mpc
     return Simulation.from_preset(args.preset, config, n=args.n, mesh=mesh, **kw)
 
 
@@ -635,6 +639,16 @@ def main(argv=None) -> int:
     p.add_argument("--num-galaxies", type=int, default=2)
     p.add_argument("--min-bodies", type=int, default=20000)
     p.add_argument("--max-bodies", type=int, default=20000)
+    # cosmo preset: initial power spectrum
+    p.add_argument("--spectrum", default=None,
+                   choices=["power-law", "eh98"],
+                   help="cosmo preset P(k): power-law (default) or the "
+                        "Eisenstein-Hu 1998 flat-ΛCDM transfer function "
+                        "(Ωm = 1 - omega_lambda; box mapped to --box-mpc "
+                        "h⁻¹Mpc of comoving space)")
+    p.add_argument("--box-mpc", type=float, default=None,
+                   help="physical size the cosmo box represents for "
+                        "--spectrum eh98 (default 100 h⁻¹Mpc)")
     _add_common(p)
     p.set_defaults(fn=cmd_run)
 

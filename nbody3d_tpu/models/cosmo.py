@@ -29,8 +29,10 @@ here — generation is not the hot path):
   mixed-in decaying mode); ``velocity="cold"`` starts at rest.
 
 Spectra: ``spectrum="power-law"`` is ``P(k) = amp * (k / k_f)^index``
-with ``k_f = 2 pi / L`` the fundamental; any callable ``pk(k_array) ->
-P_array`` (in volume units, e.g. a tabulated transfer function) is
+with ``k_f = 2 pi / L`` the fundamental; ``"eh98"`` is the physical
+flat-ΛCDM shape through the Eisenstein-Hu (1998) no-wiggle transfer
+function (:func:`eh98_transfer`, round 5); any callable ``pk(k_array)
+-> P_array`` (in volume units, e.g. a tabulated transfer function) is
 accepted.  Modes above the mesh Nyquist are zeroed (anti-aliasing of
 the corner modes), as is DC.
 """
@@ -41,7 +43,50 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["zeldovich_box", "lcdm_growth"]
+__all__ = ["zeldovich_box", "lcdm_growth", "eh98_transfer"]
+
+
+def eh98_transfer(
+    k: np.ndarray,
+    *,
+    omega_m: float = 0.3,
+    omega_b: float = 0.0486,
+    h: float = 0.674,
+    t_cmb: float = 2.7255,
+) -> np.ndarray:
+    """Eisenstein & Hu (1998) zero-baryon ("no-wiggle") CDM transfer
+    function ``T(k)`` — ApJ 496, 605, eqs. 26, 28-31.
+
+    ``k`` in h/Mpc (the convention of the fitting formulas with the
+    shape variable ``q = k Θ²_2.7 / Γ_eff``); the baryon fraction
+    suppresses small-scale power through the effective shape parameter
+    ``Γ_eff(k)`` and the sound horizon ``s`` without the acoustic
+    oscillations (the smooth envelope — the standard choice for
+    initial-condition spectra at the force resolution of a particle
+    mesh).  Physical densities enter as ``ω = Ω h²``."""
+    k = np.asarray(k, np.float64)
+    om_h2 = omega_m * h * h
+    ob_h2 = omega_b * h * h
+    theta = t_cmb / 2.7
+    fb = omega_b / omega_m
+    # eq. 26: approximate sound horizon [Mpc]
+    s = 44.5 * np.log(9.83 / om_h2) / np.sqrt(1.0 + 10.0 * ob_h2**0.75)
+    # eq. 31: alpha_Gamma
+    a_g = (
+        1.0
+        - 0.328 * np.log(431.0 * om_h2) * fb
+        + 0.38 * np.log(22.3 * om_h2) * fb * fb
+    )
+    # eq. 30: k s with k in h/Mpc -> k*h in 1/Mpc times s in Mpc
+    ks = k * h * s
+    gamma_eff = omega_m * h * (a_g + (1.0 - a_g) / (1.0 + (0.43 * ks) ** 4))
+    # eqs. 28-29
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = k * theta * theta / np.where(gamma_eff > 0, gamma_eff, 1.0)
+        l0 = np.log(2.0 * np.e + 1.8 * q)
+        c0 = 14.2 + 731.0 / (1.0 + 62.5 * q)
+        t = l0 / (l0 + c0 * q * q)
+    return np.where(k > 0, t, 1.0)
 
 
 def lcdm_growth(a: float, omega_lambda: float) -> tuple[float, float]:
@@ -90,6 +135,8 @@ def zeldovich_box(
     G: float = 1e-4,
     mass: float = 30.0,
     omega_lambda: float = 0.7,
+    box_mpc: float = 100.0,
+    ns_eh98: float = 0.965,
     rng: np.random.Generator | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Zel'dovich initial conditions: ``n_per_dim**3`` equal-mass bodies
@@ -106,6 +153,12 @@ def zeldovich_box(
     ``velocity="growing"``: pure growing mode ``v = psi / tau`` (see
     module docstring; uses ``G`` and the realized mean density);
     ``"cold"``: zeros.
+
+    ``spectrum="eh98"``: physical flat-ΛCDM shape ``k^ns_eh98 *
+    T^2_EH98(k)`` (:func:`eh98_transfer`; Ωm = 1 - ``omega_lambda``),
+    with the sim box identified with ``box_mpc`` h⁻¹Mpc of comoving
+    space and the amplitude pinned at the fundamental like the power
+    law (``P(k_f) = amp``).
     """
     if rng is None:
         rng = np.random.default_rng(0)
@@ -134,6 +187,22 @@ def zeldovich_box(
     elif spectrum == "power-law":
         with np.errstate(divide="ignore"):
             pk = amp * np.where(kk > 0, (kk / k_f) ** index, 0.0)
+    elif spectrum == "eh98":
+        # Physical ΛCDM spectrum P(k) ∝ k^ns T²(k) with the Eisenstein-Hu
+        # (1998) no-wiggle transfer function: the sim box maps onto
+        # ``box_mpc`` h⁻¹Mpc of comoving space (k_phys = k * L/box_mpc
+        # in h/Mpc: the fundamental maps to 2π/box_mpc), Ωm = 1 -
+        # omega_lambda (flat, consistent with the
+        # lcdm background), and the amplitude is pinned the same way as
+        # the power law: P(k_f) = amp — so the preset's amp semantics
+        # (rms displacement vs lattice spacing) carry over unchanged.
+        scale = L / box_mpc  # (h/Mpc) per sim wavenumber unit
+        om = 1.0 - float(omega_lambda)
+        t = eh98_transfer(kk * scale, omega_m=om)
+        t_f = eh98_transfer(np.asarray([k_f * scale]), omega_m=om)[0]
+        with np.errstate(divide="ignore"):
+            shape = np.where(kk > 0, (kk / k_f) ** ns_eh98, 0.0)
+        pk = amp * shape * (t / t_f) ** 2
     else:
         raise ValueError(f"unknown spectrum {spectrum!r}")
     k_nyq = np.pi * g / L

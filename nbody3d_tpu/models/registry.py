@@ -99,18 +99,22 @@ def _cosmo(
     seed: int, G: float, n: int | None, size_factor: float,
     *, box_size: float = 10.0, amp: float = 0.005, index: float = -1.0,
     velocity: str = "growing", omega_lambda: float = 0.7,
+    spectrum: str = "power-law", box_mpc: float = 100.0,
 ) -> MakerResult:
     """Zel'dovich-displaced lattice on the periodic box (``n`` rounds to
     the nearest perfect cube; default 32^3 = 32,768).  ``velocity``:
     "growing" = static-box Jeans mode (the default), "eds"/"lcdm" = the
     expanding-box growing modes for ``cosmology="eds"/"lcdm"`` runs
-    (``omega_lambda`` only read by "lcdm")."""
+    (``omega_lambda`` only read by "lcdm").  ``spectrum``: "power-law"
+    (slope ``index``) or "eh98" — the Eisenstein-Hu (1998) flat-ΛCDM
+    transfer function with the box mapped to ``box_mpc`` h⁻¹Mpc."""
     from nbody3d_tpu.models.cosmo import zeldovich_box
 
     n_per_dim = max(2, round(float(n or 32768) ** (1.0 / 3.0)))
     return zeldovich_box(
         n_per_dim, box_size, amp=amp, index=index, G=G, velocity=velocity,
-        omega_lambda=omega_lambda, rng=np.random.default_rng(seed),
+        omega_lambda=omega_lambda, spectrum=spectrum, box_mpc=box_mpc,
+        rng=np.random.default_rng(seed),
     )
 
 

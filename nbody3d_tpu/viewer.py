@@ -58,6 +58,8 @@ img { width:100vw; height:100vh; object-fit:contain; display:block; }
 <img id="view" src="/stream">
 <div id="hud">connecting...</div>
 <div id="panel">
+  <button id="collapse" style="float:right">&ndash;</button>
+  <div id="panelbody">
   <label>dt = 10^<span id="dtv">-4.0</span>
     <input id="dt" type="range" min="-5" max="-3" step="0.01" value="-4"></label>
   <label>G = 10^<span id="Gv">-4.0</span>
@@ -74,9 +76,16 @@ img { width:100vw; height:100vh; object-fit:contain; display:block; }
        wheel: zoom &middot; ctrl+wheel: FOV &middot; alt+wheel: dolly zoom<br>
        arrows orbit &middot; WASD pan &middot; f/c zoom (ctrl: FOV, alt: dolly)<br>
        space reset (ctrl: keep zoom+pose &middot; alt: keep pose)</div>
+  </div>
 </div>
 <script>
 const send = q => fetch('/control?' + q);
+// settings-panel collapse (util.js:77-86)
+collapse.onclick = () => {
+  const hidden = panelbody.style.display === 'none';
+  panelbody.style.display = hidden ? '' : 'none';
+  collapse.innerHTML = hidden ? '&ndash;' : '+';
+};
 dt.oninput = () => { dtv.textContent = dt.value; send('logdt=' + dt.value); };
 G.oninput  = () => { Gv.textContent = G.value;  send('logG=' + G.value); };
 pause.onclick = () => send('pause=1');

@@ -287,6 +287,39 @@ class Simulation:
     def step(self, n: int = 1) -> SimState:
         return self.run(n, chunk=n)
 
+    def _sharded_render(self, width, height, color_mode):
+        """Cached sharded-render closure for this sim's mesh (see
+        render/sharded.py); returns ``run(camera) -> (rgb, depth,
+        n_uncovered)``."""
+        key = (width, height, color_mode)
+        cache = getattr(self, "_sharded_render_cache", None)
+        if cache is None:
+            cache = self._sharded_render_cache = {}
+        fn = cache.get(key)
+        if fn is None:
+            from nbody3d_tpu.render.sharded import make_sharded_render
+
+            fn = make_sharded_render(
+                self.mesh, self.n_pad, self.n_real,
+                width=width, height=height,
+                size_factor=self.config.size_factor,
+                color_mode=color_mode,
+                axis=(
+                    None if self.config.strategy == "2d"
+                    else self.config.mesh_axis
+                ),
+            )
+            cache[key] = fn
+        render = fn
+
+        def run(camera):
+            vp, f = camera.view_proj(width / height)
+            return render(
+                self.state.pos_mass, self.state.vel, vp, f, camera.position
+            )
+
+        return run
+
     # ----------------------------------------------- pipelined chunk API
     def run_async(self, k: int):
         """Dispatch ONE scan chunk of ``k`` steps WITHOUT waiting for it:
@@ -531,6 +564,22 @@ class Simulation:
         from nbody3d_tpu.render.rasterize import render_points
         from nbody3d_tpu.utils.camera import Camera
 
+        if resolve == "pallas" and self.mesh is not None:
+            # Sharded render (render/sharded.py): each chip rasterizes
+            # its resident shard, framebuffers pmin-merge over ICI —
+            # particle state never gathers for a frame.
+            if camera is None:
+                camera = Camera(target=self.camera_target)
+            t0 = time.perf_counter()
+            rgb_u32, _d, _n = self._sharded_render(
+                width, height, color_mode
+            )(camera)
+            from nbody3d_tpu.render.sharded import sharded_frame_image
+
+            img = sharded_frame_image(rgb_u32)
+            self.last_render_ms = (time.perf_counter() - t0) * 1e3
+            self.last_render_info = f"{width}x{height} {camera.describe()}"
+            return img
         if resolve == "device":
             # device slices, not host copies: the whole point is to keep
             # per-body data off the host (padding excluded — mass-0 pad
@@ -583,7 +632,12 @@ class Simulation:
         if camera is None:
             camera = Camera(target=self.camera_target)
         t0 = time.perf_counter()
-        if resolve == "pallas":
+        if resolve == "pallas" and self.mesh is not None:
+            rgb_u32, _d, _n = self._sharded_render(
+                width, height, color_mode
+            )(camera)
+            snap = ("sharded", rgb_u32)
+        elif resolve == "pallas":
             from nbody3d_tpu.render.rasterize import render_pallas_begin
 
             h = render_pallas_begin(
@@ -626,7 +680,11 @@ class Simulation:
 
         t0 = time.perf_counter()
         kind, payload = handle["snap"]
-        if kind == "pallas":
+        if kind == "sharded":
+            from nbody3d_tpu.render.sharded import sharded_frame_image
+
+            img = sharded_frame_image(payload)
+        elif kind == "pallas":
             img, _uncovered = render_pallas_finish(
                 payload, allow_fallback=False
             )

@@ -52,9 +52,24 @@ def read_stream_frames(url, stop, counter):
     req.close()
 
 
-def get_stats(base):
-    with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+def get_stats(base, timeout=30):
+    with urllib.request.urlopen(base + "/stats", timeout=timeout) as r:
         return json.loads(r.read())
+
+
+def get_stats_patient(base, deadline):
+    """get_stats that survives the warmup window: while the first jit
+    compiles run, device calls can hold the GIL for minutes at a time
+    (axon relay), starving the server threads — retry until ``deadline``
+    instead of dying on one 30 s socket timeout (measured: the first
+    r5 TPU campaign lost both serve rows to exactly that)."""
+    while True:
+        try:
+            return get_stats(base, timeout=60)
+        except (TimeoutError, OSError):
+            if time.time() > deadline:
+                raise
+            time.sleep(2.0)
 
 
 def main() -> int:
@@ -99,10 +114,11 @@ def main() -> int:
     threading.Thread(target=server.serve_forever, daemon=True).start()
     viewer.start()
 
-    # warmup: first frames pay jit compiles
-    t_end = time.time() + 120
+    # warmup: first frames pay jit compiles (relay compiles can take
+    # minutes and starve the server threads — be patient, not strict)
+    t_end = time.time() + float(os.environ.get("NBODY_SERVE_WARMUP_S", "600"))
     while time.time() < t_end:
-        s = get_stats(base)
+        s = get_stats_patient(base, t_end)
         if s["step"] >= 2 * args.steps_per_frame and viewer._frame:
             break
         time.sleep(0.5)

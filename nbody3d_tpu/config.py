@@ -135,6 +135,16 @@ class SimConfig:
     # all-pairs kernel is compute-bound, not bandwidth-bound.  Kept as an
     # option; default off.
     fuse_integrate: bool = False
+    # Fuse the sym schedule's EPILOGUE instead (round 5): the raw limb
+    # accumulators of the 3-call Newton-3 schedule feed one O(N) Pallas
+    # pass doing the accumulator adds/transposes, the un-centering limb
+    # combine, AND the Verlet update — no XLA glue between the force
+    # kernels and the next state (ops/pallas_force.py::
+    # sym_verlet_step_pallas).  Unlike fuse_integrate this does NOT touch
+    # the O(N^2) kernels, so it keeps their throughput; default on.
+    # Applies to backend=pallas, force_mode=sym, integrator=verlet,
+    # single-chip, nt >= 2; other paths ignore it.
+    fuse_epilogue: bool = True
     # Gradient precision of the hand-written direct-force VJP
     # (ops/force_vjp.py).  "precise" (default): in-kernel 2-limb split of
     # the MXU weight matrices — f32-grade gradients (~4e-6 median vs the

@@ -564,13 +564,19 @@ def _sym_diag_kernel(mask_ref, srcT_ref, tgt_ref, s16_ref, cent_ref, out_ref, *,
     w = inv3 * mask_ref[...]
     part = jnp.dot(w, s16_ref[...], preferred_element_type=jnp.float32)
     wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
-    cx = cent_ref[i, 0]
-    cy = cent_ref[i, 1]
-    cz = cent_ref[i, 2]
-    cw = jnp.concatenate(
-        [wsum * cx, wsum * cy, wsum * cz, jnp.zeros_like(wsum)], axis=1
+    # c*W correction as one broadcast fma — see _sym_hops_kernel.
+    one = jnp.ones((1, 1), jnp.float32)
+    crow = jnp.concatenate(
+        [
+            jnp.zeros((1, 12), jnp.float32),
+            cent_ref[i, 0] * one,
+            cent_ref[i, 1] * one,
+            cent_ref[i, 2] * one,
+            jnp.zeros((1, 1), jnp.float32),
+        ],
+        axis=1,
     )
-    out_ref[...] = jnp.concatenate([part[:, :12], cw], axis=1)
+    out_ref[...] = part + wsum * crow
 
 
 def _sym_hops_kernel(
@@ -620,15 +626,31 @@ def _sym_hops_kernel(
     _, _, _, d2 = _pair_diffs(tgt, srcT_ref, eps2)
     inv3 = lax.rsqrt(d2 * (d2 * d2))
 
-    cjx = cent_ref[i + k0 + k, 0]
-    cjy = cent_ref[i + k0 + k, 1]
-    cjz = cent_ref[i + k0 + k, 2]
+    # The running c*W un-centering correction lands in columns 12-14 as
+    # ONE broadcast fma against a tiny in-kernel centroid row/column
+    # ([0]*12 + [cx, cy, cz, 0]): part's own columns 12-15 are zero
+    # (s16's are), so ``part + wsum * crow`` equals the old
+    # slice-and-concatenate form value-for-value while skipping the two
+    # lane-minor (B, 16) concats per grid step — those concats cost
+    # 4.5% of the whole hops call (503 -> 481 G-int/s, measured by
+    # benchmarks/step_slope.py vs the roofline ablation that omits
+    # them).  The (1, 16)/(16, 1) concats below are b-independent; a
+    # precomputed VMEM operand would violate the (8, 128) block floor.
+    one = jnp.ones((1, 1), jnp.float32)
+    z1 = jnp.zeros((1, 1), jnp.float32)
+    crow = jnp.concatenate(
+        [
+            jnp.zeros((1, 12), jnp.float32),
+            cent_ref[i + k0 + k, 0] * one,
+            cent_ref[i + k0 + k, 1] * one,
+            cent_ref[i + k0 + k, 2] * one,
+            z1,
+        ],
+        axis=1,
+    )
     part = jnp.dot(inv3, s16j_ref[...], preferred_element_type=jnp.float32)
     wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
-    cw = jnp.concatenate(
-        [wsum * cjx, wsum * cjy, wsum * cjz, jnp.zeros_like(wsum)], axis=1
-    )
-    out_tgt_ref[...] += jnp.concatenate([part[:, :12], cw], axis=1)
+    out_tgt_ref[...] += part + wsum * crow
 
     part_r = lax.dot_general(
         s16i_ref[...],
@@ -637,16 +659,103 @@ def _sym_hops_kernel(
         preferred_element_type=jnp.float32,
     )  # contract over targets -> (16, B)
     wsum_r = part_r[9:10, :] + part_r[10:11, :] + part_r[11:12, :]
-    cix = cent_ref[i, 0]
-    ciy = cent_ref[i, 1]
-    ciz = cent_ref[i, 2]
-    cw_r = jnp.concatenate(
-        [wsum_r * cix, wsum_r * ciy, wsum_r * ciz, jnp.zeros_like(wsum_r)],
+    ccol = jnp.concatenate(
+        [
+            jnp.zeros((12, 1), jnp.float32),
+            cent_ref[i, 0] * one,
+            cent_ref[i, 1] * one,
+            cent_ref[i, 2] * one,
+            z1,
+        ],
         axis=0,
     )
-    out_src_ref[j] = out_src_ref[j] + jnp.concatenate(
-        [part_r[:12, :], cw_r], axis=0
+    out_src_ref[j] = out_src_ref[j] + (part_r + ccol * wsum_r)
+
+
+def _sym_hops_raw(
+    pos_mass: jax.Array,
+    srcT: jax.Array,
+    s16: jax.Array,
+    cent: jax.Array,
+    *,
+    eps2: float,
+    block: int,
+    interpret: bool,
+    pre_extended: bool = False,
+) -> tuple[
+    jax.Array | None, jax.Array | None, jax.Array | None, jax.Array | None
+]:
+    """Off-diagonal hop calls of the Newton-3 schedule, RAW accumulators.
+
+    The source-side operands are wrap-extended so the hop grids index
+    them linearly (``i + k0 + k``: modular maps defeat Mosaic prefetch,
+    ~10% measured) — either already by the prep call
+    (``pre_extended=True``: ``srcT``/``s16`` carry ``half+1`` extra wrap
+    blocks from :func:`_extend_tail_pallas`) or here via XLA concats.
+    Runs call B (middle hops) and, for even block counts, call C (the
+    shared half-hop).  Returns ``(t_b, s_b, t_c, s_c)`` — forward
+    partials in row layout ``(N, 16)`` / ``(half*B, 16)`` and reverse
+    partials in the ``(nt, 16, B)`` accumulator layout — with ``None``
+    for calls that don't exist (B for ``nt <= 2`` even, C for odd
+    ``nt``).  Shared by :func:`accel_sym_pallas` (XLA combine) and the
+    fused step epilogue (in-kernel combine + Verlet)."""
+    n = pos_mass.shape[0]
+    nt = n // block
+    half = nt // 2
+    ext = (half + 1) * block
+    if pre_extended:
+        srcT_e, s16_e = srcT, s16
+        if srcT.shape[1] != n + ext or s16.shape[0] != n + ext:
+            raise ValueError("pre_extended operands have the wrong tail size")
+    else:
+        srcT_e = jnp.concatenate([srcT, srcT[:, :ext]], axis=1)
+        s16_e = jnp.concatenate([s16, s16[:ext]], axis=0)
+    cent_e = jnp.concatenate([cent, cent[: half + 1]], axis=0)
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT,
     )
+
+    def hops_call(k0, nk, grid_i):
+        kernel = functools.partial(
+            _sym_hops_kernel, eps2=float(eps2), b=block, nt=nt, k0=k0
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(grid_i, nk),
+            in_specs=[
+                pl.BlockSpec((4, block), lambda i, k: (0, i + k0 + k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 4), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 16), lambda i, k: (i + k0 + k, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nt, 16, block), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((grid_i * block, 16), jnp.float32),
+                jax.ShapeDtypeStruct((nt, 16, block), jnp.float32),
+            ],
+            compiler_params=cparams,
+            cost_estimate=_cost(grid_i * block, nk * block, grid_i),
+            interpret=interpret,
+        )(srcT_e, pos_mass, s16_e, s16, cent_e)
+
+    # ---- call B: middle hops — every (i, k) step is a real pair.
+    # Even nt: k = 1..half-1 (the half-distance is shared, handled in C);
+    # odd nt: k = 1..half covers every remaining pair exactly once.
+    t_b = s_b = t_c = s_c = None
+    nk_b = half - 1 if nt % 2 == 0 else half
+    if nk_b > 0:
+        t_b, s_b = hops_call(1, nk_b, nt)
+    # ---- call C (even nt): the shared half-hop, computed only by the
+    # first half of the rows — the grid covers exactly those, so no
+    # predication is needed.
+    if nt % 2 == 0:
+        t_c, s_c = hops_call(half, 1, half)
+    return t_b, s_b, t_c, s_c
 
 
 def _limb3_cols_2d(v: jax.Array) -> list[jax.Array]:
@@ -659,7 +768,7 @@ def _limb3_cols_2d(v: jax.Array) -> list[jax.Array]:
 
 
 def _sym_diag_prep_kernel(
-    mask_ref, g_ref, srcT_ref, pm_ref, out_ref, s16_ref, cent_ref, *, b
+    mask_ref, g_ref, pm_ref, out_ref, s16_ref, cent_ref, srcT_ref, *, b
 ):
     """Fused diagonal + operand build: one grid step per block computes the
     block's sym operands (bf16 limbs of block-centered gm*(x-c), gm limbs,
@@ -667,42 +776,80 @@ def _sym_diag_prep_kernel(
     block, uses them for the masked diagonal dot, and writes them out for
     the hops calls — collapsing the XLA-side operand prep chain (the ~2 ms
     residual at the reference-default N=40,002, VERDICT r2 #3) into a
-    kernel that already holds the data in VMEM.  Only the (4, N)
-    transposed-source build stays in XLA (one transpose op; a (b,1)->(1,b)
-    in-kernel transpose faulted the TPU worker).  Outputs: the diag acc16
-    block, ``s16`` (b, 16), and the block centroid row of ``cent``
-    (whole-array output — a (1, 4) block would violate the (8, 128) tile
-    floor)."""
+    kernel that already holds the data in VMEM.
+
+    Round-5 layout rework: the limb construction runs on ``(4, b)``
+    TRANSPOSED streams (bodies on the lane dimension — full 128-lane
+    utilization) instead of per-column ``(b, 1)`` chains that use 1 lane
+    in 128; the two layout changes are EXACT identity matmuls on the MXU
+    (``Precision.HIGHEST``; a direct in-kernel ``jnp.transpose`` relayout
+    faulted the TPU worker).  This also moves the ``(4, N)`` transposed
+    source build in-kernel (4th output), removing the last XLA prep op.
+    Outputs: the diag acc16 block, ``s16`` (b, 16), the block centroid
+    row of ``cent`` (whole-array output — a (1, 4) block would violate
+    the (8, 128) tile floor), and the ``srcT`` (4, b) block."""
     i = pl.program_id(0)
     tgt = pm_ref[...]
-    gm = g_ref[0] * tgt[:, 3:4]
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    tgtT = lax.dot_general(  # exact (4, b) transpose via identity matmul
+        eye4, tgt,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    gmT = g_ref[0] * tgtT[3:4, :]  # (1, b)
 
     inv_b = jnp.float32(1.0 / b)
-    cx = jnp.sum(tgt[:, 0:1]) * inv_b
-    cy = jnp.sum(tgt[:, 1:2]) * inv_b
-    cz = jnp.sum(tgt[:, 2:3]) * inv_b
-    cols: list[jax.Array] = []
-    cols.extend(_limb3_cols_2d(gm * (tgt[:, 0:1] - cx)))
-    cols.extend(_limb3_cols_2d(gm * (tgt[:, 1:2] - cy)))
-    cols.extend(_limb3_cols_2d(gm * (tgt[:, 2:3] - cz)))
-    cols.extend(_limb3_cols_2d(gm))
-    cols.append(jnp.zeros((b, 4), jnp.float32))
-    s16 = jnp.concatenate(cols, axis=1)
+    cx = jnp.sum(tgtT[0:1, :]) * inv_b
+    cy = jnp.sum(tgtT[1:2, :]) * inv_b
+    cz = jnp.sum(tgtT[2:3, :]) * inv_b
+    cvec = jnp.concatenate(
+        [cx.reshape(1, 1), cy.reshape(1, 1), cz.reshape(1, 1)], axis=0
+    )  # (3, 1)
+    prod = jnp.concatenate([gmT * (tgtT[:3, :] - cvec), gmT], axis=0)  # (4, b)
+    h = _round_to_bf16_f32(prod)
+    rem = prod - h
+    m = _round_to_bf16_f32(rem)
+    low = rem - m
+    rows: list[jax.Array] = []
+    for c in range(4):
+        rows.extend([h[c : c + 1, :], m[c : c + 1, :], low[c : c + 1, :]])
+    rows.append(jnp.zeros((4, b), jnp.float32))
+    s16t = jnp.concatenate(rows, axis=0)  # (16, b)
+    eye16 = jnp.eye(16, dtype=jnp.float32)
+    s16 = lax.dot_general(  # exact (b, 16) transpose via identity matmul
+        s16t, eye16,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
     s16_ref[...] = s16
     zero = jnp.zeros((1, 1), jnp.float32)
     cent_ref[pl.ds(i, 1), :] = jnp.concatenate(
         [cx.reshape(1, 1), cy.reshape(1, 1), cz.reshape(1, 1), zero], axis=1
     )
+    srcT = jnp.concatenate([tgtT[:3, :], gmT], axis=0)  # (4, b)
+    srcT_ref[...] = srcT
 
-    _, _, _, d2 = _pair_diffs(tgt, srcT_ref, g_ref[1])
+    _, _, _, d2 = _pair_diffs(tgt, srcT, g_ref[1])
     inv3 = lax.rsqrt(d2 * (d2 * d2))
     w = inv3 * mask_ref[...]
     part = jnp.dot(w, s16, preferred_element_type=jnp.float32)
     wsum = part[:, 9:10] + part[:, 10:11] + part[:, 11:12]
-    cw = jnp.concatenate(
-        [wsum * cx, wsum * cy, wsum * cz, jnp.zeros_like(wsum)], axis=1
+    # c*W correction as one broadcast fma against a (1, 16) centroid row
+    # (part's columns 12-15 are zero) — see the concat-cost note in
+    # _sym_hops_kernel.
+    crow = jnp.concatenate(
+        [
+            jnp.zeros((1, 12), jnp.float32),
+            cx.reshape(1, 1),
+            cy.reshape(1, 1),
+            cz.reshape(1, 1),
+            jnp.zeros((1, 1), jnp.float32),
+        ],
+        axis=1,
     )
-    out_ref[...] = jnp.concatenate([part[:, :12], cw], axis=1)
+    out_ref[...] = part + wsum * crow
 
 
 def sym_diag_prep_pallas(
@@ -712,44 +859,100 @@ def sym_diag_prep_pallas(
     eps2: float,
     block: int,
     interpret: bool = False,
+    ext_blocks: int = 0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Run the fused diagonal+prep call: returns ``(acc16 (N,16),
-    s16 (N,16), cent (nt,4), srcT (4,N))`` — the diag partials plus every
-    operand the hops calls need; XLA-side prep is just the one source
-    transpose."""
+    s16, cent (nt,4), srcT)`` — the diag partials plus every operand the
+    hops calls need; no XLA-side prep remains (the source transpose is
+    the kernel's 4th output, built by an exact identity matmul).
+
+    ``ext_blocks > 0`` allocates ``s16``/``srcT`` with that many extra
+    WRAP blocks (``(n + ext, 16)`` / ``(4, n + ext)``) and fills the tail
+    with copies of blocks ``0..ext_blocks-1`` via a tiny aliased copy
+    pass (:func:`_extend_tail_pallas`) — the hop calls then index the
+    extended buffers linearly with no per-step XLA concatenate (the
+    concats cost ~1 ms/step at N=256k; modular index maps cost more,
+    docs/DESIGN.md)."""
     n = pos_mass.shape[0]
     nt = n // block
+    n_out = n + ext_blocks * block
     mask = 1.0 - jnp.eye(block, dtype=jnp.float32)
-    srcT = src_transposed(pos_mass, G)
     g_arr = jnp.stack(
         [jnp.asarray(G, jnp.float32), jnp.float32(eps2)]
     )
-    acc16, s16, cent = pl.pallas_call(
+    acc16, s16, cent, srcT = pl.pallas_call(
         functools.partial(_sym_diag_prep_kernel, b=block),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((block, block), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # [G, eps2]
-            pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nt, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, 16), jnp.float32),
-            jax.ShapeDtypeStruct((n, 16), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, 16), jnp.float32),
             jax.ShapeDtypeStruct((nt, 4), jnp.float32),
+            jax.ShapeDtypeStruct((4, n_out), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT
         ),
         cost_estimate=_cost(n, block, nt),
         interpret=interpret,
-    )(mask, g_arr, srcT, pos_mass)
+    )(mask, g_arr, pos_mass)
+    if ext_blocks > 0:
+        s16, srcT = _extend_tail_pallas(
+            s16, srcT, nt=nt, ext_blocks=ext_blocks, block=block,
+            interpret=interpret,
+        )
     return acc16, s16, cent, srcT
+
+
+def _extend_tail_kernel(s16_ref, srcT_ref, s16o_ref, srcTo_ref):
+    s16o_ref[...] = s16_ref[...]
+    srcTo_ref[...] = srcT_ref[...]
+
+
+def _extend_tail_pallas(
+    s16: jax.Array,
+    srcT: jax.Array,
+    *,
+    nt: int,
+    ext_blocks: int,
+    block: int,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array]:
+    """Fill the wrap tail of the extended sym operands in place: block
+    ``nt + i`` <- block ``i`` for ``i < ext_blocks``, via
+    ``input_output_aliases`` so only the tail moves (copying the whole
+    array through an XLA concatenate costs ~1 ms/step at N=256k)."""
+    return pl.pallas_call(
+        _extend_tail_kernel,
+        grid=(ext_blocks,),
+        in_specs=[
+            pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, 16), lambda i: (nt + i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, nt + i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(s16.shape, jnp.float32),
+            jax.ShapeDtypeStruct(srcT.shape, jnp.float32),
+        ],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(s16, srcT)
 
 
 def _combine16(a: jax.Array, pos_mass: jax.Array) -> jax.Array:
@@ -862,13 +1065,18 @@ def accel_sym_pallas(
         vmem_limit_bytes=_VMEM_LIMIT,
     )
 
+    # The aliased wrap-extension is a TPU DMA optimization; interpret
+    # mode keeps the plain XLA concats (input_output_aliases through
+    # the interpreter segfaulted XLA:CPU in long test processes).
+    pre_ext = center and nt > 1 and not interpret
     if center:
         # ---- call A (fused): diagonal blocks + in-kernel operand build —
         # the limbs/centroids/transposed sources come out of the same
         # kernel that computes the masked diagonal dot, eliminating the
         # XLA-side prep chain (~2 ms at the 40k reference default).
         acc16, s16, cent, srcT = sym_diag_prep_pallas(
-            pos_mass, G, eps2=float(eps2), block=block, interpret=interpret
+            pos_mass, G, eps2=float(eps2), block=block, interpret=interpret,
+            ext_blocks=(half + 1) if pre_ext else 0,
         )
     else:
         # Ablation path (uncentered operands): XLA prep + plain diag call.
@@ -895,58 +1103,253 @@ def accel_sym_pallas(
         )(mask, srcT, pos_mass, s16, cent)
 
     if nt > 1:
-        # Wrap-extend the source-side arrays so the hop grids index them
-        # linearly (j = i + k0 + k, no modulus).
-        ext = (half + 1) * block
-        srcT_e = jnp.concatenate([srcT, srcT[:, :ext]], axis=1)
-        s16_e = jnp.concatenate([s16, s16[:ext]], axis=0)
-        cent_e = jnp.concatenate([cent, cent[: half + 1]], axis=0)
-
-        def hops_call(k0, nk, grid_i):
-            kernel = functools.partial(
-                _sym_hops_kernel, eps2=float(eps2), b=block, nt=nt, k0=k0
-            )
-            return pl.pallas_call(
-                kernel,
-                grid=(grid_i, nk),
-                in_specs=[
-                    pl.BlockSpec((4, block), lambda i, k: (0, i + k0 + k), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block, 4), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block, 16), lambda i, k: (i + k0 + k, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec((block, 16), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nt, 16, block), lambda i, k: (0, 0, 0), memory_space=pltpu.VMEM),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((grid_i * block, 16), jnp.float32),
-                    jax.ShapeDtypeStruct((nt, 16, block), jnp.float32),
-                ],
-                compiler_params=cparams,
-                cost_estimate=_cost(grid_i * block, nk * block, grid_i),
-                interpret=interpret,
-            )(srcT_e, pos_mass, s16_e, s16, cent_e)
-
-        # ---- call B: middle hops — every (i, k) step is a real pair.
-        # Even nt: k = 1..half-1 (the half-distance is shared, handled in C);
-        # odd nt: k = 1..half covers every remaining pair exactly once.
-        nk_b = half - 1 if nt % 2 == 0 else half
-        if nk_b > 0:
-            t_b, s_b = hops_call(1, nk_b, nt)
+        t_b, s_b, t_c, s_c = _sym_hops_raw(
+            pos_mass, srcT, s16, cent,
+            eps2=float(eps2), block=block, interpret=interpret,
+            pre_extended=pre_ext,
+        )
+        if t_b is not None:
             acc16 = acc16 + t_b + jnp.transpose(s_b, (0, 2, 1)).reshape(n, 16)
-        # ---- call C (even nt): the shared half-hop, computed only by the
-        # first half of the rows — the grid covers exactly those, so no
-        # predication is needed.
-        if nt % 2 == 0:
-            t_c, s_c = hops_call(half, 1, half)
+        if t_c is not None:
             acc16 = acc16.at[: half * block].add(t_c)
             acc16 = acc16 + jnp.transpose(s_c, (0, 2, 1)).reshape(n, 16)
 
     if raw:  # debug: the raw limb accumulator
         return acc16
     return combine16_pallas(acc16, pos_mass, block=block, interpret=interpret)
+
+
+def _sym_step_epilogue_kernel(
+    *refs, b, half, n_real, has_b, has_c
+):
+    """Fused sym-step epilogue: raw limb accumulators -> next state, one
+    O(N) pass.
+
+    Replaces the XLA glue between the Newton-3 kernels and the integrator
+    — accumulator adds, two ``(nt, 16, B) -> (N, 16)`` transposes, the
+    :func:`combine16_pallas` un-centering fold, and the XLA Verlet
+    elementwise chain (~180 MB of HBM round trips as 4+ separate passes)
+    — with ONE pass that reads each accumulator once and writes the new
+    state (``nbody3d.js:274-290`` semantics, valid-masked padding).
+
+    The reverse accumulators arrive in their native ``(16, B)`` layout;
+    they are reduced to 4 components FIRST (lane-wise row adds) and only
+    then transposed — a ``(4, b)`` transpose expressed as an exact
+    identity matmul on the MXU, because a direct in-kernel
+    ``jnp.transpose`` relayout faulted the TPU worker (see
+    :func:`_sym_diag_prep_kernel`) and a 16-row transpose would move 4x
+    the data."""
+    it = iter(refs)
+    dt_ref = next(it)
+    acc_a_ref = next(it)
+    tb_ref = next(it) if has_b else None
+    sb_ref = next(it) if has_b else None
+    tc_ref = next(it) if has_c else None
+    sc_ref = next(it) if has_c else None
+    pm_ref = next(it)
+    vel_ref = next(it)
+    aold_ref = next(it)
+    pnew_ref = next(it)
+    vnew_ref = next(it)
+    anew_ref = next(it)
+
+    i = pl.program_id(0)
+    row = acc_a_ref[...]
+    tr = None
+    if has_b:
+        row = row + tb_ref[...]
+        tr = sb_ref[0]
+    if has_c:
+        # Call C wrote forward partials only for the first half of the
+        # rows; blocks i >= half fetch a dummy block (clamped index map)
+        # and multiply it away — condition-free.
+        row = row + tc_ref[...] * jnp.where(i < half, 1.0, 0.0).astype(jnp.float32)
+        tr = sc_ref[0] if tr is None else tr + sc_ref[0]
+
+    # Row-layout part: combine16 algebra (cheap VMEM lane shuffles).
+    s = row[:, 9:10] + row[:, 10:11] + row[:, 11:12]
+    ax = row[:, 0:1] + row[:, 1:2] + row[:, 2:3] + row[:, 12:13]
+    ay = row[:, 3:4] + row[:, 4:5] + row[:, 5:6] + row[:, 13:14]
+    az = row[:, 6:7] + row[:, 7:8] + row[:, 8:9] + row[:, 14:15]
+    if tr is not None:
+        # Transposed part: same algebra on rows, transpose AFTER reduction.
+        ts = tr[9:10, :] + tr[10:11, :] + tr[11:12, :]
+        tx = tr[0:1, :] + tr[1:2, :] + tr[2:3, :] + tr[12:13, :]
+        ty = tr[3:4, :] + tr[4:5, :] + tr[5:6, :] + tr[13:14, :]
+        tz = tr[6:7, :] + tr[7:8, :] + tr[8:9, :] + tr[14:15, :]
+        t4 = jnp.concatenate([tx, ty, tz, ts], axis=0)  # (4, b)
+        eye4 = jnp.eye(4, dtype=jnp.float32)
+        t4t = lax.dot_general(  # exact f32 transpose via identity matmul
+            t4, eye4,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # HIGHEST, or the operands round to bf16 (default matmul
+            # precision) — 2e-4 measured on the reduced partials.
+            precision=lax.Precision.HIGHEST,
+        )  # (b, 4)
+        ax = ax + t4t[:, 0:1]
+        ay = ay + t4t[:, 1:2]
+        az = az + t4t[:, 2:3]
+        s = s + t4t[:, 3:4]
+    pm = pm_ref[...]
+    ax = ax - pm[:, 0:1] * s
+    ay = ay - pm[:, 1:2] * s
+    az = az - pm[:, 2:3] * s
+    a_new = jnp.concatenate([ax, ay, az, jnp.zeros_like(ax)], axis=1)
+
+    valid = None
+    if n_real is not None:
+        ridx = lax.broadcasted_iota(jnp.int32, (b, 1), 0) + i * b
+        valid = ridx < n_real
+        a_new = jnp.where(valid, a_new, 0.0)
+
+    # Frame-shifted velocity Verlet (nbody3d.js:280-283 op order; the w
+    # lanes ride untouched: vel.w == accel.w == 0).
+    dt = dt_ref[0]
+    half_dt = dt * 0.5
+    vel = vel_ref[...]
+    aold = aold_ref[...]
+    v_new = vel + (aold + a_new) * half_dt
+    p_new = pm + (v_new + a_new * half_dt) * dt
+    if valid is not None:
+        p_new = jnp.where(valid, p_new, pm)
+        v_new = jnp.where(valid, v_new, vel)
+    pnew_ref[...] = p_new
+    vnew_ref[...] = v_new
+    anew_ref[...] = a_new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps2", "block", "n_real", "interpret")
+)
+def sym_verlet_step_pallas(
+    pos_mass: jax.Array,
+    vel: jax.Array,
+    accel_old: jax.Array,
+    dt: jax.Array | float,
+    G: jax.Array | float,
+    *,
+    eps2: float,
+    block: int,
+    n_real: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fully fused single-chip sym step: Newton-3 force + Verlet update
+    with zero XLA glue between kernels.
+
+    Pipeline: the fused diagonal+prep call (:func:`sym_diag_prep_pallas`),
+    the raw hop calls (:func:`_sym_hops_raw`), then ONE O(N) epilogue
+    pass (:func:`_sym_step_epilogue_kernel`) that folds the accumulator
+    adds/transposes, the un-centering limb combine, and the frame-shifted
+    Verlet update (``nbody3d.js:274-290``).  This is the TPU answer to
+    the reference's fused force+integrate dispatch: fusing integration
+    into the O(N^2) kernel itself measured 2x slower (revisited output
+    blocks — docs/DESIGN.md), but fusing it into the O(N) epilogue that
+    must touch the data anyway is free.
+
+    Returns ``(new_pos_mass, new_vel, new_accel)``; rows ``>= n_real``
+    are frozen (the ``index < nBodies`` guard, ``nbody3d.js:257,265``).
+    Requires ``nt >= 2`` (callers fall back to the unfused path for a
+    single block).  Not differentiable directly — ``ops/step.py`` wraps
+    it in a ``jax.custom_vjp`` whose backward reuses the hand-written
+    force VJP.
+    """
+    n = pos_mass.shape[0]
+    if n % block != 0:
+        raise ValueError(f"sym step: N={n} must be divisible by block={block}")
+    nt = n // block
+    half = nt // 2
+    if nt < 2:
+        raise ValueError("sym_verlet_step_pallas needs nt >= 2 blocks")
+
+    # Aliased wrap-extension on TPU only — see the note in
+    # accel_sym_pallas (interpret + input_output_aliases segfaulted
+    # XLA:CPU in long test processes).
+    pre_ext = not interpret
+    acc16, s16, cent, srcT = sym_diag_prep_pallas(
+        pos_mass, G, eps2=float(eps2), block=block, interpret=interpret,
+        ext_blocks=(half + 1) if pre_ext else 0,
+    )
+    t_b, s_b, t_c, s_c = _sym_hops_raw(
+        pos_mass, srcT, s16, cent,
+        eps2=float(eps2), block=block, interpret=interpret,
+        pre_extended=pre_ext,
+    )
+    return _sym_epilogue_call(
+        acc16, t_b, s_b, t_c, s_c, pos_mass, vel, accel_old, dt,
+        block=block, n_real=n_real, interpret=interpret,
+    )
+
+
+def _sym_epilogue_call(
+    acc16: jax.Array,
+    t_b: jax.Array | None,
+    s_b: jax.Array | None,
+    t_c: jax.Array | None,
+    s_c: jax.Array | None,
+    pos_mass: jax.Array,
+    vel: jax.Array,
+    accel_old: jax.Array,
+    dt: jax.Array | float,
+    *,
+    block: int,
+    n_real: int | None,
+    interpret: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Dispatch the fused epilogue pass (see
+    :func:`_sym_step_epilogue_kernel`) over the raw sym accumulators."""
+    n = pos_mass.shape[0]
+    nt = n // block
+    half = nt // 2
+    has_b = t_b is not None
+    has_c = t_c is not None
+
+    dt_arr = jnp.reshape(jnp.asarray(dt, jnp.float32), (1,))
+    inputs: list[jax.Array] = [dt_arr, acc16]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if has_b:
+        inputs += [t_b, s_b]
+        in_specs += [
+            pl.BlockSpec((block, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    if has_c:
+        inputs += [t_c, s_c]
+        in_specs += [
+            pl.BlockSpec(
+                (block, 16),
+                lambda i: (jnp.minimum(i, half - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 16, block), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    inputs += [pos_mass, vel, accel_old]
+    state_spec = pl.BlockSpec((block, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs += [state_spec, state_spec, state_spec]
+
+    kernel = functools.partial(
+        _sym_step_epilogue_kernel,
+        b=block,
+        half=half,
+        n_real=(None if n_real is None or n_real >= n else int(n_real)),
+        has_b=has_b,
+        has_c=has_c,
+    )
+    p_new, v_new, a_new = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=[state_spec, state_spec, state_spec],
+        out_shape=[jax.ShapeDtypeStruct((n, 4), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return p_new, v_new, a_new
 
 
 def _pair_sym_kernel(

@@ -19,7 +19,7 @@ from jax import lax
 
 from nbody3d_tpu.config import SimConfig
 from nbody3d_tpu.ops.force_jnp import accel_direct
-from nbody3d_tpu.ops.integrate import integrate_state
+from nbody3d_tpu.ops.integrate import apply_integrator, integrate_state
 from nbody3d_tpu.ops.pallas_force import (
     accel_pallas,
     accel_pair_sym_pallas,
@@ -27,6 +27,7 @@ from nbody3d_tpu.ops.pallas_force import (
     fused_step_pallas,
     src_limbs,
     src_transposed,
+    sym_verlet_step_pallas,
 )
 from nbody3d_tpu.state import SimState
 
@@ -198,6 +199,72 @@ def make_mesh_accel_fn(
     )
 
 
+def make_fused_sym_step(
+    config: SimConfig, n_pad: int, n_real: int, interpret: bool
+) -> StepFn:
+    """The fused single-chip sym/verlet step (``sym_verlet_step_pallas``)
+    wrapped in a ``jax.custom_vjp`` so ``jax.grad`` flows through it.
+
+    Forward: the all-Pallas fused pipeline (no XLA glue).  Backward:
+    the integrator stage is differentiated as plain elementwise jnp AD
+    (``apply_integrator`` is cheap O(N)), and the force stage's cotangent
+    feeds the hand-written Newton-3 VJP kernel
+    (:func:`nbody3d_tpu.ops.force_vjp.force_vjp_sym_pallas`) — the exact
+    pairing the unfused path gets from ``make_diff_accel``, so gradient
+    accuracy/cost contracts (grad_bench gates) are unchanged.
+    """
+    from nbody3d_tpu.ops.force_vjp import force_vjp_sym_pallas
+
+    b = fit_sym_block(n_pad, config.block_target)
+    eps2 = config.eps2
+    precise = config.grad_precision != "fast"
+    nr: int | None = None if n_real >= n_pad else n_real
+    if nr is not None:
+        idx = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+        valid = idx < nr
+    else:
+        valid = None
+
+    @jax.custom_vjp
+    def step3(pm, v, a_old, dt, G):
+        return sym_verlet_step_pallas(
+            pm, v, a_old, dt, G,
+            eps2=eps2, block=b, n_real=nr, interpret=interpret,
+        )
+
+    def fwd(pm, v, a_old, dt, G):
+        out = sym_verlet_step_pallas(
+            pm, v, a_old, dt, G,
+            eps2=eps2, block=b, n_real=nr, interpret=interpret,
+        )
+        # Residuals: inputs + the step's stored acceleration (the force
+        # at pm, valid-masked — exactly what the backward needs).
+        return out, (pm, v, a_old, out[2], dt, G)
+
+    def bwd(res, cots):
+        pm, v, a_old, a_new, dt, G = res
+
+        def integ(pm_, v_, aold_, a_, dt_):
+            return apply_integrator("verlet", pm_, v_, aold_, a_, dt_, valid)
+
+        _, pull = jax.vjp(integ, pm, v, a_old, a_new, jnp.float32(dt))
+        gpm_direct, gv, ga_old, ga_force, gdt = pull(cots)
+        pm_bar, g_bar = force_vjp_sym_pallas(
+            pm, G, ga_force,
+            eps2=eps2, block=min(b, 1024), precise=precise,
+            interpret=interpret,
+        )
+        return gpm_direct + pm_bar, gv, ga_old, gdt, g_bar
+
+    step3.defvjp(fwd, bwd)
+
+    def step(state: SimState, dt, G) -> SimState:
+        p, v, a = step3(state.pos_mass, state.vel, state.accel, dt, G)
+        return SimState(p, v, a, state.step + 1)
+
+    return step
+
+
 def make_step_fn(
     config: SimConfig, n_pad: int, n_real: int, platform: str | None = None
 ) -> StepFn:
@@ -249,13 +316,30 @@ def make_step_fn(
                 state, dt, n_real=n_real,
             )
 
+    elif (
+        backend == "pallas"
+        and force_mode == "sym"
+        and config.integrator == "verlet"
+        and config.fuse_epilogue
+        and n_pad <= MACRO_MIN_N
+        and n_pad // fit_sym_block(n_pad, config.block_target) >= 2
+    ):
+        # The headline single-chip mode, fully fused (round 5): the
+        # Newton-3 kernels' RAW accumulators feed one O(N) Pallas
+        # epilogue doing the limb combine AND the Verlet update —
+        # no XLA glue passes between force and next state
+        # (sym_verlet_step_pallas).  jax.grad still works: the step is a
+        # custom_vjp whose backward runs the elementwise integrator AD
+        # plus the hand-written force VJP (same kernels as the unfused
+        # path's make_diff_accel).
+        step = make_fused_sym_step(config, n_pad, n_real, interpret)
+
     elif backend == "pallas" and force_mode == "sym":
         # Newton-3 schedule (round-robin below MACRO_MIN_N, macro-tiled
-        # above — see make_sym_accel_fn); the headline single-chip mode.
-        # Measured at 256k: macro M=4 365 G-int/s vs single round-robin
-        # 310 (M=2: 350, M=8: 357); 2M reaches 433.  Integration runs as
-        # XLA elementwise ops (the fused epilogue is unfusable here:
-        # source-side partials complete only at grid end).
+        # above — see make_sym_accel_fn); yoshida4/euler integrators, and
+        # the VMEM-cap escape.  Measured at 256k: macro M=4 365 G-int/s
+        # vs single round-robin 310 (M=2: 350, M=8: 357); 2M reaches 433.
+        # Integration runs as XLA elementwise ops.
         # Wrapped with the hand-written VJP (ops/force_vjp.py) so
         # jax.grad flows through the Pallas path at TPU speed.
         from nbody3d_tpu.ops.force_vjp import make_diff_accel

@@ -30,3 +30,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    One pytest process compiles several hundred XLA:CPU programs; with
+    the round-5 fused-step additions the accumulated LLVM JIT state
+    crossed a threshold where a LATER (arbitrary, even trivial) compile
+    segfaults inside backend_compile — observed deterministically at
+    ~85% of the suite, while every module passes in isolation.  Freeing
+    executables module-by-module keeps the process under that ceiling;
+    cross-module jit reuse is rare, so the recompile cost is small.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -408,3 +408,120 @@ def test_limbs_survive_jit_with_consuming_dot(rng):
         h = np.abs(s10[:, 3 * c]).max()
         m = np.abs(s10[:, 3 * c + 1]).max()
         assert m > 0 and m < h
+
+
+# ------------------------------------------------- fused epilogue (round 5)
+@pytest.mark.parametrize(
+    "n,block,n_real",
+    [(256, 128, 256), (384, 128, 384), (512, 128, 500), (256, 128, 200)],
+)
+def test_fused_step_matches_unfused(rng, n, block, n_real):
+    """sym_verlet_step_pallas (the all-Pallas fused step: raw hop
+    accumulators -> one epilogue pass doing combine + Verlet) reproduces
+    the unfused accel+integrate composition — even/odd block counts,
+    with and without padded tails."""
+    from nbody3d_tpu.ops.integrate import apply_integrator
+    from nbody3d_tpu.ops.pallas_force import sym_verlet_step_pallas
+
+    pm = galaxy_like(rng, n, heavy=False)
+    pm[n_real:, 3] = 0.0
+    vel = np.concatenate(
+        [rng.normal(size=(n, 3)).astype(np.float32) * 0.1, np.zeros((n, 1), np.float32)],
+        axis=1,
+    ).astype(np.float32)
+    aold = np.concatenate(
+        [rng.normal(size=(n, 3)).astype(np.float32), np.zeros((n, 1), np.float32)],
+        axis=1,
+    ).astype(np.float32)
+    dt = jnp.float32(1e-3)
+    acc = accel_sym_pallas(jnp.asarray(pm), G, eps2=EPS2, block=block, interpret=True)
+    valid = (jnp.arange(n)[:, None] < n_real) if n_real < n else None
+    p0, v0, a0 = apply_integrator(
+        "verlet", jnp.asarray(pm), jnp.asarray(vel), jnp.asarray(aold), acc, dt, valid
+    )
+    p1, v1, a1 = sym_verlet_step_pallas(
+        jnp.asarray(pm), jnp.asarray(vel), jnp.asarray(aold), dt, G,
+        eps2=EPS2, block=block,
+        n_real=(None if n_real >= n else n_real), interpret=True,
+    )
+    # The epilogue sums the row-layout and transposed-layout partials
+    # each-reduced-first (the old path pre-adds all parts elementwise) —
+    # identical algebra, different f32 order, so the centered-limb
+    # cancellation noise differs at the same 1e-5 class as the kernel's
+    # own oracle tolerance (test_sym_matches_oracle).  The hardware
+    # conservation gate (bench.py: energy + momentum over 140 steps)
+    # covers the physics.
+    scale = float(jnp.max(jnp.abs(a0)))
+    assert float(jnp.max(jnp.abs(a1 - a0))) / scale < 5e-5
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=0, atol=1e-6)
+    if n_real < n:  # padded tails frozen, stored accel zeroed
+        np.testing.assert_array_equal(np.asarray(p1[n_real:]), pm[n_real:])
+        np.testing.assert_array_equal(np.asarray(v1[n_real:]), vel[n_real:])
+        np.testing.assert_array_equal(np.asarray(a1[n_real:]), 0.0)
+
+
+def test_fused_step_dispatch_and_equivalence(rng):
+    """make_step_fn picks the fused branch (fuse_epilogue=True default)
+    for sym/verlet and both branches advance the state identically."""
+    n = 256
+    pm = galaxy_like(rng, n)
+    vel = np.concatenate(
+        [rng.normal(size=(n, 3)).astype(np.float32) * 0.1, np.zeros((n, 1), np.float32)],
+        axis=1,
+    ).astype(np.float32)
+    s = init_state(pm, vel, n_pad=n)
+    cfg_f = SimConfig(backend="pallas", force_mode="sym", block_target=128)
+    cfg_u = SimConfig(
+        backend="pallas", force_mode="sym", block_target=128, fuse_epilogue=False
+    )
+    assert cfg_f.fuse_epilogue  # default on
+    sf = make_step_fn(cfg_f, n, n, platform="cpu")(s, 1e-4, G)
+    su = make_step_fn(cfg_u, n, n, platform="cpu")(s, 1e-4, G)
+    np.testing.assert_allclose(
+        np.asarray(sf.accel), np.asarray(su.accel), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sf.pos_mass), np.asarray(su.pos_mass), rtol=1e-6, atol=1e-7
+    )
+    assert int(sf.step) == 1
+
+
+def test_fused_step_grad_matches_unfused(rng):
+    """The fused step's custom_vjp (elementwise integrator AD + the
+    hand-written Newton-3 force VJP) matches jax.grad through the unfused
+    make_diff_accel + XLA-integrate path."""
+    import jax
+
+    from nbody3d_tpu.state import SimState
+
+    n, n_real = 256, 250
+    pm = galaxy_like(rng, n, heavy=False)
+    pm[n_real:, 3] = 0.0
+    vel = np.concatenate(
+        [rng.normal(size=(n, 3)).astype(np.float32) * 0.1, np.zeros((n, 1), np.float32)],
+        axis=1,
+    ).astype(np.float32)
+    aold = np.zeros((n, 4), np.float32)
+    cfg_f = SimConfig(backend="pallas", force_mode="sym", block_target=128)
+    cfg_u = SimConfig(
+        backend="pallas", force_mode="sym", block_target=128, fuse_epilogue=False
+    )
+    step_f = make_step_fn(cfg_f, n, n_real, platform="cpu")
+    step_u = make_step_fn(cfg_u, n, n_real, platform="cpu")
+
+    def make_loss(step):
+        def loss(pos_mass, vel_, dt, G_):
+            st = SimState(pos_mass, vel_, jnp.asarray(aold), jnp.int32(0))
+            st = step(st, dt, G_)
+            st = step(st, dt, G_)
+            return jnp.sum(st.pos_mass[:, :3] ** 2) + jnp.sum(st.vel[:, :3] ** 2)
+
+        return loss
+
+    args = (jnp.asarray(pm), jnp.asarray(vel), jnp.float32(1e-3), jnp.float32(G))
+    gf = jax.grad(make_loss(step_f), argnums=(0, 1, 2, 3))(*args)
+    gu = jax.grad(make_loss(step_u), argnums=(0, 1, 2, 3))(*args)
+    for got, want in zip(gf, gu):
+        scale = float(jnp.max(jnp.abs(want))) + 1e-30
+        assert float(jnp.max(jnp.abs(got - want))) / scale < 1e-5

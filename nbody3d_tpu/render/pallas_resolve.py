@@ -102,21 +102,30 @@ def _dekker_sq(r):
     return hi, lo
 
 
-def _resolve_kernel(chunk_bin_ref, chunk_live_ref, chunk_first_ref, rec_ref,
-                    dplane_ref, cplane_ref, *, rows, lanes, c):
-    """One chunk of C body records against its bin's halo'd tile.
+def _resolve_kernel(chunk_bin_ref, chunk_first_ref, lo_ref, hi_ref, blk_ref,
+                    rec_ref, dplane_ref, cplane_ref,
+                    *, rows, lanes, c, nbx, bw, bh, halo):
+    """One chunk-ALIGNED block of C sorted records against its bin's
+    halo'd tile.
 
-    ``rec`` (1, 8, C) f32 rows: [cx_local, cy_local, depth, rgb24,
-    rsq_hi, rsq_lo, valid, 0] with cx_local/cy_local the body center in
-    tile coords (halo included: local = pixel - bin_origin + halo).
-    Fields ride the SUBLANE axis so the HBM array tiles exactly — a
-    (total*C, 8) layout lane-pads 8 -> 128 (16x, ~8.5 GB of temps at
-    16M: the same minor-dim landmine as the mesh kernels' (N, 4)
-    operands); one in-kernel transpose restores the (C, 1) column
-    vectors the row passes need.  ``dplane``/``cplane`` (1, rows,
-    lanes): the bin's depth / rgb planes, lex-min-accumulated across
-    the bin's consecutive chunks.  Dead chunks (``chunk_live == 0``)
-    only init their (trash) tile."""
+    ``rec`` (8, C) f32 rows of the BIN-SORTED field array: [cx, cy,
+    depth, rgb24, rsq_hi, rsq_lo, valid, 0] in GLOBAL pixel coords —
+    the block is fetched straight from the sorted array at prefetched
+    block index ``blk[i]`` (round-5 rework: the old path materialized a
+    per-chunk record tensor through order/slot gathers in XLA — ~0.85 s
+    of the 0.96 s tier-1 at 16M; sorting the fields themselves with one
+    variadic ``lax.sort`` and letting the pipeline fetch aligned blocks
+    costs 0.17 s and removes every gather).  Records outside the bin's
+    ``[lo, hi)`` range in the sorted order (alignment slack from
+    rounding the bin's start down to a block boundary) are masked via
+    their global slot index; tile-local coordinates are computed
+    in-kernel from the prefetched bin id.  Fields ride the SUBLANE axis
+    so the HBM array tiles exactly — a (total*C, 8) layout lane-pads
+    8 -> 128 (16x, ~8.5 GB of temps at 16M); one in-kernel transpose
+    restores the (C, 1) column vectors the row passes need.
+    ``dplane``/``cplane`` (1, rows, lanes): the bin's depth / rgb
+    planes, lex-min-accumulated across the bin's consecutive chunks.
+    Dead chunks (``lo >= hi``) only init their (trash) tile."""
     i = pl.program_id(0)
 
     @pl.when(chunk_first_ref[i] != 0)
@@ -124,16 +133,23 @@ def _resolve_kernel(chunk_bin_ref, chunk_live_ref, chunk_first_ref, rec_ref,
         dplane_ref[0] = jnp.full((rows, lanes), jnp.inf, jnp.float32)
         cplane_ref[0] = jnp.full((rows, lanes), _RGB_MISS, jnp.float32)
 
-    @pl.when(chunk_live_ref[i] != 0)
+    @pl.when(lo_ref[i] < hi_ref[i])
     def _work():
-        rec = rec_ref[0].T  # (C, 8)
-        cx = rec[:, 0:1]
-        cy = rec[:, 1:2]
+        rec = rec_ref[...].T  # (C, 8)
+        cb = chunk_bin_ref[i]
+        by = cb // nbx
+        bx = cb - by * nbx
+        ox = (bx * bw - halo).astype(jnp.float32)
+        oy = (by * bh - halo).astype(jnp.float32)
+        gidx = blk_ref[i] * c + lax.broadcasted_iota(jnp.int32, (c, 1), 0)
+        in_bin = (gidx >= lo_ref[i]) & (gidx < hi_ref[i])
+        cx = rec[:, 0:1] - ox
+        cy = rec[:, 1:2] - oy
         depth = rec[:, 2:3]
         rgb = rec[:, 3:4]
         rsq_hi = rec[:, 4:5]
         rsq_lo = rec[:, 5:6]
-        valid = rec[:, 6:7] > 0.0
+        valid = (rec[:, 6:7] > 0.0) & in_bin
 
         # Mosaic iota must be integer; f32 holds lane indices < 2^24
         # exactly, and dx/dy/d2 are exact integers in f32 throughout.
@@ -274,14 +290,44 @@ def _resolve_tier(cx, cy, depth_f, rgb24_f, rsq_hi, rsq_lo, valid, *,
     cyc = jnp.clip(cy, 0, height - 1)
     bin_id = jnp.where(valid, (cyc // _BH) * nbx + cxc // _BW, nbins)
 
-    order = jnp.argsort(bin_id)
-    sbin = bin_id[order]
+    # ONE variadic sort carries every field into bin order (round-5
+    # rework: 0.17 s vs ~0.85 s of argsort + order/slot gathers + record
+    # relayout at 16M — see _resolve_kernel); the kernel then reads
+    # chunk-ALIGNED blocks of the sorted array directly, masking the
+    # alignment slack at bin boundaries by global slot index.
+    (sbin, scx, scy, sdepth, srgb, shi, slo, svalid) = lax.sort(
+        (
+            bin_id.astype(jnp.int32),
+            cx.astype(jnp.float32),
+            cy.astype(jnp.float32),
+            depth_f,
+            rgb24_f,
+            rsq_hi,
+            rsq_lo,
+            valid.astype(jnp.float32),
+        ),
+        dimension=0,
+        num_keys=1,
+    )
+    sfields = jnp.stack(
+        [scx, scy, sdepth, srgb, shi, slo, svalid, jnp.zeros_like(scx)],
+        axis=0,
+    )  # (8, n) — fields on sublanes: exact HBM tiling (see kernel note)
+    pad = (-n) % chunk
+    if pad:
+        sfields = jnp.pad(sfields, ((0, 0), (0, pad)))
+
     edges = jnp.searchsorted(
-        sbin, jnp.arange(nbins + 1, dtype=bin_id.dtype), side="left"
+        sbin, jnp.arange(nbins + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)  # (nbins + 1,): per-bin [start, end) in sorted order
     counts = edges[1:] - edges[:-1]
-    chunks = -(-counts // chunk)  # 0 chunks for empty bins
-    total_chunks = n // chunk + nbins + (1 if n % chunk else 0)
+    # Aligned chunk table: bin b's chunks start at block floor(start/C)
+    # and cover through its end — at most ceil(count/C) + 1 blocks.
+    base_blk = edges[:-1] // chunk  # (nbins,)
+    chunks = jnp.where(
+        counts > 0, -(-(edges[1:] - base_blk * chunk) // chunk), 0
+    )
+    total_chunks = (n + pad) // chunk + 2 * nbins + 1  # static capacity
     cstart = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks).astype(jnp.int32)]
     )  # (nbins + 1,)
@@ -299,71 +345,35 @@ def _resolve_tier(cx, cy, depth_f, rgb24_f, rsq_hi, rsq_lo, valid, *,
         [jnp.ones(1, jnp.int32),
          (chunk_bin[1:] != chunk_bin[:-1]).astype(jnp.int32)]
     )
-
-    # Slot s of chunk j -> sorted body index, or dead when past the
-    # bin's count (bin-local padding) or past the real chunk list.
     safe_bin = jnp.minimum(chunk_bin, nbins - 1)
-    base = edges[safe_bin] + (cid - cstart[safe_bin]) * chunk
-    slot = base[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    live = live_chunk[:, None] & (slot < edges[safe_bin + 1][:, None])
-    gidx = order[jnp.where(live, slot, 0).reshape(-1)]
-
-    by = safe_bin // nbx
-    bx = safe_bin - by * nbx
-    ox = jnp.repeat(bx * _BW - halo, chunk)  # tile origin (halo offset)
-    oy = jnp.repeat(by * _BH - halo, chunk)
-    # ONE (8, N) -> (8, total*C) gather instead of eight 1-D permutation
-    # gathers: the slot->body indirection is the resolve's main HBM
-    # traffic at 16M, and a single gather moves the same bytes in one
-    # fused pass.  Fields stacked on axis 0 keep a lane dimension of N
-    # or total*C (exact tiles); stacking on axis 1 instead materializes
-    # (total*C, 8) minor-dim-8 temps that lane-pad 16x (~8.5 GB at 16M
-    # — measured OOM).
-    fields = jnp.stack(
-        [
-            cx.astype(jnp.float32),
-            cy.astype(jnp.float32),
-            depth_f,
-            rgb24_f,
-            rsq_hi,
-            rsq_lo,
-            valid.astype(jnp.float32),
-        ],
-        axis=0,
-    )
-    g = fields[:, gidx]  # (7, total*C)
-    livef = live.reshape(-1).astype(jnp.float32)
-    rec = jnp.concatenate(
-        [
-            g[0:1] - ox[None, :].astype(jnp.float32),
-            g[1:2] - oy[None, :].astype(jnp.float32),
-            g[2:6],
-            g[6:7] * livef[None, :],
-            jnp.zeros((1, total_chunks * chunk), jnp.float32),
-        ],
-        axis=0,
-    ).reshape(8, total_chunks, chunk).transpose(1, 0, 2)
+    blk = jnp.where(
+        live_chunk, base_blk[safe_bin] + (cid - cstart[safe_bin]), 0
+    ).astype(jnp.int32)
+    # per-chunk record-index bounds in the sorted order (lo >= hi = dead)
+    lo_b = jnp.where(live_chunk, edges[safe_bin], 0).astype(jnp.int32)
+    hi_b = jnp.where(live_chunk, edges[safe_bin + 1], 0).astype(jnp.int32)
 
     rows = _BH + 2 * halo
     kernel = functools.partial(
-        _resolve_kernel, rows=rows, lanes=_LANES, c=chunk
+        _resolve_kernel, rows=rows, lanes=_LANES, c=chunk,
+        nbx=nbx, bw=_BW, bh=_BH, halo=halo,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # chunk_bin, chunk_live, chunk_first
+        num_scalar_prefetch=5,  # chunk_bin, chunk_first, lo, hi, blk
         grid=(total_chunks,),
         in_specs=[
             pl.BlockSpec(
-                (1, 8, chunk), lambda i, cb, cl, cf: (i, 0, 0),
+                (8, chunk), lambda i, cb, cf, lo, hi, blk: (0, blk[i]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, rows, _LANES), lambda i, cb, cl, cf: (cb[i], 0, 0),
+                (1, rows, _LANES), lambda i, cb, cf, lo, hi, blk: (cb[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, rows, _LANES), lambda i, cb, cl, cf: (cb[i], 0, 0),
+                (1, rows, _LANES), lambda i, cb, cf, lo, hi, blk: (cb[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -385,7 +395,7 @@ def _resolve_tier(cx, cy, depth_f, rgb24_f, rsq_hi, rsq_lo, valid, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(chunk_bin, live_chunk.astype(jnp.int32), chunk_first, rec)
+    )(chunk_bin, chunk_first, lo_b, hi_b, blk, sfields)
 
     # Bins that received no chunk were never visited (garbage planes):
     # mask them to the sentinel, drop the trash tile.

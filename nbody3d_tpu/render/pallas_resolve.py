@@ -320,6 +320,32 @@ def _resolve_tier(cx, cy, depth_f, rgb24_f, rsq_hi, rsq_lo, valid, *,
     edges = jnp.searchsorted(
         sbin, jnp.arange(nbins + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)  # (nbins + 1,): per-bin [start, end) in sorted order
+    total_chunks = (n + pad) // chunk + 2 * nbins + 1  # static capacity
+    return _rasterize_sorted(
+        sfields, edges,
+        width=width, height=height, halo=halo, chunk=chunk,
+        total_chunks=total_chunks, interpret=interpret,
+    )
+
+
+def _rasterize_sorted(sfields, edges, *, width, height, halo, chunk,
+                      total_chunks, interpret):
+    """Rasterize a bin-sorted field array into folded full-frame
+    (depth, rgb) planes.
+
+    ``sfields`` (8, n_pad) with ``n_pad % chunk == 0``; ``edges``
+    (nbins + 1,) — each bin's [start, end) range of GLOBAL positions in
+    the sorted order (the array may contain other tiers' records
+    outside ``[edges[0], edges[-1])``; they are never touched).
+    ``total_chunks`` is the static chunk-table capacity: a table
+    overflow (possible only when a caller caps it below worst case,
+    the tier-capacity contract) drops a SUFFIX of chunks — fully
+    dropped bins are masked as unvisited, and the caller accounts the
+    uncovered records via its overflow count."""
+    nbx = -(-width // _BW)
+    nby = -(-height // _BH)
+    nbins = nby * nbx
+
     counts = edges[1:] - edges[:-1]
     # Aligned chunk table: bin b's chunks start at block floor(start/C)
     # and cover through its end — at most ceil(count/C) + 1 blocks.
@@ -327,12 +353,13 @@ def _resolve_tier(cx, cy, depth_f, rgb24_f, rsq_hi, rsq_lo, valid, *,
     chunks = jnp.where(
         counts > 0, -(-(edges[1:] - base_blk * chunk) // chunk), 0
     )
-    total_chunks = (n + pad) // chunk + 2 * nbins + 1  # static capacity
     cstart = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(chunks).astype(jnp.int32)]
     )  # (nbins + 1,)
+    cap = jnp.int32(total_chunks)
+    cap_eff = jnp.minimum(cstart[-1], cap)
     cid = jnp.arange(total_chunks, dtype=jnp.int32)
-    live_chunk = cid < cstart[-1]
+    live_chunk = cid < cap_eff
     # dead chunks park on a trash tile (bin index nbins) and skip work
     chunk_bin = jnp.where(
         live_chunk,
@@ -398,8 +425,10 @@ def _resolve_tier(cx, cy, depth_f, rgb24_f, rsq_hi, rsq_lo, valid, *,
     )(chunk_bin, chunk_first, lo_b, hi_b, blk, sfields)
 
     # Bins that received no chunk were never visited (garbage planes):
-    # mask them to the sentinel, drop the trash tile.
-    visited = (counts > 0)[:, None, None]
+    # mask them to the sentinel, drop the trash tile.  Capacity
+    # truncation drops a suffix of the chunk table — bins whose FIRST
+    # chunk fell past the cap are unvisited too.
+    visited = ((counts > 0) & (cstart[:-1] < cap_eff))[:, None, None]
     dplane = jnp.where(visited, dplane[:nbins], np.inf)
     cplane = jnp.where(visited, cplane[:nbins], _RGB_MISS)
 
@@ -443,51 +472,76 @@ def resolve_all_pallas(cx, cy, depth_bits, rgb24, r, visible, *,
     ``rgb24`` u32, ``r`` f32 pixel radius, ``visible`` bool mask.
     Bit-identical to the host packed-u64 resolve on the same inputs
     (exact-d2 circle predicate; see module docstring)."""
+    n = cx.shape[0]
     depth_f = lax.bitcast_convert_type(depth_bits, jnp.float32)
     rgb_f = rgb24.astype(jnp.float32)
     rsq_hi, rsq_lo = _dekker_sq(r)
+    nbx = -(-width // _BW)
+    nby = -(-height // _BH)
+    nbins = nby * nbx
 
-    # tier 1: the r < 2 bulk, straight off the full arrays
-    halo1, chunk1, _ = _TIERS[0]
-    d, c = _resolve_tier(
-        cx, cy, depth_f, rgb_f, rsq_hi, rsq_lo,
-        visible & (r < _RMAX_T1),
-        width=width, height=height, halo=halo1, chunk=chunk1,
-        interpret=interpret,
+    # ONE sort serves all three tiers: key = tier * nbins + bin (tier 3
+    # = invalid/too-large, sorted last).  The per-tier compaction
+    # passes this replaces (compact_large x2: flag + cumsum + gather
+    # over the full arrays) cost ~0.4 s at 16M; the combined sort costs
+    # the same as tier 1's alone.
+    tier = jnp.where(
+        visible & (r <= _RMAX_T3),
+        (r >= _RMAX_T1).astype(jnp.int32) + (r >= _RMAX_T2).astype(jnp.int32),
+        jnp.int32(3),
     )
+    cxc = jnp.clip(cx, 0, width - 1)
+    cyc = jnp.clip(cy, 0, height - 1)
+    bin_id = (cyc // _BH) * nbx + cxc // _BW
+    key = jnp.where(tier < 3, tier * nbins + bin_id, 3 * nbins)
 
-    # tiers 2/3: compact the (few) large records first, then the same
-    # machinery over tiny arrays
+    validf = (tier < 3).astype(jnp.float32)
+    (skey, scx, scy, sdepth, srgb, shi, slo, svalid) = lax.sort(
+        (
+            key.astype(jnp.int32),
+            cx.astype(jnp.float32),
+            cy.astype(jnp.float32),
+            depth_f,
+            rgb_f,
+            rsq_hi,
+            rsq_lo,
+            validf,
+        ),
+        dimension=0,
+        num_keys=1,
+    )
+    sfields = jnp.stack(
+        [scx, scy, sdepth, srgb, shi, slo, svalid, jnp.zeros_like(scx)],
+        axis=0,
+    )
+    chunk1 = _TIERS[0][1]
+    pad = (-n) % chunk1  # chunk1 is a multiple of every tier's chunk
+    if pad:
+        sfields = jnp.pad(sfields, ((0, 0), (0, pad)))
+    edges_all = jnp.searchsorted(
+        skey, jnp.arange(3 * nbins + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+
+    d = c = None
     n_host = jnp.int32(0)
-    for (halo_t, chunk_t, kmax), (rmin, rmax) in zip(
-        _TIERS[1:], ((_RMAX_T1, _RMAX_T2), (_RMAX_T2, None))
-    ):
-        if rmax is None:
-            buf, n_sel = compact_large(
-                cx, cy, depth_bits, rgb24, r, visible & (r <= _RMAX_T3),
-                kmax=kmax, rmin=rmin,
-            )
+    for t, (halo_t, chunk_t, kmax) in enumerate(_TIERS):
+        edges_t = edges_all[t * nbins : (t + 1) * nbins + 1]
+        if kmax is None:  # tier 1: worst case = everything
+            cap_t = (n + pad) // chunk_t + 2 * nbins + 1
         else:
-            buf, n_sel = compact_large(
-                cx, cy, depth_bits, rgb24, r, visible,
-                kmax=kmax, rmin=rmin, rmax=rmax,
-            )
-        n_host = n_host + jnp.maximum(n_sel - kmax, 0)  # capacity overflow
-        tcx = buf[:, 0]
-        tcy = buf[:, 1]
-        tdepth = buf[:, 2]
-        trgb = lax.bitcast_convert_type(buf[:, 3], jnp.uint32).astype(
-            jnp.float32
-        )
-        thi, tlo = _dekker_sq(buf[:, 4])
-        tvalid = jnp.arange(kmax + 1) < jnp.minimum(n_sel, kmax)
-        td, tc = _resolve_tier(
-            tcx.astype(jnp.int32), tcy.astype(jnp.int32), tdepth, trgb,
-            thi, tlo, tvalid,
+            # Tier-capacity contract: the chunk table is sized for kmax
+            # records; overflow drops a suffix of chunks and the WHOLE
+            # tier's records are routed to the host fallback (which
+            # re-stamps idempotently under min).
+            cap_t = kmax // chunk_t + 2 * nbins + 1
+            n_sel = edges_t[-1] - edges_t[0]
+            n_host = n_host + jnp.where(n_sel > kmax, n_sel, 0)
+        td, tc = _rasterize_sorted(
+            sfields, edges_t,
             width=width, height=height, halo=halo_t, chunk=chunk_t,
-            interpret=interpret,
+            total_chunks=cap_t, interpret=interpret,
         )
-        d, c = _lex_min(d, c, td, tc)
+        d, c = (td, tc) if d is None else _lex_min(d, c, td, tc)
 
     n_host = n_host + jnp.sum(visible & (r > _RMAX_T3))
     rgb_u32 = jnp.where(
